@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Replaces the reference's DuckDB connection lifecycle + httpfs/S3 setup
+(/root/reference/data_lake_transformer.py:28-33,227-237) with a
+SparkSession configured for:
+
+- UTC session timezone (deterministic timestamp semantics vs the oracle)
+- AQE (runtime re-planning: broadcast conversion, skew-join splitting,
+  partition coalescing) — essential at 100 TB where static stats lie
+- Arrow-accelerated Python interop (pandas UDFs, toPandas)
+- S3A credentials from EngineConfig (mirrors `SET s3_access_key_id=...`)
+
+At cluster scale the same factory is used by spark-submit entry points;
+locally it runs `local[N]`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+
+
+def build_spark(
+    app_name: str = "duckdb-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    config: EngineConfig | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a configured SparkSession.
+
+    :param master: cluster master; default env SPARK_MASTER or local[*].
+    :param shuffle_partitions: post-shuffle partition count. On a real
+        cluster size this ~2-3x total executor cores; AQE coalesces
+        small partitions at runtime so err on the high side.
+    """
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # local-mode niceties; harmless on a cluster
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+
+    if config is not None:
+        for k, v in config.spark_s3a_conf().items():
+            builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    return builder.getOrCreate()

@@ -1,0 +1,150 @@
+"""Medallion bronze→silver→gold pipeline, Spark-first.
+
+Reproduces the query semantics of the reference's DataLakeTransformer
+(/root/reference/data_lake_transformer.py:9-242) as lazy DataFrame
+plans:
+
+- ``register_raw_gharchive``  = error-tolerant JSON scan (S2)
+- ``clean_raw_gharchive``     = 9-column nested-struct projection (P1/P2)
+- ``aggregate_raw_gharchive`` = GROUP BY ALL daily count (A1/A2, P3/P4)
+
+Key semantic shims vs DuckDB (SURVEY.md §4):
+- ``DATE_TRUNC('day', CAST(x AS TIMESTAMP))`` returns DATE in DuckDB →
+  Spark ``to_date(cast(x as timestamp))`` (bare date_trunc would yield
+  TIMESTAMP).
+- ``GROUP BY ALL`` → explicit groupBy over every non-aggregate column.
+- eager ``CREATE OR REPLACE TABLE`` chain → lazy temp views; Catalyst
+  fuses scan+project+write into one stage (no materialization cost).
+
+Scale notes: each hourly/daily batch is embarrassingly partition-
+parallel (one task per input file); the only shuffle in the whole
+pipeline is the gold aggregation's partial→final hash aggregate, keyed
+on (event_type, repo_id, repo_name, repo_url, day) — high-cardinality
+enough not to skew.
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import paths
+from .catalog import register, resolve
+from .config import EngineConfig
+from .sinks import write_single_parquet
+from .sources import GHARCHIVE_EVENT_SCHEMA, read_json_auto
+
+logger = logging.getLogger(__name__)
+
+
+def clean_projection(raw: DataFrame) -> DataFrame:
+    """The silver 'clean' projection (data_lake_transformer.py:92-104).
+
+    9 columns, struct fields flattened, ``created_at`` passed through
+    unchanged as a string (verified by reference test
+    tests/test_dl_transformer.py:71).
+    """
+    return raw.select(
+        F.col("id").alias("event_id"),
+        F.col("actor.id").alias("user_id"),
+        F.col("actor.login").alias("user_name"),
+        F.col("actor.display_login").alias("user_display_name"),
+        F.col("type").alias("event_type"),
+        F.col("repo.id").alias("repo_id"),
+        F.col("repo.name").alias("repo_name"),
+        F.col("repo.url").alias("repo_url"),
+        F.col("created_at").alias("event_date"),
+    )
+
+
+def daily_aggregate(silver: DataFrame) -> DataFrame:
+    """The gold daily roll-up (data_lake_transformer.py:116-126).
+
+    GROUP BY ALL over the 5 non-aggregate select expressions; DuckDB's
+    ``DATE_TRUNC('day', ...)`` → DATE maps to ``to_date``.
+    """
+    keyed = silver.select(
+        "event_type",
+        "repo_id",
+        "repo_name",
+        "repo_url",
+        F.to_date(F.col("event_date").cast("timestamp")).alias("event_date"),
+    )
+    return keyed.groupBy(
+        "event_type", "repo_id", "repo_name", "repo_url", "event_date"
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+
+
+class DataLakeTransformer:
+    """Spark port of the reference transformer's public surface."""
+
+    def __init__(
+        self,
+        dataset_base_path: str,
+        spark: SparkSession,
+        config: EngineConfig | None = None,
+    ):
+        self.dataset_base_path = dataset_base_path
+        self.spark = spark
+        self.config = config or EngineConfig.from_env()
+
+    # -- stage queries (lazy relations) ---------------------------------
+
+    def register_raw_gharchive(self, source_path: str) -> DataFrame:
+        """Bronze JSON scan → temp view ``gharchive_raw`` (ref :73-83)."""
+        logger.info("collect source data files: %s", source_path)
+        raw = read_json_auto(self.spark, source_path, schema=GHARCHIVE_EVENT_SCHEMA)
+        return register(raw, "gharchive_raw")
+
+    def clean_raw_gharchive(self, raw_dataset: str) -> DataFrame:
+        """Clean projection → temp view ``gharchive_clean`` (ref :85-107).
+
+        ``raw_dataset`` is a table name or a path (polymorphic, like
+        DuckDB's replacement scan).
+        """
+        clean = clean_projection(resolve(self.spark, raw_dataset))
+        return register(clean, "gharchive_clean")
+
+    def aggregate_raw_gharchive(self, raw_dataset: str) -> DataFrame:
+        """Daily aggregate → temp view ``gharchive_agg`` (ref :109-128)."""
+        agg = daily_aggregate(resolve(self.spark, raw_dataset))
+        return register(agg, "gharchive_agg")
+
+    # -- batch entry points (ref :35-71) --------------------------------
+
+    def serialise_raw_data(self, process_date: datetime) -> str:
+        """Bronze hour → silver parquet (ref serialise_raw_data :35-52)."""
+        source = paths.raw_hourly_glob(
+            self.config.zone_url("bronze"), self.dataset_base_path, process_date
+        )
+        raw = self.register_raw_gharchive(source)
+        clean = self.clean_raw_gharchive("gharchive_raw") if raw is not None else None
+        sink = paths.sink_path(
+            "clean",
+            self.config.zone_url("silver"),
+            self.dataset_base_path,
+            process_date,
+            hourly=True,
+        )
+        logger.info("serialise and export cleaned data to %s", sink)
+        return write_single_parquet(clean, sink)
+
+    def aggregate_silver_data(self, process_date: datetime) -> str:
+        """Silver day → gold parquet (ref aggregate_silver_data :54-71)."""
+        source = paths.silver_daily_glob(
+            self.config.zone_url("silver"), self.dataset_base_path, process_date
+        )
+        logger.info("aggregate silver data in %s", source)
+        agg = self.aggregate_raw_gharchive(source)
+        sink = paths.sink_path(
+            "agg",
+            self.config.zone_url("gold"),
+            self.dataset_base_path,
+            process_date,
+            hourly=False,
+        )
+        logger.info("export aggregated data to %s", sink)
+        return write_single_parquet(agg, sink)

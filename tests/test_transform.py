@@ -1,0 +1,142 @@
+"""Pipeline-stage tests with the reference's own literal fixtures.
+
+Golden values from /root/reference/tests/test_dl_transformer.py:46-74
+(clean) and :100-120 (aggregate); end-to-end bronze→silver→gold run
+over generated .json.gz fixtures mirrors the cron lifecycle (SURVEY §3).
+"""
+
+import gzip
+import json
+import os
+from datetime import date, datetime
+
+import pytest
+
+from duckdb_pipeline_spark.config import EngineConfig
+from duckdb_pipeline_spark.transform import (
+    DataLakeTransformer,
+    clean_projection,
+    daily_aggregate,
+)
+
+RAW_ROWS = [
+    {
+        "id": 1,
+        "actor": {"id": 101, "login": "user1", "display_login": "User One"},
+        "type": "PushEvent",
+        "repo": {"id": 201, "name": "repo1", "url": "https://github.com/user1/repo1"},
+        "created_at": "2023-01-01 12:00:00",
+    },
+    {
+        "id": 2,
+        "actor": {"id": 102, "login": "user2", "display_login": "User Two"},
+        "type": "IssuesEvent",
+        "repo": {"id": 202, "name": "repo2", "url": "https://github.com/user2/repo2"},
+        "created_at": "2023-01-02 13:00:00",
+    },
+]
+
+SILVER_ROWS = [
+    ("PushEvent", 1, "repo1", "http://repo1.com", "2023-01-01 10:00:00"),
+    ("PushEvent", 1, "repo1", "http://repo1.com", "2023-01-01 11:00:00"),
+    ("IssueEvent", 2, "repo2", "http://repo2.com", "2023-01-01 12:00:00"),
+    ("PushEvent", 1, "repo1", "http://repo1.com", "2023-01-02 10:00:00"),
+]
+
+
+@pytest.fixture()
+def raw_df(spark):
+    from duckdb_pipeline_spark.sources import GHARCHIVE_EVENT_SCHEMA
+
+    return spark.createDataFrame(
+        [json.loads(json.dumps(r)) for r in RAW_ROWS], schema=GHARCHIVE_EVENT_SCHEMA
+    )
+
+
+def test_clean_raw_gharchive(spark, raw_df):
+    clean = clean_projection(raw_df)
+    rows = clean.orderBy("event_id").collect()
+    assert len(rows) == 2
+    assert clean.columns == [
+        "event_id",
+        "user_id",
+        "user_name",
+        "user_display_name",
+        "event_type",
+        "repo_id",
+        "repo_name",
+        "repo_url",
+        "event_date",
+    ]
+    assert rows[0].user_id == 101
+    assert rows[0].user_name == "user1"
+    assert rows[0].user_display_name == "User One"
+    assert rows[0].repo_id == 201
+    assert rows[0].event_date == "2023-01-01 12:00:00"  # string passthrough
+
+
+def test_aggregate_raw_gharchive(spark):
+    silver = spark.createDataFrame(
+        SILVER_ROWS, "event_type string, repo_id long, repo_name string, repo_url string, event_date string"
+    )
+    agg = daily_aggregate(silver)
+    out = {
+        (r.event_type, r.repo_id, r.event_date): r.event_count
+        for r in agg.collect()
+    }
+    assert len(out) == 3
+    assert out[("PushEvent", 1, date(2023, 1, 1))] == 2
+    assert out[("IssueEvent", 2, date(2023, 1, 1))] == 1
+    assert out[("PushEvent", 1, date(2023, 1, 2))] == 1
+    assert dict(agg.dtypes)["event_date"] == "date"
+    assert dict(agg.dtypes)["event_count"] == "bigint"
+
+
+def test_end_to_end_medallion(spark, tmp_path):
+    """bronze .json.gz → silver parquet → gold parquet, exact filenames."""
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(
+        bronze_bucket=str(lake / "bronze"),
+        silver_bucket=str(lake / "silver"),
+        gold_bucket=str(lake / "gold"),
+        scheme="",
+    )
+    process_date = datetime(2023, 1, 1, 12)
+    bronze_dir = lake / "bronze" / "gharchive/events" / "2023-01-01" / "12"
+    os.makedirs(bronze_dir)
+    payload = b"\n".join(json.dumps(r).encode() for r in RAW_ROWS)
+    # interleave a malformed line: DROPMALFORMED must skip it
+    payload += b'\n{"id": broken!!\n'
+    with gzip.open(bronze_dir / "2023-1-1-12.json.gz", "wb") as f:
+        f.write(payload)
+
+    t = DataLakeTransformer("gharchive/events", spark, cfg)
+    silver_file = t.serialise_raw_data(process_date)
+    assert silver_file.endswith("2023-01-01/12/clean_20230101_12.parquet")
+    assert os.path.isfile(silver_file)
+
+    gold_file = t.aggregate_silver_data(datetime(2023, 1, 1))
+    assert gold_file.endswith("2023-01-01/agg_20230101.parquet")
+    gold = spark.read.parquet(gold_file)
+    rows = {(r.event_type, r.event_date): r.event_count for r in gold.collect()}
+    assert rows == {
+        ("PushEvent", date(2023, 1, 1)): 1,
+        ("IssuesEvent", date(2023, 1, 2)): 1,
+    }
+
+
+def test_ingester_local_landing(tmp_path):
+    """Bronze byte-copy landing to a local-dir bucket (no network)."""
+    import io
+
+    from duckdb_pipeline_spark.ingest import DataLakeIngester
+
+    cfg = EngineConfig(bronze_bucket=str(tmp_path / "bronze"), scheme="")
+    ing = DataLakeIngester("gharchive/events", cfg)
+    out = ing.upload(
+        io.BytesIO(b"payload"),
+        cfg.bronze_bucket,
+        "gharchive/events/2024-10-01/07/2024-10-1-7.json.gz",
+    )
+    with open(out, "rb") as f:
+        assert f.read() == b"payload"
