@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full declared inventory (SURVEY.md §2 +
+north-star ops) for the driver's DuckDB differential check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_pipeline_spark.queries import collect_all  # noqa: E402
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Session settings the engine relies on (UTC timestamps for
+    deterministic oracle comparison; AQE for runtime re-planning)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet uses TIMESTAMP(NANOS); read as long + convert
+    # (queries/common.load) to match DuckDB's micros truncation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the regional-revenue 6-way join (scan, filter
+    pushdown, broadcast + shuffle joins, exact decimal aggregation)."""
+    _prepare(spark)
+    specs = collect_all()
+    return specs["q5_regional_revenue"].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in collect_all().items():
+        def make(fn):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _prepare(spark)
+                return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            return run
+
+        out[name] = make(spec.fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-dialect equivalents for every query (all entries have
+    one in round 1)."""
+    return {name: spec.oracle for name, spec in collect_all().items() if spec.oracle}

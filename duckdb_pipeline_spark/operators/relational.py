@@ -1,0 +1,95 @@
+"""Relational operators Spark lacks as single built-ins.
+
+These are compositions of DataFrame ops (SURVEY.md §2.8 gap map /
+custom-operator guidance) — no Python row loops, no collect():
+
+- ``asof_join``: union-and-window formulation — ONE shuffle on
+  (keys, time), no join explosion, no per-key skew amplification.
+  Equivalent to DuckDB's ``ASOF JOIN`` (largest right ts <= left ts).
+- ``range_join``: equi-key join + range predicate; Spark plans the
+  equi part as a shuffled hash/sort-merge join and applies the range
+  as a post-join filter, so cost is bounded by key co-partitioning.
+- ``top_k_per_group``: row_number window, the scalable top-k (no
+  global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` (per join key). Inner semantics: left rows
+    with no prior right row are dropped.
+
+    Implementation: tag both sides, union, single window pass ordered
+    by (ts, side) with side=right first on ties (matching ASOF's
+    ``<=``), ``last(..., ignorenulls)`` carries the latest right
+    payload forward. One shuffle total; at 100 TB this beats a
+    key-range join by orders of magnitude on skewed keys.
+    """
+    right_payload = right_payload or [c for c in right.columns if c not in on + [right_ts]]
+
+    lcols = [c for c in left.columns if c not in on]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(F.col(right_ts).alias(right_ts + suffix), *right_payload)).schema[0].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        F.struct(F.col(right_ts).alias(right_ts + suffix), *right_payload).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = matched.where(F.col("__is_left") == 1).where(F.col("__match").isNotNull())
+    return out.select(*on, F.col("__l.*"), F.col("__match.*"))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    condition,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + range-predicate join. The equi keys keep the plan a
+    co-partitioned join (never a cartesian); ``condition`` is applied
+    as the extra join predicate."""
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = cond & condition
+    return left.join(right, cond, how)
+
+
+def top_k_per_group(
+    df: DataFrame, partition_cols: list[str], order_cols: list, k: int, rn_name: str = "rn"
+) -> DataFrame:
+    """Top-k rows per group via row_number — the scalable top-k: the
+    window sorts within partitions only (no global sort/limit)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rn_name, F.row_number().over(w)).where(F.col(rn_name) <= k)

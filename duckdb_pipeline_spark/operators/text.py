@@ -1,0 +1,79 @@
+"""Text-analysis operators (north-star ops): token statistics, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM-side column expressions (whole-stage codegen, no UDFs):
+at 100 TB these run at parquet-scan speed. Ratios are single IEEE
+divisions of integer counts — bitwise-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small english stopword list used by the language-ID heuristic.
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is", "it", "that", "for"]
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-token statistics per document."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (
+            (F.length(F.col(text_col)) - F.size(toks) + 1).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score from length / stopword / uniqueness
+    ratios (the standard LLM-corpus filtering features)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        (
+            F.lit(0.4) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * uniq_ratio
+        ).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language-ID heuristic: 'en' when common english
+    function words exceed 2% of tokens, else 'unk'."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / F.size(toks)
+    )
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("en_score"),
+        F.when(stop_ratio > 0.02, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (bag-of-words fingerprint; catches shuffled /
+    re-ordered near-duplicates that exact hashing misses)."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fingerprint"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )

@@ -1,0 +1,75 @@
+"""Cross-engine determinism helpers.
+
+The driver hash-compares Spark results against a DuckDB oracle
+(BASELINE.md). Floating-point aggregation is the one place two correct
+engines legitimately diverge (summation order). We eliminate the
+divergence instead of rounding it away:
+
+**decimal-exact idiom** — cast each double operand to DECIMAL(28,10)
+(deterministic: decimal midpoints at scale 4 are not representable in
+binary, so round-to-nearest never ties), SUM exactly in decimal, cast
+the total back to double. Both engines then produce bitwise-identical
+doubles regardless of partitioning / association order. Derived
+divisions (averages, ratios) are single IEEE ops on identical inputs —
+also bitwise-identical.
+
+Spark side: ``dsum(expr)``; oracle side: ``DSUM('expr')`` emits the
+matching SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+DEC = "decimal(28,10)"
+DEC_HI = "decimal(30,15)"  # for O(1)-magnitude products (similarity)
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec2double(c: Column) -> Column:
+    """Deterministic decimal→double: split into integer part + fraction
+    so each piece converts exactly-rounded in both engines (a direct
+    cast of a wide decimal is off-by-one-ulp between Spark's BigDecimal
+    path and DuckDB's int128/10^s float division — measured)."""
+    i = F.floor(c)
+    return i.cast("double") + (c - i).cast("double")
+
+
+def dsum(col: str | Column, prec: str = DEC) -> Column:
+    """Exact distributed sum of a double expression (see module doc)."""
+    return dec2double(F.sum(_c(col).cast(prec)))
+
+
+def davg(col: str | Column, prec: str = DEC) -> Column:
+    """Exact-sum average: exact decimal sum / count, one IEEE divide."""
+    return dsum(col, prec) / F.count(F.lit(1))
+
+
+def D2D(expr: str) -> str:
+    """SQL twin of dec2double."""
+    return f"(CAST(FLOOR({expr}) AS DOUBLE) + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"
+
+
+def DSUM(expr: str, prec: str = "DECIMAL(28,10)") -> str:
+    return D2D(f"SUM(CAST({expr} AS {prec}))")
+
+
+def DAVG(expr: str, prec: str = "DECIMAL(28,10)") -> str:
+    return f"({DSUM(expr, prec)} / COUNT(*))"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table. The events table stores TIMESTAMP(NANOS)
+    parquet, which Spark reads as long (nanosAsLong) — convert to
+    microsecond timestamps, the same truncation DuckDB applies when it
+    scans the file, so both engines see identical instants."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,160 @@
+"""Deduplication queries (north-star ops) over `documents`, each with a
+full DuckDB oracle.
+
+The exact/minhash queries run over a *duplicated corpus* (documents
+UNION ALL documents with shifted ids) so the dedup operators have real
+duplicates to find — every doc has exactly one known twin, plus any
+organic near-dups the data contains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_blocked,
+    simhash_fingerprints,
+)
+from . import QuerySpec
+from .common import load
+
+ID_SHIFT = 1_000_000
+
+# Shared oracle CTE fragments ------------------------------------------------
+
+CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM documents
+)
+"""
+
+
+def _shingle_cte(src: str) -> str:
+    """Distinct 3-gram word shingles per doc (mirrors
+    operators.dedup.word_shingles)."""
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+)
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(shifted)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, keeper = min id."""
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_CTE}
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
+    with exact shingle Jaccard >= 0.5."""
+    return minhash_lsh_dedup(_dup_corpus(spark, sf_dir))
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {CORPUS_CTE},
+{_shingle_cte('corpus').strip().lstrip()}
+,
+mh AS (
+  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh, (SELECT unnest(range(0, 16)) AS k) ks
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  FROM mh GROUP BY doc_id, k // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document (portable bit
+    extraction from md5 hex)."""
+    return simhash_fingerprints(load(spark, sf_dir, "documents"))
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_shingle_cte('documents').strip()},
+hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (((strpos('0123456789abcdef', substr(h, (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1) = 1
+              THEN 1 ELSE -1 END AS v
+  FROM hx, (SELECT unnest(range(0, 32)) AS b) bs
+),
+bitsum AS (SELECT doc_id, b, SUM(v) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def dedup_ngram(spark, sf_dir):
+    """Blocked all-pairs 3-gram Jaccard (blocking key: source)."""
+    return ngram_jaccard_blocked(load(spark, sf_dir, "documents"), threshold=0.05)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_shingle_cte('documents').strip()},
+shs AS (
+  SELECT sh.doc_id, d.source, sh.shingle
+  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM shs a JOIN shs b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.05
+"""
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram, DEDUP_NGRAM_SQL, "blocked n-gram Jaccard"),
+}

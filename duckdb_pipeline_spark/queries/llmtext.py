@@ -1,0 +1,113 @@
+"""Text-analysis + multimodal-plumbing queries (north-star ops) over
+`documents`, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    TOKEN_PATTERN,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from . import QuerySpec
+from .common import load
+
+STOPWORD_SQL_LIST = "['the', 'a', 'of', 'and', 'in', 'to', 'is', 'it', 'that', 'for']"
+
+
+def text_token_stats(spark, sf_dir):
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       length(text) AS n_chars,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio,
+       0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE) / len(toks))
+         + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS quality_score
+FROM t
+"""
+
+
+def text_langid(spark, sf_dir):
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE)
+         / len(toks) AS en_score,
+       CASE WHEN CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE)
+                 / len(toks) > 0.02
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM t
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: payload bytes + typed metadata (the
+    oracle-checkable slice of operators.multimodal — decode itself is
+    stubbed, see that module)."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+        F.ceil(F.octet_length(F.col("text")) / F.lit(1024.0)).cast("long").alias("n_chunks"),
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS checksum,
+       CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token statistics"),
+    "text_quality_score": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
+    "text_language_id": QuerySpec(text_langid, LANGID_SQL, "language-ID heuristic"),
+    "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "bag-of-words fingerprint"),
+    "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
+}

@@ -1,0 +1,899 @@
+"""Full relational surface (SURVEY.md §2.8 gap map) over the driver's
+star schema: filters, all join types, as-of/range joins, windows,
+sort/limit/top-k, set ops, rollup/cube/grouping-sets, scalar function
+coverage, subqueries, statistics.
+
+Every query is oracle-checked against DuckDB. Double aggregations use
+the decimal-exact idiom from .common (bitwise-identical across
+engines). Queries with LIMIT always carry a full deterministic
+tiebreak.
+
+Scale notes per family are in the function docstrings; the common
+themes: small dims (region/nation) are broadcast explicitly, large
+joins rely on AQE for broadcast-vs-sort-merge and skew splitting,
+windows partition by high-cardinality keys, top-k is per-group
+row_number (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join, range_join, top_k_per_group
+from . import QuerySpec
+from .common import DAVG, DSUM, davg, dsum, load
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy filter + 8-aggregate hash agg.
+    Group keys (returnflag, linestatus) are low-cardinality: partial
+    map-side aggregation reduces the shuffle to ~9 rows per task."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM('l_quantity')} AS sum_qty,
+       {DSUM('l_extendedprice')} AS sum_base_price,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {DSUM('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+       {DAVG('l_quantity')} AS avg_qty,
+       {DAVG('l_extendedprice')} AS avg_price,
+       {DAVG('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    customer is filtered before the join (predicate pushdown) and the
+    per-order revenue agg happens before the final order-by; the top-k
+    is tiny so a global sort of the aggregated (not raw) rows is
+    fine."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. region/nation are broadcast
+    explicitly (tiny dims); customer/supplier joins left to AQE. The
+    c_nationkey = s_nationkey predicate makes this the classic
+    'local supplier' join."""
+    region = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue per customer, top 20."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------- join types
+
+
+def join_left_zero_counts(spark, sf_dir):
+    """Left outer join + agg: parts with zero lineitems kept (count of
+    a right column is 0, sum coalesced)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = f"""
+SELECT p_partkey, p_brand,
+       count(l_orderkey) AS n_lineitems,
+       COALESCE({DSUM('l_quantity')}, 0.0) AS total_qty
+FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_partkey, p_brand
+"""
+
+
+def join_semi(spark, sf_dir):
+    """Left-semi join: customers with at least one open ('O') order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def join_anti(spark, sf_dir):
+    """Left-anti join: customers who never placed an URGENT order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_full_outer(spark, sf_dir):
+    """Full outer join of per-nation customer vs supplier counts —
+    nulls on both sides survive."""
+    cust_n = (
+        load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp_n = (
+        load(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust_n.join(supp_n, cust_n.c_nationkey == supp_n.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+JOIN_FULL_SQL = """
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def join_cross(spark, sf_dir):
+    """Cross join of two small dims (explicitly cartesian)."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    seg = load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(seg)
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, c_mktsegment
+FROM (SELECT r_name FROM region) CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
+def asof_purchase_click(spark, sf_dir):
+    """As-of join: for each purchase event, the most recent click by
+    the same user at-or-before the purchase (union+window plan — one
+    shuffle; see operators.relational.asof_join)."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("click_event_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_event_id"],
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_matched").alias("click_ts"),
+        "click_event_id",
+    )
+
+
+ASOF_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_event_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def range_join_next_10m(spark, sf_dir):
+    """Range join: per purchase, count same-user events in the next 10
+    minutes (equi user key keeps it co-partitioned, range predicate is
+    a post-join filter)."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    others = events.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    joined = purchases.join(
+        others,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("p_id").agg(F.count("e_id").alias("n_next_10m"))
+
+
+RANGE_SQL = """
+SELECT p.event_id AS p_id, count(e.event_id) AS n_next_10m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN events e
+  ON p.user_id = e.user_id AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+GROUP BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------- windows
+
+
+def window_running_total(spark, sf_dir):
+    """Cumulative spend per customer (exact decimal running sum)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from .common import dec2double
+
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        dec2double(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w)).alias(
+            "running_spend"
+        ),
+    )
+
+
+_RUN_SUM = "SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w"
+WIN_RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       (CAST(FLOOR({_RUN_SUM}) AS DOUBLE)
+        + CAST(({_RUN_SUM}) - FLOOR({_RUN_SUM}) AS DOUBLE)) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_rank_orders(spark, sf_dir):
+    """rank/dense_rank (with real ties, on order year) + row_number
+    (full tiebreak) per customer."""
+    orders = load(spark, sf_dir, "orders")
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc(F.year("o_orderdate")))
+    w_full = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.year("o_orderdate")), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_ties).alias("yr_rank"),
+        F.dense_rank().over(w_ties).alias("yr_dense_rank"),
+        F.row_number().over(w_full).alias("rn"),
+    )
+
+
+WIN_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS yr_rank,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS yr_dense_rank,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC, o_orderkey) AS rn
+FROM orders
+"""
+
+
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by price — scalable top-k (window
+    row_number, no global sort)."""
+    orders = load(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+WIN_TOPK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def window_lag_delta(spark, sf_dir):
+    """lag/lead: per-user value delta between consecutive events."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+WIN_LAG_SQL = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+def window_moving_avg(spark, sf_dir):
+    """Frame-spec window: 3-row moving average per user (exact)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    from .common import dec2double
+
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            dec2double(F.sum(F.col("value").cast("decimal(28,10)")).over(w))
+            / F.count(F.lit(1)).over(w)
+        ).alias("mavg_3"),
+    )
+
+
+_MAVG_SUM = "SUM(CAST(value AS DECIMAL(28,10))) OVER w"
+WIN_MAVG_SQL = f"""
+SELECT event_id, user_id,
+       (CAST(FLOOR({_MAVG_SUM}) AS DOUBLE)
+        + CAST(({_MAVG_SUM}) - FLOOR({_MAVG_SUM}) AS DOUBLE)) / COUNT(*) OVER w AS mavg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def ntile_quartiles(spark, sf_dir):
+    """ntile bucketing: order-value quartile sizes and exact sums."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+NTILE_SQL = f"""
+SELECT quartile, count(*) AS n, {DSUM('o_totalprice')} AS total
+FROM (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile FROM orders)
+GROUP BY quartile
+"""
+
+
+# ---------------------------------------------------------------- sort/limit, set ops, distinct
+
+
+def topk_orders_global(spark, sf_dir):
+    """Global ORDER BY + LIMIT with full tiebreak (Spark TakeOrdered —
+    no full sort materialization)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def setop_union_all(spark, sf_dir):
+    """UNION ALL of two heterogeneous key sets with a source marker."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_id"), F.lit("customer").alias("party_type")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_id"), F.lit("supplier").alias("party_type")
+    )
+    return cust.unionByName(supp)
+
+
+SETOP_UNION_ALL_SQL = """
+SELECT c_custkey AS party_id, 'customer' AS party_type FROM customer
+UNION ALL
+SELECT s_suppkey AS party_id, 'supplier' AS party_type FROM supplier
+"""
+
+
+def setop_intersect(spark, sf_dir):
+    """INTERSECT: customers with both finished and open orders."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def setop_except(spark, sf_dir):
+    """EXCEPT: customers with orders but none in 'P' status."""
+    ordered = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    pending = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return ordered.distinct().exceptAll(pending.distinct())
+
+
+SETOP_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def distinct_pairs(spark, sf_dir):
+    """DISTINCT over a composite key."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------- grouping sets / rollup / cube
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus) with exact sums."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n, {DSUM('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark, sf_dir):
+    """CUBE over (event_type, year)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.year("ts").alias("yr"))
+        .cube("event_type", "yr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, year(ts) AS yr, count(*) AS n
+FROM events GROUP BY CUBE(event_type, year(ts))
+"""
+
+
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via Spark SQL (exercises the SQL entry path)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               {DSUM('o_totalprice')} AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, {DSUM('o_totalprice')} AS total
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# ---------------------------------------------------------------- scalar functions
+
+
+def scalar_string_funcs(spark, sf_dir):
+    """String function coverage (all JVM-side, codegen'd)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("name_dashed"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+SCALAR_STR_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_pfx,
+       replace(p_name, ' ', '-') AS name_dashed,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       reverse(p_type) AS type_rev,
+       trim('  x  ') AS trimmed
+FROM part
+"""
+
+
+def scalar_date_funcs(spark, sf_dir):
+    """Date/time function coverage. Engine-dialect shims: Spark
+    dayofweek is 1=Sunday vs DuckDB 0=Sunday (oracle adds 1); Spark
+    datediff(end, start) = DuckDB date_diff('day', start, end)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus_week"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.to_date("o_orderdate").alias("order_day"),
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       quarter(o_orderdate) AS qtr,
+       month(o_orderdate) AS mo,
+       dayofmonth(o_orderdate) AS dom,
+       dayofweek(o_orderdate) + 1 AS dow_sun1,
+       weekofyear(o_orderdate) AS iso_week,
+       last_day(o_orderdate) AS month_end,
+       o_orderdate + INTERVAL 7 DAY AS plus_week,
+       date_diff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+       CAST(o_orderdate AS DATE) AS order_day
+FROM orders
+"""
+
+
+def scalar_math_funcs(spark, sf_dir):
+    """Math function coverage (IEEE-deterministic ops only: +,*,/,
+    sqrt, power-of-2; no libm transcendentals in oracle-checked
+    output)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       floor(l_extendedprice) AS price_floor,
+       ceil(l_extendedprice) AS price_ceil,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_quantity * l_quantity AS qty_sq,
+       sign(l_discount - 0.05) AS disc_sign,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       l_orderkey % 7 AS key_mod7
+FROM lineitem
+"""
+
+
+def case_bucketing(spark, sf_dir):
+    """CASE WHEN bucketing + conditional aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(bucket.alias("price_bucket"), "o_orderstatus")
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        )
+    )
+
+
+CASE_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       count(*) AS n,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+FROM orders
+GROUP BY 1
+"""
+
+
+def coalesce_nullif(spark, sf_dir):
+    """NULL handling: nullif / coalesce / null-aware counts."""
+    li = load(spark, sf_dir, "lineitem")
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(nd).alias("n_discounted"),
+        dsum(F.coalesce(nd, F.lit(0.0))).alias("sum_disc"),
+    )
+
+
+COALESCE_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n,
+       count(nullif(l_discount, 0.0)) AS n_discounted,
+       {DSUM('COALESCE(nullif(l_discount, 0.0), 0.0)')} AS sum_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- subqueries
+
+
+def scalar_subquery_filter(spark, sf_dir):
+    """Scalar subquery: orders above the global average price (exact
+    avg → identical filter boundary in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+SCALAR_SUBQ_SQL = f"""
+SELECT o_orderstatus, count(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT {DAVG('o_totalprice')} FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def in_subquery(spark, sf_dir):
+    """IN-subquery (semi join): customers homed in EUROPE nations,
+    counted per nation."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust = load(spark, sf_dir, "customer")
+    eu_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(eu_nations), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+IN_SUBQ_SQL = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- statistics
+
+
+def agg_stats(spark, sf_dir):
+    """Per-group statistics with a deterministic stddev: computed from
+    exact decimal sums (sqrt((sumsq - sum^2/n)/(n-1))) instead of the
+    engines' (non-identical) streaming variance kernels."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("ndv_parts"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "decimal(28,10)").alias("sum_qty_sq"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        "ndv_parts",
+        "sum_qty",
+        F.sqrt(
+            (F.col("sum_qty_sq") - F.col("sum_qty") * F.col("sum_qty") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("stddev_qty"),
+    )
+
+
+AGG_STATS_SQL = f"""
+SELECT l_returnflag, n, min_qty, max_qty, ndv_parts, sum_qty,
+       sqrt((sum_qty_sq - sum_qty * sum_qty / n) / (n - 1)) AS stddev_qty
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty,
+         count(DISTINCT l_partkey) AS ndv_parts,
+         {DSUM('l_quantity')} AS sum_qty,
+         {DSUM('l_quantity * l_quantity', 'DECIMAL(28,10)')} AS sum_qty_sq
+  FROM lineitem GROUP BY l_returnflag)
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 shape"),
+    "q3_top_orders": QuerySpec(q3_top_orders, Q3_SQL, "3-way join + top-10"),
+    "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL, "6-way join"),
+    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "returned revenue top-20"),
+    "join_left_zero_counts": QuerySpec(join_left_zero_counts, JOIN_LEFT_SQL, "left outer + agg"),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, "left-semi / EXISTS"),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, "left-anti / NOT EXISTS"),
+    "join_full_outer": QuerySpec(join_full_outer, JOIN_FULL_SQL, "full outer join"),
+    "join_cross": QuerySpec(join_cross, JOIN_CROSS_SQL, "cross join"),
+    "asof_purchase_click": QuerySpec(asof_purchase_click, ASOF_SQL, "as-of join (union+window)"),
+    "range_join_next_10m": QuerySpec(range_join_next_10m, RANGE_SQL, "range join"),
+    "window_running_total": QuerySpec(window_running_total, WIN_RUNNING_SQL, "cumulative window"),
+    "window_rank_orders": QuerySpec(window_rank_orders, WIN_RANK_SQL, "rank/dense_rank/row_number"),
+    "window_topk_per_group": QuerySpec(window_topk_per_group, WIN_TOPK_SQL, "top-k per group"),
+    "window_lag_delta": QuerySpec(window_lag_delta, WIN_LAG_SQL, "lag/lead"),
+    "window_moving_avg": QuerySpec(window_moving_avg, WIN_MAVG_SQL, "frame-spec moving avg"),
+    "ntile_quartiles": QuerySpec(ntile_quartiles, NTILE_SQL, "ntile bucketing"),
+    "topk_orders_global": QuerySpec(topk_orders_global, TOPK_SQL, "global sort+limit"),
+    "setop_union_all": QuerySpec(setop_union_all, SETOP_UNION_ALL_SQL, "UNION ALL"),
+    "setop_intersect": QuerySpec(setop_intersect, SETOP_INTERSECT_SQL, "INTERSECT"),
+    "setop_except": QuerySpec(setop_except, SETOP_EXCEPT_SQL, "EXCEPT"),
+    "distinct_pairs": QuerySpec(distinct_pairs, DISTINCT_SQL, "DISTINCT composite"),
+    "agg_rollup": QuerySpec(agg_rollup, ROLLUP_SQL, "ROLLUP"),
+    "agg_cube": QuerySpec(agg_cube, CUBE_SQL, "CUBE"),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_SQL, "GROUPING SETS"),
+    "scalar_string_funcs": QuerySpec(scalar_string_funcs, SCALAR_STR_SQL, "string scalar coverage"),
+    "scalar_date_funcs": QuerySpec(scalar_date_funcs, SCALAR_DATE_SQL, "date scalar coverage"),
+    "scalar_math_funcs": QuerySpec(scalar_math_funcs, SCALAR_MATH_SQL, "math scalar coverage"),
+    "case_bucketing": QuerySpec(case_bucketing, CASE_SQL, "CASE WHEN buckets"),
+    "coalesce_nullif": QuerySpec(coalesce_nullif, COALESCE_SQL, "null handling"),
+    "scalar_subquery_filter": QuerySpec(scalar_subquery_filter, SCALAR_SUBQ_SQL, "scalar subquery"),
+    "in_subquery": QuerySpec(in_subquery, IN_SUBQ_SQL, "IN subquery"),
+    "agg_stats": QuerySpec(agg_stats, AGG_STATS_SQL, "stats incl deterministic stddev"),
+}

@@ -1,0 +1,90 @@
+"""Event-time windowing queries — the batch-equivalent semantics of the
+Structured Streaming operators in ``streaming/`` (tumbling / sliding /
+session windows). Oracle-checked here in batch mode; the streaming
+module reuses the same logical plans behind readStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import DSUM, dsum, load
+
+
+def tumbling_hourly(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (Spark `window()`), per
+    event type: count + exact value sum."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, {DSUM('value')} AS sum_value
+FROM events GROUP BY ALL
+"""
+
+
+def sliding_2h_1h(spark, sf_dir):
+    """Sliding windows (2h length, 1h slide): each event lands in two
+    windows."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+SLIDING_SQL = """
+SELECT ws AS window_start, count(*) AS n
+FROM events,
+     UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws)
+GROUP BY ws
+"""
+
+
+def session_30m(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — Spark
+    `session_window`; oracle = gaps-and-islands."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts, count(*) AS n_events
+FROM g GROUP BY user_id, sess
+"""
+
+
+QUERIES = {
+    "stream_tumbling_hourly": QuerySpec(tumbling_hourly, TUMBLING_SQL, "tumbling windows"),
+    "stream_sliding_2h_1h": QuerySpec(sliding_2h_1h, SLIDING_SQL, "sliding windows"),
+    "stream_session_30m": QuerySpec(session_30m, SESSION_SQL, "session windows"),
+}

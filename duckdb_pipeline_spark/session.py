@@ -51,6 +51,10 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # tolerate TIMESTAMP(NANOS) parquet (read as long; loaders
+        # convert to microsecond timestamps — matching DuckDB's own
+        # nanos->micros truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
