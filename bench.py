@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced through the noop sink (full plan runs, nothing
+written, no driver collect bottleneck). First a warmup query spins up
+the JVM/executors so per-query numbers measure the engine, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pipeline_gold_daily_agg",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "q10_returned_revenue",
+    "join_left_zero_counts",
+    "asof_purchase_click",
+    "range_join_next_10m",
+    "window_running_total",
+    "window_topk_per_group",
+    "setop_intersect",
+    "agg_rollup",
+    "scalar_math_funcs",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_neardup_blocked",
+    "text_quality_score",
+    "stream_tumbling_hourly",
+    "stream_session_30m",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from duckdb_pipeline_spark.session import build_spark
+
+    spark = build_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024)},
+    )
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("q1_pricing_summary")  # warmup (JVM, codegen, file listing)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

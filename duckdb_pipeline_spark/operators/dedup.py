@@ -24,53 +24,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def word_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
 
     Docs with fewer than ``n`` tokens produce no shingles (mirrors the
-    DuckDB ``range`` formulation).
+    DuckDB ``range`` formulation). ``distinct=False`` skips the dedup
+    shuffle — correct for consumers like min-hash where duplicates
+    cannot change the result.
     """
+    # explode an index sequence, then element_at + concat_ws — every
+    # expression stays in whole-stage codegen (a transform() lambda
+    # would drop the widest stage of the pipeline to interpreted eval;
+    # measured ~3x slower)
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
-    shingle_expr = F.expr(
-        f"CASE WHEN size(t) >= {n} THEN "
-        f"transform(sequence(1, size(t) - {n - 1}), i -> array_join(slice(t, i, {n}), ' ')) "
-        f"ELSE array() END"
-    )
-    return (
-        toks.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
-        .distinct()
-    )
+    ex = toks.select(
+        F.col(id_col),
+        F.col("t"),
+        F.explode(F.expr(f"sequence(1, greatest(size(t) - {n - 1}, 1))")).alias("i"),
+    ).where(F.col("i") <= F.size("t") - (n - 1))
+    parts = [F.element_at("t", F.col("i") + j) for j in range(n)]
+    out = ex.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
-    """(id, k, minhash): per document, K independent min-hashes.
+    """(id, h0..h{K-1}): per document, K independent min-hashes as
+    columns.
 
     Hash k of a shingle = md5("<k>:<shingle>"); min over the doc's
     shingles. Lexicographic min over 32-char hex == min over uniform
     128-bit values.
+
+    Plan shape: ONE shuffle — the K hashes are K plain md5 column
+    expressions (whole-stage codegen; a `transform` lambda would drop
+    to interpreted evaluation), and the groupBy carries K min()
+    aggregates with map-side partials. (The naive formulation — explode
+    ×K then groupBy(id, k) — shuffles K× the data.)
     """
-    ks = shingles.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("k"))
-    return (
-        shingles.crossJoin(F.broadcast(ks))
-        .select(
-            F.col(id_col),
-            F.col("k"),
-            F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    per = shingles.select(F.col(id_col), *hash_cols)
+    aggs = [F.min(F.col(f"mh{k}")).alias(f"h{k}") for k in range(num_hashes)]
+    return per.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    minhashes: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, sig): concatenate each band's minhash columns."""
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("sig"),
         )
-        .groupBy(id_col, "k")
-        .agg(F.min("h").alias("h"))
-    )
-
-
-def lsh_bands(minhashes: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4) -> DataFrame:
-    """(id, band, sig): concatenate each band's minhashes (k-ordered)."""
-    banded = minhashes.withColumn("band", F.expr(f"k div {rows_per_band}"))
-    return banded.groupBy(id_col, "band").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("k", "h"))), lambda s: s["h"]),
-            "|",
-        ).alias("sig")
-    )
+        for b in range(n_bands)
+    ]
+    return minhashes.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -87,12 +112,17 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def jaccard_verify(shingles: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
-    |A∩B| / (|A| + |B| - |A∩B|)."""
+    |A∩B| / (|A| + |B| - |A∩B|).
+
+    The candidate set is tiny relative to the shingle table (that's the
+    point of LSH) — broadcast it so the intersection count is two
+    broadcast joins over one shingle scan each, not a repartition of
+    the full shingle table."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
-        pairs.join(sa, "doc_a")
+        F.broadcast(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
@@ -121,9 +151,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
     verification: (doc_a, doc_b, jaccard >= threshold)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle table feeds four plan branches (minhash + pair sides
+    # + sizes); Spark doesn't CSE across branches, so persist it once
+    sh = word_shingles(df, id_col, text_col, n).persist()
     mh = minhash_signatures(sh, id_col, num_hashes)
-    bands = lsh_bands(mh, id_col, rows_per_band)
+    bands = lsh_bands(mh, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
     return jaccard_verify(sh, cands, id_col).where(F.col("jaccard") >= threshold)
 
@@ -150,21 +182,26 @@ def simhash_fingerprints(
     sh = word_shingles(df, id_col, text_col, n).select(
         F.col(id_col), F.md5(F.col("shingle")).alias("h")
     )
-    bs = sh.sparkSession.range(bits).select(F.col("id").cast("int").alias("b"))
-    bit_vals = sh.crossJoin(F.broadcast(bs)).select(
-        F.col(id_col),
-        F.col("b"),
+    # one ±1 expression per bit, all evaluated per shingle row inside
+    # codegen; ONE shuffle with `bits` map-side partial sums (the
+    # explode-×bits formulation shuffles bits× the data)
+    bit_exprs = [
         F.expr(
-            "CASE WHEN (shiftright(instr('0123456789abcdef', substr(h, (b div 4) + 1, 1)) - 1, b % 4) & 1) = 1 "
+            f"CASE WHEN (shiftright(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1, {b % 4}) & 1) = 1 "
             "THEN 1 ELSE -1 END"
-        ).alias("v"),
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    sums = sh.select(F.col(id_col), *bit_exprs).groupBy(id_col).agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)]
     )
-    bitsum = bit_vals.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
-    return bitsum.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard_blocked(
@@ -183,7 +220,7 @@ def ngram_jaccard_blocked(
     """
     sh = word_shingles(docs, id_col, text_col, n).join(
         docs.select(id_col, block_col), id_col
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col(block_col).alias("blk"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), F.col(block_col).alias("blk"), "shingle")

@@ -25,9 +25,22 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # fixed-point scale for exact integer sums
 
 
-def _dot_terms(a, b):
-    """floor(a*b * SCALE) as bigint — deterministic fixed-point term."""
-    return F.floor(a.cast("double") * b.cast("double") * F.lit(SCALE)).cast("long")
+def int_dot(a, b):
+    """Exact fixed-point dot product of two array<float> columns: each
+    term is floor(x*y*SCALE) as bigint, folded in-row with an integer
+    accumulator. Integer addition is associative, so this equals the
+    oracle's unnest-and-SUM formulation bit-for-bit — while staying
+    inside whole-stage codegen (no explode, no extra shuffle)."""
+    terms = F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(SCALE)).cast("long")
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _cosine_from_ints(dot_i, na_i, nb_i):
+    return dot_i.cast("double") / (
+        F.sqrt(na_i.cast("double")) * F.sqrt(nb_i.cast("double"))
+    )
 
 
 def cosine_topk(
@@ -39,28 +52,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector.
 
-    posexplode both sides → broadcast-join on position → integer-exact
-    partial sums → cosine. Excludes the query vector itself.
-    """
-    q = (
-        embeddings.where(F.col(id_col) == query_id)
-        .select(F.posexplode(vec_col).alias("pos", "qv"))
-    )
-    e = embeddings.select(id_col, F.posexplode(vec_col).alias("pos", "ev"))
-    sums = (
-        e.join(F.broadcast(q), "pos")
-        .groupBy(id_col)
-        .agg(
-            F.sum(_dot_terms(F.col("ev"), F.col("qv"))).alias("dot_i"),
-            F.sum(_dot_terms(F.col("ev"), F.col("ev"))).alias("na_i"),
-            F.sum(_dot_terms(F.col("qv"), F.col("qv"))).alias("nq_i"),
-        )
-    )
-    cos = sums.select(
+    Broadcast the single query row, fold the dot products in-row
+    (int_dot), global top-k. One broadcast join, zero wide shuffles —
+    scan-bound at any corpus size."""
+    q = embeddings.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    e = embeddings.select(id_col, vec_col)
+    cos = e.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        (
-            F.col("dot_i").cast("double")
-            / (F.sqrt(F.col("na_i").cast("double")) * F.sqrt(F.col("nq_i").cast("double")))
+        _cosine_from_ints(
+            int_dot(F.col(vec_col), F.col("qv")),
+            int_dot(F.col(vec_col), F.col(vec_col)),
+            int_dot(F.col("qv"), F.col("qv")),
         ).alias("cosine"),
     )
     return (
@@ -78,28 +80,28 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs within blocking-key groups
-    (IVF-style pruning: only same-bucket pairs are compared)."""
-    e = embeddings.select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.posexplode(vec_col).alias("pos", "v")
+    (IVF-style pruning: only same-bucket pairs are compared).
+
+    The equi-join on the block key co-partitions the pair space; each
+    pair's cosine folds in-row (int_dot) — the widest dataflow is the
+    pair list itself, never pairs × dims. Norms are computed once per
+    VECTOR (n rows) before the pair join, not once per pair (n² rows) —
+    at 2k vectors / 200k pairs that's 3× less fold work."""
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("e")
+    ).withColumn("nrm", int_dot(F.col("e"), F.col("e")))
+    a = with_norm.select(
+        F.col(id_col).alias("vec_a"), "blk", F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    a = e.select(F.col(id_col).alias("vec_a"), "blk", "pos", F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("vec_b"), "blk", "pos", F.col("v").alias("vb"))
-    sums = (
-        a.join(b, ["blk", "pos"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(
-            F.sum(_dot_terms(F.col("va"), F.col("vb"))).alias("dot_i"),
-            F.sum(_dot_terms(F.col("va"), F.col("va"))).alias("na_i"),
-            F.sum(_dot_terms(F.col("vb"), F.col("vb"))).alias("nb_i"),
-        )
+    b = with_norm.select(
+        F.col(id_col).alias("vec_b"), "blk", F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    return sums.select(
+    pairs = a.join(b, "blk").where(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
         "vec_a",
         "vec_b",
-        (
-            F.col("dot_i").cast("double")
-            / (F.sqrt(F.col("na_i").cast("double")) * F.sqrt(F.col("nb_i").cast("double")))
+        _cosine_from_ints(
+            int_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
         ).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
 

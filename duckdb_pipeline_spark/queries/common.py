@@ -5,7 +5,7 @@ The driver hash-compares Spark results against a DuckDB oracle
 engines legitimately diverge (summation order). We eliminate the
 divergence instead of rounding it away:
 
-**decimal-exact idiom** — cast each double operand to DECIMAL(28,10)
+**decimal-exact idiom** — cast each double operand to DECIMAL(18,9)
 (deterministic: decimal midpoints at scale 4 are not representable in
 binary, so round-to-nearest never ties), SUM exactly in decimal, cast
 the total back to double. Both engines then produce bitwise-identical
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-DEC = "decimal(28,10)"
+DEC = "decimal(18,9)"
 DEC_HI = "decimal(30,15)"  # for O(1)-magnitude products (similarity)
 
 
@@ -55,11 +55,11 @@ def D2D(expr: str) -> str:
     return f"(CAST(FLOOR({expr}) AS DOUBLE) + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"
 
 
-def DSUM(expr: str, prec: str = "DECIMAL(28,10)") -> str:
+def DSUM(expr: str, prec: str = "DECIMAL(18,9)") -> str:
     return D2D(f"SUM(CAST({expr} AS {prec}))")
 
 
-def DAVG(expr: str, prec: str = "DECIMAL(28,10)") -> str:
+def DAVG(expr: str, prec: str = "DECIMAL(18,9)") -> str:
     return f"({DSUM(expr, prec)} / COUNT(*))"
 
 

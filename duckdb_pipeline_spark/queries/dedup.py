@@ -28,7 +28,7 @@ CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM documents
+  SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 )
 """
 
@@ -46,8 +46,12 @@ sh AS (
 
 
 def _dup_corpus(spark, sf_dir):
+    """documents + a 10% duplicated slice (shifted ids) — a corpus with
+    known twins for the dedup operators to find."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    shifted = docs.select((F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text")
+    shifted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+    )
     return docs.unionByName(shifted)
 
 

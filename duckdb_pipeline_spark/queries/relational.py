@@ -356,13 +356,13 @@ def window_running_total(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        dec2double(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w)).alias(
+        dec2double(F.sum(F.col("o_totalprice").cast("decimal(18,9)")).over(w)).alias(
             "running_spend"
         ),
     )
 
 
-_RUN_SUM = "SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w"
+_RUN_SUM = "SUM(CAST(o_totalprice AS DECIMAL(18,9))) OVER w"
 WIN_RUNNING_SQL = f"""
 SELECT o_custkey, o_orderkey, o_orderdate,
        (CAST(FLOOR({_RUN_SUM}) AS DOUBLE)
@@ -449,13 +449,13 @@ def window_moving_avg(spark, sf_dir):
         "event_id",
         "user_id",
         (
-            dec2double(F.sum(F.col("value").cast("decimal(28,10)")).over(w))
+            dec2double(F.sum(F.col("value").cast("decimal(18,9)")).over(w))
             / F.count(F.lit(1)).over(w)
         ).alias("mavg_3"),
     )
 
 
-_MAVG_SUM = "SUM(CAST(value AS DECIMAL(28,10))) OVER w"
+_MAVG_SUM = "SUM(CAST(value AS DECIMAL(18,9))) OVER w"
 WIN_MAVG_SQL = f"""
 SELECT event_id, user_id,
        (CAST(FLOOR({_MAVG_SUM}) AS DOUBLE)
@@ -831,7 +831,7 @@ def agg_stats(spark, sf_dir):
         F.max("l_quantity").alias("max_qty"),
         F.countDistinct("l_partkey").alias("ndv_parts"),
         dsum("l_quantity").alias("sum_qty"),
-        dsum(F.col("l_quantity") * F.col("l_quantity"), "decimal(28,10)").alias("sum_qty_sq"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "decimal(18,9)").alias("sum_qty_sq"),
     )
     return g.select(
         "l_returnflag",
@@ -857,7 +857,7 @@ FROM (
          max(l_quantity) AS max_qty,
          count(DISTINCT l_partkey) AS ndv_parts,
          {DSUM('l_quantity')} AS sum_qty,
-         {DSUM('l_quantity * l_quantity', 'DECIMAL(28,10)')} AS sum_qty_sq
+         {DSUM('l_quantity * l_quantity', 'DECIMAL(18,9)')} AS sum_qty_sq
   FROM lineitem GROUP BY l_returnflag)
 """
 
