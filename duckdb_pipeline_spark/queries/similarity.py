@@ -5,7 +5,7 @@ operators.similarity).
 
 from __future__ import annotations
 
-from ..operators.similarity import cosine_pairs_blocked, cosine_topk
+from ..operators.similarity import cosine_pairs_blocked_vectorized, cosine_topk
 from . import QuerySpec
 from .common import load
 
@@ -41,8 +41,12 @@ LIMIT 10
 
 
 def similarity_neardup_blocked(spark, sf_dir):
-    """Embedding near-dup pairs, IVF-style blocked by label."""
-    return cosine_pairs_blocked(load(spark, sf_dir, "embeddings"), threshold=0.3)
+    """Embedding near-dup pairs, IVF-style blocked by label
+    (vectorized per-block numpy kernel; bitwise-equal to the join
+    formulation and the oracle)."""
+    return cosine_pairs_blocked_vectorized(
+        load(spark, sf_dir, "embeddings"), threshold=0.3
+    )
 
 
 NEARDUP_SQL = f"""

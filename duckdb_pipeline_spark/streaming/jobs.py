@@ -1,0 +1,195 @@
+"""Streaming jobs over the `events` table shape.
+
+Scale design (1000-executor cluster, unbounded input):
+- File source streams discover new files per micro-batch
+  (``maxFilesPerTrigger`` bounds batch size → bounded state growth and
+  predictable latency); at 100 TB/day the source is partitioned
+  ``landing/{date}/{hour}/`` exactly like the reference's bronze zone.
+- Watermarks bound every stateful operator's state: windows and
+  dedup keys older than the watermark are evicted, so state size is
+  O(active windows × keys), not O(history).
+- All aggregations are partial-aggregated map-side before the state
+  store shuffle (same HashAggregate partials as batch).
+- State store is per shuffle-partition; key skew (one hot user)
+  is the same problem as batch groupBy skew — salt the key or
+  increase ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (the streaming twin
+    of the reference's hourly bronze scans). Schema is mandatory for
+    streams — no inference — matching SURVEY.md §1.2's "pin the schema"
+    stance."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event type; same plan as the
+    oracle-checked batch twin (queries/streaming_like.tumbling_hourly)
+    plus the watermark that makes it incrementally computable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    length: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in length/slide
+    windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (30-min inactivity gap) — the native
+    `session_window` state merge; batch twin is the gaps-and-islands
+    oracle (queries/streaming_like.session_30m)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins;
+    watermark bounds the key state (a key older than the watermark can
+    be evicted because any later duplicate would be dropped as late
+    data anyway)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def stateful_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value total, emitted once per micro-batch a
+    user is active in. This is the escape hatch for semantics built-in
+    windows can't express (cross-window running state).
+
+    State is one (long, double) pair per user — O(distinct users);
+    a processing-time timeout would bound it for abandoned keys.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drain everything currently in the source into an in-memory table
+    (Trigger.AvailableNow) and return it as a batch DataFrame — the
+    test/backfill harness path."""
+    writer = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return stream.sparkSession.table(query_name)
+
+
+def write_parquet_stream(
+    stream: DataFrame, path: str, checkpoint: str, partition_by: list[str] | None = None
+):
+    """Production sink: append parquet with exactly-once file commit via
+    the checkpoint (the streaming twin of the reference's silver zone
+    writes)."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()

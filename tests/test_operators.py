@@ -1,0 +1,93 @@
+"""Operator-level unit tests over the sf0.001 tables: the two
+formulations of each operator that has a fast path must agree
+bitwise (the fast path is only valid if it is a pure plan change).
+"""
+
+from pyspark.sql import functions as F
+
+from duckdb_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    word_shingles,
+)
+from duckdb_pipeline_spark.operators.similarity import (
+    cosine_pairs_blocked,
+    cosine_pairs_blocked_vectorized,
+    cosine_topk,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_blocked_cosine_vectorized_matches_join_formulation(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    join_rows = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in cosine_pairs_blocked(emb, block_col="label", threshold=0.3).collect()
+    )
+    vec_rows = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in cosine_pairs_blocked_vectorized(
+            emb, block_col="label", threshold=0.3
+        ).collect()
+    )
+    assert len(join_rows) > 0
+    assert join_rows == vec_rows  # bitwise: same floats, not approx
+
+
+def test_blocked_cosine_vectorized_chunking_invariant(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    full = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in cosine_pairs_blocked_vectorized(
+            emb, threshold=0.3, chunk=10_000
+        ).collect()
+    )
+    tiny = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in cosine_pairs_blocked_vectorized(emb, threshold=0.3, chunk=7).collect()
+    )
+    assert full == tiny
+
+
+def test_cosine_topk_excludes_query_and_is_sorted(spark, sf_dir):
+    rows = cosine_topk(_emb(spark, sf_dir), query_id=0, k=5).collect()
+    assert len(rows) == 5
+    assert all(r.vec_id != 0 for r in rows)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_word_shingles_short_doc_yields_none(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    got = {(r.doc_id, r.shingle) for r in word_shingles(df, n=3).collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}
+
+
+def test_exact_dedup_finds_planted_twin(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    twin = docs.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    out = exact_dedup(docs.unionByName(twin))
+    dup = out.where(F.col("n_copies") >= 2).collect()
+    assert any(r.keeper_id == 0 for r in dup)
+
+
+def test_minhash_lsh_finds_planted_twin(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(100)
+    twin = docs.where(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_dedup(docs.unionByName(twin)).collect()
+    assert any(
+        r.doc_a == 1 and r.doc_b == 10_000_001 and r.jaccard == 1.0 for r in pairs
+    )
