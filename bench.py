@@ -71,7 +71,12 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # operators that persist() intermediates (minhash, ngram) leave
+        # cache entries behind; drop them so later queries aren't
+        # measured under accumulated memory/GC pressure
+        spark.catalog.clearCache()
+        return dt
 
     for name in HEADLINE:  # untimed warmup pass (JVM, codegen, listing)
         run(name)

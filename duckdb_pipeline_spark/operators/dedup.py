@@ -160,6 +160,194 @@ def minhash_lsh_dedup(
     return jaccard_verify(sh, cands, id_col).where(F.col("jaccard") >= threshold)
 
 
+def _py_shingles(text: str, n: int) -> set:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _spread(df: DataFrame, id_col: str, text_col: str, parallelism) -> DataFrame:
+    """Fan the (id, text) projection out to `parallelism` partitions
+    before a Python map stage. A local corpus often arrives as ONE
+    parquet split — which would serialize the whole Python stage on a
+    single core. The shuffled payload is just the raw text. Pass
+    parallelism=None to keep source partitioning (the right call when
+    the input already has many splits, e.g. a real 100 TB scan)."""
+    out = df.select(id_col, text_col)
+    if parallelism == "auto":
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(parallelism) if parallelism else out
+
+
+def minhash_signatures_mapped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    parallelism="auto",
+) -> DataFrame:
+    """Shuffle-free minhash: the signature is a pure per-document
+    function (shingle → K md5 → min), so compute it in one mapInPandas
+    pass — no explode, no groupBy, no shuffle. Identical output to
+    `minhash_signatures(word_shingles(df))`: hashlib md5 hex ==
+    Spark/DuckDB md5, min over a doc's distinct shingles.
+
+    This is the 100 TB shape: signature extraction scales with input
+    partitions only; the corpus is scanned once and nothing wider than
+    (id, K×32-char hex) ever moves."""
+    import hashlib
+
+    import pandas as pd
+
+    prefixes = [f"{k}:".encode() for k in range(num_hashes)]
+
+    def sign(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text, n)
+                if not sh:
+                    continue
+                hs = [
+                    min(hashlib.md5(p + s.encode()).hexdigest() for s in sh)
+                    for p in prefixes
+                ]
+                ids.append(doc_id)
+                sigs.append(hs)
+            out = {id_col: pd.Series(ids, dtype="int64")}
+            for k in range(num_hashes):
+                out[f"h{k}"] = [s[k] for s in sigs]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"h{k} string" for k in range(num_hashes))
+    return _spread(df, id_col, text_col, parallelism).mapInPandas(sign, schema)
+
+
+def shingle_sets_mapped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    parallelism="auto",
+) -> DataFrame:
+    """(id, shingles array<string> sorted distinct) in one map pass —
+    the per-doc set representation for exact Jaccard verification."""
+    import pandas as pd
+
+    def to_sets(batches):
+        for pdf in batches:
+            rows = [
+                (doc_id, sorted(_py_shingles(text, n)))
+                for doc_id, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            rows = [(i, s) for i, s in rows if s]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series([r[0] for r in rows], dtype="int64"),
+                    "shingles": [r[1] for r in rows],
+                }
+            )
+
+    return _spread(df, id_col, text_col, parallelism).mapInPandas(
+        to_sets, f"{id_col} long, shingles array<string>"
+    )
+
+
+def minhash_lsh_dedup_mapped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH with the shuffle-minimal plan:
+
+    1. signatures: mapInPandas, zero shuffles (corpus scan #1);
+    2. LSH bands → self-join on (band, sig) → distinct pairs — the
+       only shuffles, all over tiny signature-sized data;
+    3. verification: candidate doc ids are broadcast back onto the
+       corpus (scan #2), per-doc shingle sets built in one map pass,
+       and exact Jaccard computed via array_intersect on the pair
+       list (candidates only — LSH bounds this to near-duplicates).
+
+    Bitwise-identical to `minhash_lsh_dedup` (same hashes, same set
+    arithmetic; the only float op is one final division on identical
+    integers)."""
+    mh = minhash_signatures_mapped(df, id_col, text_col, n, num_hashes)
+    bands = lsh_bands(mh, id_col, num_hashes, rows_per_band)
+    pairs = lsh_candidate_pairs(bands, id_col)
+
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col)
+    # candidates are LSH-bounded (tiny): skip the fan-out shuffle
+    sets = shingle_sets_mapped(cand_docs, id_col, text_col, n, parallelism=None)
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("shb"))
+    ni = F.size(F.array_intersect("sha", "shb"))
+    jac = ni.cast("double") / (F.size("sha") + F.size("shb") - ni)
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints_mapped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 32,
+    parallelism="auto",
+) -> DataFrame:
+    """Shuffle-free SimHash: the fingerprint is a pure per-document
+    function — one mapInPandas pass, no explode, no groupBy. Identical
+    bit extraction to `simhash_fingerprints` (hex nibble b//4, bit
+    b%4), so outputs match bitwise. The ideal 100 TB shape: a map-only
+    stage that scales with input splits."""
+    import hashlib
+
+    import pandas as pd
+
+    def fingerprint(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text, n)
+                if not sh:
+                    continue
+                sums = [0] * bits
+                for s in sh:
+                    h = int.from_bytes(
+                        bytes.fromhex(hashlib.md5(s.encode()).hexdigest()), "big"
+                    )
+                    # hex char c = md5 bits [4c, 4c+4) big-endian; bit
+                    # b%4 of its VALUE → md5 bit (b//4)*4 + (3 - ...)
+                    for b in range(bits):
+                        nib = (h >> (128 - 4 * (b // 4 + 1))) & 0xF
+                        sums[b] += 1 if (nib >> (b % 4)) & 1 else -1
+                fp = sum(1 << b for b in range(bits) if sums[b] > 0)
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return _spread(df, id_col, text_col, parallelism).mapInPandas(
+        fingerprint, f"{id_col} long, simhash long"
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct text
     with the keeper id (min) and the duplicate count."""

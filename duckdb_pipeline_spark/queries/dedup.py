@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dedup,
-    minhash_lsh_dedup,
+    minhash_lsh_dedup_mapped,
     ngram_jaccard_blocked,
-    simhash_fingerprints,
+    simhash_fingerprints_mapped,
 )
 from . import QuerySpec
 from .common import load
@@ -72,8 +72,9 @@ FROM corpus GROUP BY md5(text)
 
 def dedup_minhash(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
-    with exact shingle Jaccard >= 0.5."""
-    return minhash_lsh_dedup(_dup_corpus(spark, sf_dir))
+    with exact shingle Jaccard >= 0.5 (shuffle-minimal mapInPandas
+    signature plan; bitwise-equal to the relational formulation)."""
+    return minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
 
 
 DEDUP_MINHASH_SQL = f"""
@@ -111,8 +112,8 @@ WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
 
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document (portable bit
-    extraction from md5 hex)."""
-    return simhash_fingerprints(load(spark, sf_dir, "documents"))
+    extraction from md5 hex; map-only plan, zero shuffles)."""
+    return simhash_fingerprints_mapped(load(spark, sf_dir, "documents"))
 
 
 DEDUP_SIMHASH_SQL = f"""

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 from duckdb_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    minhash_lsh_dedup_mapped,
+    simhash_fingerprints,
+    simhash_fingerprints_mapped,
     word_shingles,
 )
 from duckdb_pipeline_spark.operators.similarity import (
@@ -80,6 +83,27 @@ def test_exact_dedup_finds_planted_twin(spark, sf_dir):
     out = exact_dedup(docs.unionByName(twin))
     dup = out.where(F.col("n_copies") >= 2).collect()
     assert any(r.keeper_id == 0 for r in dup)
+
+
+def test_minhash_mapped_equals_relational(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rel = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_dedup(docs).collect()
+    )
+    mapped = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_dedup_mapped(docs).collect()
+    )
+    assert rel == mapped
+
+
+def test_simhash_mapped_equals_relational(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rel = sorted((r.doc_id, r.simhash) for r in simhash_fingerprints(docs).collect())
+    mapped = sorted(
+        (r.doc_id, r.simhash) for r in simhash_fingerprints_mapped(docs).collect()
+    )
+    assert rel == mapped and len(rel) > 0
 
 
 def test_minhash_lsh_finds_planted_twin(spark, sf_dir):
