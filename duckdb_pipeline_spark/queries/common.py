@@ -63,6 +63,20 @@ def DAVG(expr: str, prec: str = "DECIMAL(18,9)") -> str:
     return f"({DSUM(expr, prec)} / COUNT(*))"
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Re-split an under-parallel scan. A single-row-group parquet file
+    yields ONE input split, serializing scan-side work (partial
+    aggregation, join probes) on one core. When the plan has fewer
+    partitions than the cluster's parallelism, round-robin repartition;
+    when the input is already well-split (any real-scale table), this
+    is a no-op — so it never introduces a shuffle at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table. The events table stores TIMESTAMP(NANOS)
     parquet, which Spark reads as long (nanosAsLong) — convert to

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, range_join, top_k_per_group
 from . import QuerySpec
-from .common import DAVG, DSUM, davg, dsum, load
+from .common import DAVG, DSUM, davg, dsum, load, spread
 
 # ---------------------------------------------------------------- TPC-H-ish
 
@@ -31,7 +31,7 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy filter + 8-aggregate hash agg.
     Group keys (returnflag, linestatus) are low-cardinality: partial
     map-side aggregation reduces the shuffle to ~9 rows per task."""
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
     return (
