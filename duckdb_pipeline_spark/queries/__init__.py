@@ -22,10 +22,26 @@ class QuerySpec:
 
 
 def collect_all() -> dict[str, QuerySpec]:
-    from . import dedup, llmtext, pipeline, relational, similarity, streaming_like
+    from . import (
+        dedup,
+        llmtext,
+        pipeline,
+        relational,
+        relational2,
+        similarity,
+        streaming_like,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (pipeline, relational, dedup, similarity, llmtext, streaming_like):
+    for mod in (
+        pipeline,
+        relational,
+        relational2,
+        dedup,
+        similarity,
+        llmtext,
+        streaming_like,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

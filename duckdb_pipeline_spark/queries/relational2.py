@@ -1,0 +1,425 @@
+"""Relational surface, part 2: more TPC-H query shapes (Q4/Q6/Q12/Q14/
+Q16/Q18/Q19/Q22 adapted to the driver schema), JSON / array / regex
+scalar functions, pivot/unpivot, analytic-window extensions.
+
+Same rules as relational.py: every query oracle-checked, double
+aggregation via the decimal-exact idiom, deterministic tiebreaks on
+every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import DSUM, dsum, load
+
+# ---------------------------------------------------------------- TPC-H shapes
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-style correlated filter (left-semi join)
+    + count per priority. The semi join shuffles only the distinct
+    order keys of the filtered lineitems."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan + filter + single exact sum — the
+    predicate-pushdown / scan-throughput probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation per
+    group."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linenumber")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linenumber,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber <= 2
+GROUP BY l_linenumber
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio (promo parts share).
+    Ratio of two exact decimal sums — one IEEE division at the end."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy()
+        .agg(
+            (F.lit(100.0) * dsum(promo_rev) / dsum(rev)).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * {DSUM("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {DSUM('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: exact COUNT(DISTINCT) per group after an
+    anti-ish filter. Spark expands distinct aggregation into a
+    two-phase plan (dedup shuffle then count) automatically."""
+    part = load(spark, sf_dir, "part").where(F.col("p_size").isin(1, 2, 3, 4, 5))
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1,2,3,4,5)
+GROUP BY p_brand, p_type
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped sum, then join back to
+    orders/customer for the detail rows (top-30 by price)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(30)
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {DSUM('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {DSUM('l_quantity')} > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 30
+"""
+
+
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets pushed into
+    one join — the OR-of-ANDs predicate stress test."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    b1 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10)
+    b2 = (F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 20)
+    b3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30)
+    return (
+        joined.where(b1 | b2 | b3)
+        .groupBy()
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size <= 30)
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg balance) + NOT EXISTS
+    (left-anti join) + group on a derived key."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).groupBy().agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        idle.groupBy((F.col("c_nationkey") % 5).alias("cntry_bucket"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey % 5 AS cntry_bucket, count(*) AS numcust,
+       {DSUM('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey % 5
+"""
+
+
+# ---------------------------------------------------------------- scalar: JSON
+
+
+def scalar_json_funcs(spark, sf_dir):
+    """JSON path extraction from the events.props payload:
+    get_json_object (string path) + typed extraction via cast."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    )
+
+
+JSON_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+"""
+
+
+def scalar_array_funcs(spark, sf_dir):
+    """Array construction + element ops over tokenized text: size,
+    first/last element, containment, sorted distinct prefix."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        # array results render as a joined string: the hash harness
+        # compares scalar cells (array cells are unhashable)
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "top3_sorted"
+        ),
+    )
+
+
+ARRAY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_tok,
+       string_split(text, ' ')[-1] AS last_tok,
+       CAST(list_contains(string_split(text, ' '), 'the') AS INT) AS has_the,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3_sorted
+FROM documents
+"""
+
+
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regex extraction/replacement/matching over part names."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake"),
+        F.col("p_name").rlike("^[a-m]").cast("int").alias("first_half"),
+    )
+
+
+REGEXP_SQL = r"""
+SELECT p_partkey,
+       COALESCE(regexp_extract(p_name, '(\w+)$', 1), '') AS last_word,
+       regexp_replace(p_name, '\s+', '_', 'g') AS snake,
+       CAST(regexp_matches(p_name, '^[a-m]') AS INT) AS first_half
+FROM part
+"""
+
+
+# ---------------------------------------------------------------- pivot shapes
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot: order counts, priorities × status columns (DataFrame
+    .pivot with an explicit value list → no extra distinct-scan job;
+    oracle is the equivalent conditional aggregation)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def unpivot_part_measures(spark, sf_dir):
+    """Unpivot (melt): part's numeric measures to long form."""
+    part = load(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_size", "p_retailprice").unpivot(
+        "p_partkey",
+        ["p_size", "p_retailprice"],
+        "measure",
+        "value",
+    ).select("p_partkey", "measure", F.col("value").cast("double").alias("value"))
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+)
+"""
+
+
+# ---------------------------------------------------------------- windows 2
+
+
+def window_percentiles(spark, sf_dir):
+    """percent_rank + cume_dist over order totals within priority."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+WIN_PCT_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pr,
+       cume_dist()  OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cd
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+def window_first_last(spark, sf_dir):
+    """first_value / last_value with explicit frames per user day."""
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("day_first"),
+        F.last("event_type").over(w).alias("day_last"),
+    )
+
+
+WIN_FL_SQL = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS day_first,
+       last_value(event_type)  OVER w AS day_last
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES = {
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "EXISTS semi-join count"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "scan+filter+sum"),
+    "q12_shipmode_priority": QuerySpec(q12_shipmode_priority, Q12_SQL, "CASE aggregation"),
+    "q14_promo_effect": QuerySpec(q14_promo_effect, Q14_SQL, "conditional ratio"),
+    "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL, "COUNT DISTINCT per group"),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING + join-back top-30"),
+    "q19_bracketed_revenue": QuerySpec(q19_bracketed_revenue, Q19_SQL, "OR-of-ANDs join"),
+    "q22_idle_customers": QuerySpec(q22_idle_customers, Q22_SQL, "scalar subquery + NOT EXISTS"),
+    "scalar_json_funcs": QuerySpec(scalar_json_funcs, JSON_SQL, "JSON path extraction"),
+    "scalar_array_funcs": QuerySpec(scalar_array_funcs, ARRAY_SQL, "array function coverage"),
+    "scalar_regexp_funcs": QuerySpec(scalar_regexp_funcs, REGEXP_SQL, "regex function coverage"),
+    "pivot_status_by_priority": QuerySpec(pivot_status_by_priority, PIVOT_SQL, "pivot"),
+    "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL, "unpivot/melt"),
+    "window_percentiles": QuerySpec(window_percentiles, WIN_PCT_SQL, "percent_rank/cume_dist"),
+    "window_first_last": QuerySpec(window_first_last, WIN_FL_SQL, "first/last_value frames"),
+}
