@@ -181,6 +181,104 @@ def cosine_pairs_blocked_vectorized(
     )
 
 
+def lsh_hyperplanes(n_bits: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane weights, derived from md5 so
+    any engine (or an oracle SQL string generated from these constants)
+    agrees bit-for-bit: w[j][i] = +1 iff the low bit of the first hex
+    nibble of md5("j:i") is set."""
+    import hashlib
+
+    return [
+        [
+            1 if (int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) & 1) else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def lsh_bucket_codes(
+    embeddings: DataFrame,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket code per vector: bit j = sign of
+    the fixed-point projection onto plane j. Projections are integer
+    sums of floor(x*SCALE)*w — exact and association-free, so bucket
+    assignment is deterministic across engines and partitionings.
+
+    Scale: this is a pure map (no shuffle). At 100 TB the embedding
+    table is written bucketed/partitioned by this code once, and every
+    ANN query prunes to one (or a few) buckets — the IVF/LSH index as
+    a layout, not a data structure."""
+    code = None
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                warr,
+                lambda x, wv: F.floor(x.cast("double") * F.lit(SCALE)).cast("long") * wv,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return embeddings.select(F.col(id_col), F.col(vec_col), code.alias(out))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    multiprobe: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via LSH bucket pruning:
+    candidates = vectors sharing the query's bucket code (multiprobe
+    additionally probes all codes at Hamming distance 1 — ~n_bits×
+    the candidates, much higher recall), then exact fixed-point cosine
+    top-k among candidates only.
+
+    vs `cosine_topk` (brute force): the candidate set shrinks by
+    ~2^n_bits; with a bucket-partitioned layout the scan itself prunes
+    to the probed partitions."""
+    planes = lsh_hyperplanes(n_bits, dim)
+    coded = lsh_bucket_codes(embeddings, planes, id_col, vec_col)
+    q = coded.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = coded.crossJoin(F.broadcast(q))
+    if multiprobe:
+        probe_ok = F.col("bucket") == F.col("qb")
+        for j in range(n_bits):
+            probe_ok = probe_ok | (
+                F.col("bucket") == F.col("qb").bitwiseXOR(F.lit(1 << j))
+            )
+        cand = cand.where(probe_ok)
+    else:
+        cand = cand.where(F.col("bucket") == F.col("qb"))
+    cos = cand.select(
+        F.col(id_col),
+        _cosine_from_ints(
+            int_dot(F.col(vec_col), F.col("qv")),
+            int_dot(F.col(vec_col), F.col(vec_col)),
+            int_dot(F.col("qv"), F.col("qv")),
+        ).alias("cosine"),
+    )
+    return (
+        cos.where(F.col(id_col) != query_id)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_zip(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
     """Codegen-friendly cosine between two array columns on one row
     (`zip_with` + `aggregate` fold — no explode, no shuffle). The fast

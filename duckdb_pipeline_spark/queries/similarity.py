@@ -5,7 +5,12 @@ operators.similarity).
 
 from __future__ import annotations
 
-from ..operators.similarity import cosine_pairs_blocked_vectorized, cosine_topk
+from ..operators.similarity import (
+    cosine_pairs_blocked_vectorized,
+    cosine_topk,
+    lsh_hyperplanes,
+    lsh_topk,
+)
 from . import QuerySpec
 from .common import load
 
@@ -73,9 +78,72 @@ WHERE CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DO
 """
 
 
+def similarity_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-10 neighbors of vector 0 — the ANN
+    scale path (bucket pruning before exact distance). 4 bits / 16
+    buckets keeps buckets populated at test scale; at corpus scale,
+    n_bits grows with log2(n / target_bucket_size)."""
+    return lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4)
+
+
+def _lsh_sql(n_bits: int = 8, dim: int = 64) -> str:
+    """Oracle for lsh_topk: the ±1 hyperplane constants are generated
+    by the SAME md5 derivation (operators.similarity.lsh_hyperplanes)
+    and baked into the SQL as list literals."""
+    planes = lsh_hyperplanes(n_bits, dim)
+    return f"""
+WITH planes AS (
+  SELECT j, wts FROM (VALUES {", ".join(f"({j}, CAST([{','.join(str(x) for x in planes[j])}] AS BIGINT[]))" for j in range(n_bits))}) AS t(j, wts)
+),
+proj AS (
+  SELECT e.vec_id, p.j,
+         SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) * p.wts[u.i]) AS pr
+  FROM embeddings e, planes p, UNNEST(range(1, {dim} + 1)) AS u(i)
+  GROUP BY e.vec_id, p.j
+),
+codes AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (
+  SELECT e.embedding AS qe, c.bucket AS qb
+  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
+  WHERE e.vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qe
+  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id, q
+  WHERE c.bucket = q.qb AND e.vec_id <> 0
+),
+terms AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) AS et,
+         CAST(floor(CAST(qe[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS qt
+  FROM cand, UNNEST(range(1, {dim} + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, CAST(SUM(dt) AS BIGINT) AS dot_i, CAST(SUM(et) AS BIGINT) AS na_i,
+         CAST(SUM(qt) AS BIGINT) AS nq_i
+  FROM terms GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nq_i AS DOUBLE))) AS cosine
+FROM sums
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+LSH_TOPK_SQL = _lsh_sql(n_bits=4)
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
     "similarity_neardup_blocked": QuerySpec(
         similarity_neardup_blocked, NEARDUP_SQL, "blocked cosine near-dup pairs"
+    ),
+    "similarity_topk_lsh": QuerySpec(
+        similarity_topk_lsh, LSH_TOPK_SQL, "LSH-bucketed approximate top-k"
     ),
 }

@@ -17,6 +17,9 @@ from duckdb_pipeline_spark.operators.similarity import (
     cosine_pairs_blocked,
     cosine_pairs_blocked_vectorized,
     cosine_topk,
+    lsh_bucket_codes,
+    lsh_hyperplanes,
+    lsh_topk,
 )
 
 
@@ -65,6 +68,31 @@ def test_cosine_topk_excludes_query_and_is_sorted(spark, sf_dir):
     assert all(r.vec_id != 0 for r in rows)
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_buckets_partition_the_corpus(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    coded = lsh_bucket_codes(emb, lsh_hyperplanes(4, 64))
+    total = emb.count()
+    assert coded.count() == total  # pure map: every vector coded
+    n_buckets = coded.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 16  # 4 bits -> at most 16 buckets
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    approx = {r.vec_id for r in lsh_topk(emb, query_id=0, k=10, n_bits=4).collect()}
+    probed = {
+        r.vec_id
+        for r in lsh_topk(emb, query_id=0, k=10, n_bits=4, multiprobe=True).collect()
+    }
+    # these embeddings are near-uniform (top cosine ~0.33), the hardest
+    # regime for LSH: expect recall above the ~1/16 random-bucket
+    # baseline for single-probe and strong recall with multiprobe
+    assert len(exact & approx) >= 1
+    assert len(exact & probed) >= 5
+    assert len(exact & probed) >= len(exact & approx)
 
 
 def test_word_shingles_short_doc_yields_none(spark):
