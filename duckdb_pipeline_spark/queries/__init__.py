@@ -29,6 +29,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         similarity,
+        sketches,
         streaming_like,
     )
 
@@ -39,6 +40,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational2,
         dedup,
         similarity,
+        sketches,
         llmtext,
         streaming_like,
     ):

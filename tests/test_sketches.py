@@ -1,0 +1,46 @@
+"""Accuracy bounds for the sketch queries that have no DuckDB oracle
+(their estimates are engine-specific by nature)."""
+
+from pyspark.sql import functions as F
+
+from duckdb_pipeline_spark.queries.sketches import (
+    sketch_approx_ndv,
+    sketch_approx_quantiles,
+)
+
+
+def test_approx_ndv_within_hll_error(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users for r in sketch_approx_ndv(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.x
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        # default rsd is 5%; allow 3 sigma
+        assert abs(approx[k] - exact[k]) <= max(0.15 * exact[k], 3)
+
+
+def test_approx_quantiles_bracket_exact(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p99_approx)
+        for r in sketch_approx_quantiles(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: (r.p50, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k][0] - exact[k][0]) / exact[k][0] < 0.05
+        assert abs(approx[k][1] - exact[k][1]) / exact[k][1] < 0.05
