@@ -86,6 +86,46 @@ def range_join(
     return left.join(right, cond, how)
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation: salt the hot keys across
+    ``salt_buckets`` partial groups, aggregate, then merge partials.
+
+    ``aggs`` maps column -> 'count' | 'sum' | 'min' | 'max' (the
+    decomposable aggregates: partial and final functions compose).
+    The salt is deterministic (hash of the whole row, mod buckets), so
+    results are reproducible and the operator stays a pure plan.
+
+    When one key holds 1% of 100 TB, the plain groupBy sends ~1 TB to
+    one reducer; salting bounds every reducer at hot_key_size /
+    salt_buckets. AQE skew-join handles joins; this is the analogous
+    fix for aggregation."""
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(salt_buckets))
+    partial_aggs, final_aggs = [], []
+    for col, fn in aggs.items():
+        p = f"__p_{col}_{fn}"
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{fn}_{col}"))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(f"{fn}_{col}"))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(f"{fn}_{col}"))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
 def top_k_per_group(
     df: DataFrame, partition_cols: list[str], order_cols: list, k: int, rn_name: str = "rn"
 ) -> DataFrame:

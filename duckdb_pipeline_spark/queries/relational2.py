@@ -357,6 +357,46 @@ FROM (
 """
 
 
+def agg_listagg_sorted(spark, sf_dir):
+    """Ordered string aggregation per group (listagg/string_agg):
+    collect_list is order-nondeterministic in a distributed engine, so
+    the deterministic form sorts the array before joining."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 40)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+LISTAGG_SQL = """
+SELECT source,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS ids,
+       count(*) AS n
+FROM documents WHERE doc_id < 40
+GROUP BY source
+"""
+
+
+def unnest_tokens(spark, sf_dir):
+    """Lateral array expansion (explode/UNNEST): first 3 tokens of
+    each short document as rows."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.slice(F.split(F.col("text"), " "), 1, 3)
+    return docs.select("doc_id", F.explode(toks).alias("tok"))
+
+
+UNNEST_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS tok
+FROM documents WHERE doc_id < 100
+"""
+
+
 # ---------------------------------------------------------------- windows 2
 
 
@@ -420,6 +460,8 @@ QUERIES = {
     "scalar_regexp_funcs": QuerySpec(scalar_regexp_funcs, REGEXP_SQL, "regex function coverage"),
     "pivot_status_by_priority": QuerySpec(pivot_status_by_priority, PIVOT_SQL, "pivot"),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL, "unpivot/melt"),
+    "agg_listagg_sorted": QuerySpec(agg_listagg_sorted, LISTAGG_SQL, "ordered string_agg"),
+    "unnest_tokens": QuerySpec(unnest_tokens, UNNEST_SQL, "explode/UNNEST lateral"),
     "window_percentiles": QuerySpec(window_percentiles, WIN_PCT_SQL, "percent_rank/cume_dist"),
     "window_first_last": QuerySpec(window_first_last, WIN_FL_SQL, "first/last_value frames"),
 }

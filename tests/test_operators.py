@@ -113,6 +113,29 @@ def test_exact_dedup_finds_planted_twin(spark, sf_dir):
     assert any(r.keeper_id == 0 for r in dup)
 
 
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from duckdb_pipeline_spark.operators.relational import salted_agg
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.event_type: (r.count_event_id, r.sum_value)
+        for r in salted_agg(
+            events, ["event_type"], {"event_id": "count", "value": "sum"}
+        ).collect()
+    }
+
+    want = {
+        r.event_type: (r.n, r.sv)
+        for r in events.groupBy("event_type")
+        .agg(F.count("event_id").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6 * abs(want[k][1])
+
+
 def test_minhash_mapped_equals_relational(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     rel = sorted(
