@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties we designed for
+(predicate pushdown, column pruning, broadcast joins, shuffle-free
+maps, partial aggregation) asserted from the actual executed plans —
+so a refactor that silently loses one fails CI, not the 100 TB run.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from duckdb_pipeline_spark.operators.dedup import simhash_fingerprints_mapped
+from duckdb_pipeline_spark.queries import collect_all
+
+
+def plan_text(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_push_into_parquet_scan(spark, sf_dir):
+    df = collect_all()["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = plan_text(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: the scan must not read the 11-column lineitem
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    df = collect_all()["q5_regional_revenue"].fn(spark, sf_dir)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_mapped_is_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = simhash_fingerprints_mapped(docs, parallelism=None)
+    plan = plan_text(df, "simple")
+    assert "Exchange" not in plan  # pure map: scan -> Python -> out
+
+
+def test_gold_agg_has_partial_aggregation(spark, sf_dir):
+    df = collect_all()["pipeline_gold_daily_agg"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    # partial + final HashAggregate around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_per_group_avoids_global_sort(spark, sf_dir):
+    df = collect_all()["window_topk_per_group"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    # window sort is partition-local: no global (rangepartitioned) sort
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
