@@ -98,10 +98,21 @@ def lsh_bands(
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any band signature."""
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", broadcast_self_join: bool = False
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band signature.
+
+    ``broadcast_self_join=True``: hint one side broadcast — right when
+    the band table is known-small (it is #docs × #bands rows, and a
+    Python-map source has no stats, so Catalyst would otherwise plan a
+    sort-merge join with two full shuffles). Leave False when the
+    corpus is large: the shuffled hash join + AQE skew splitting is the
+    scalable plan."""
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    if broadcast_self_join:
+        b = F.broadcast(b)
     return (
         a.join(b, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -276,8 +287,15 @@ def minhash_lsh_dedup_mapped(
     arithmetic; the only float op is one final division on identical
     integers)."""
     mh = minhash_signatures_mapped(df, id_col, text_col, n, num_hashes)
-    bands = lsh_bands(mh, id_col, num_hashes, rows_per_band)
-    pairs = lsh_candidate_pairs(bands, id_col)
+    # bands is #docs x #bands tiny rows feeding both sides of the
+    # self-join: persist it so the Python signature map runs once, and
+    # broadcast one side (a stats-less map output would otherwise plan
+    # a two-shuffle sort-merge self-join; measured ~1s of the pipeline)
+    bands = lsh_bands(mh, id_col, num_hashes, rows_per_band).persist()
+    # pairs feeds two consumers (candidate-id extraction + the final
+    # verification join) and is LSH-bounded-tiny: persist so the
+    # signature pipeline runs once, not twice
+    pairs = lsh_candidate_pairs(bands, id_col, broadcast_self_join=True).persist()
 
     cand_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -285,8 +303,11 @@ def minhash_lsh_dedup_mapped(
         .distinct()
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col)
-    # candidates are LSH-bounded (tiny): skip the fan-out shuffle
-    sets = shingle_sets_mapped(cand_docs, id_col, text_col, n, parallelism=None)
+    # candidates are LSH-bounded (tiny): skip the fan-out shuffle;
+    # persist because both pair sides broadcast from this one frame
+    sets = shingle_sets_mapped(
+        cand_docs, id_col, text_col, n, parallelism=None
+    ).persist()
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sha"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("shb"))
     ni = F.size(F.array_intersect("sha", "shb"))
