@@ -237,6 +237,80 @@ GROUP BY c_nationkey % 5
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    aliases (supplier nation vs customer nation) + year rollup."""
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join — exactly the rewrite an
+    optimizer performs; expressed directly in the DataFrame API."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy()
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 # ---------------------------------------------------------------- scalar: JSON
 
 
@@ -454,6 +528,8 @@ QUERIES = {
     "q16_supplier_variety": QuerySpec(q16_supplier_variety, Q16_SQL, "COUNT DISTINCT per group"),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING + join-back top-30"),
     "q19_bracketed_revenue": QuerySpec(q19_bracketed_revenue, Q19_SQL, "OR-of-ANDs join"),
+    "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "aliased dim self-join"),
+    "q17_small_quantity": QuerySpec(q17_small_quantity, Q17_SQL, "correlated scalar subquery"),
     "q22_idle_customers": QuerySpec(q22_idle_customers, Q22_SQL, "scalar subquery + NOT EXISTS"),
     "scalar_json_funcs": QuerySpec(scalar_json_funcs, JSON_SQL, "JSON path extraction"),
     "scalar_array_funcs": QuerySpec(scalar_array_funcs, ARRAY_SQL, "array function coverage"),
