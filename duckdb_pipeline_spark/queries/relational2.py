@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.relational import salted_agg
 from . import QuerySpec
 from .common import DSUM, dsum, load
 
@@ -431,6 +432,25 @@ FROM (
 """
 
 
+def agg_salted_hot_keys(spark, sf_dir):
+    """Skew-resistant two-phase aggregation (operators.salted_agg) over
+    the low-cardinality event_type key — every key is 'hot' here, the
+    worst case salting is built for. The oracle is the plain GROUP BY:
+    decomposable aggregates produce identical results salted or not."""
+    events = load(spark, sf_dir, "events")
+    return salted_agg(
+        events.select("event_type", "event_id", "user_id"),
+        ["event_type"],
+        {"event_id": "count", "user_id": "max"},
+    )
+
+
+SALTED_SQL = """
+SELECT event_type, count(event_id) AS count_event_id, max(user_id) AS max_user_id
+FROM events GROUP BY event_type
+"""
+
+
 def agg_listagg_sorted(spark, sf_dir):
     """Ordered string aggregation per group (listagg/string_agg):
     collect_list is order-nondeterministic in a distributed engine, so
@@ -536,6 +556,7 @@ QUERIES = {
     "scalar_regexp_funcs": QuerySpec(scalar_regexp_funcs, REGEXP_SQL, "regex function coverage"),
     "pivot_status_by_priority": QuerySpec(pivot_status_by_priority, PIVOT_SQL, "pivot"),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL, "unpivot/melt"),
+    "agg_salted_hot_keys": QuerySpec(agg_salted_hot_keys, SALTED_SQL, "skew-salted two-phase agg"),
     "agg_listagg_sorted": QuerySpec(agg_listagg_sorted, LISTAGG_SQL, "ordered string_agg"),
     "unnest_tokens": QuerySpec(unnest_tokens, UNNEST_SQL, "explode/UNNEST lateral"),
     "window_percentiles": QuerySpec(window_percentiles, WIN_PCT_SQL, "percent_rank/cume_dist"),

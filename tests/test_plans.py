@@ -52,6 +52,30 @@ def test_gold_agg_has_partial_aggregation(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Bucketing is the 100 TB co-located-join strategy: two tables
+    bucketed by the join key sort-merge join with ZERO exchanges."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = plan_text(joined, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: no shuffle either side
+    assert joined.count() == li.count()
+
+
 def test_topk_per_group_avoids_global_sort(spark, sf_dir):
     df = collect_all()["window_topk_per_group"].fn(spark, sf_dir)
     plan = plan_text(df, "simple")
