@@ -50,6 +50,45 @@ def davg(col: str | Column, prec: str = DEC) -> Column:
     return dsum(col, prec) / F.count(F.lit(1))
 
 
+_B = 10**9
+
+
+def dsum_fp(col: str | Column) -> Column:
+    """Fast path for ``dsum`` on a SOURCE double column: long
+    fixed-point sums instead of a BigDecimal accumulator (the decimal
+    sum's >18-digit accumulator leaves the Long-backed fast path;
+    measured ~4x slower per row).
+
+    Bitwise-equal to ``dsum`` — and to the decimal-idiom oracle SQL —
+    when the column has <= 9 decimal digits and |x| <= ~4e6 (all the
+    money/quantity columns in this schema; sign is fine — the pmod
+    quotient/remainder decomposition is exact for negatives too):
+
+    - per row, round(x*1e9) recovers the exact scale-9 unscaled value:
+      x*1e9 is within ~0.03 of the true integer n (|n| <= 4e15 < 2^53),
+      so the nearest-int round is exact — the same n the decimal cast
+      produces. Derived PRODUCTS (price*(1-disc)) are full-precision
+      doubles where true half-way cases occur: keep those on ``dsum``.
+    - the sum is carried as two longs (quotient/remainder by 1e9 — no
+      overflow: 1e10 rows x 4e6 fits the hi sum), merged with one
+      carry, and rendered by the same floor+fraction split as D2D, so
+      every IEEE operation sees identical operands in both engines.
+    """
+    u = F.round(_c(col) * F.lit(1e9)).cast("long")
+    lo_part = F.pmod(u, F.lit(_B))
+    hi_part = ((u - lo_part) / F.lit(_B)).cast("long")  # exact: multiple/1e9
+    sum_hi = F.sum(hi_part)
+    sum_lo = F.sum(lo_part)
+    carry_rem = F.pmod(sum_lo, F.lit(_B))
+    carry = ((sum_lo - carry_rem) / F.lit(_B)).cast("long")
+    return (sum_hi + carry).cast("double") + carry_rem.cast("double") / F.lit(1e9)
+
+
+def davg_fp(col: str | Column) -> Column:
+    """Fast-path exact average (see dsum_fp preconditions)."""
+    return dsum_fp(col) / F.count(F.lit(1))
+
+
 def D2D(expr: str) -> str:
     """SQL twin of dec2double."""
     return f"(CAST(FLOOR({expr}) AS DOUBLE) + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, range_join, top_k_per_group
 from . import QuerySpec
-from .common import DAVG, DSUM, davg, dsum, load, spread
+from .common import DAVG, DSUM, davg_fp, dsum_fp, load, spread
 
 # ---------------------------------------------------------------- TPC-H-ish
 
@@ -38,13 +38,13 @@ def q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_fp("l_quantity").alias("sum_qty"),
+            dsum_fp("l_extendedprice").alias("sum_base_price"),
+            dsum_fp(disc_price).alias("sum_disc_price"),
+            dsum_fp(charge).alias("sum_charge"),
+            davg_fp("l_quantity").alias("avg_qty"),
+            davg_fp("l_extendedprice").alias("avg_price"),
+            davg_fp("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -83,7 +83,7 @@ def q3_top_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -128,7 +128,7 @@ def q5_regional_revenue(spark, sf_dir):
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -156,7 +156,7 @@ def q10_returned_revenue(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -188,7 +188,7 @@ def join_left_zero_counts(spark, sf_dir):
         .groupBy("p_partkey", "p_brand")
         .agg(
             F.count("l_orderkey").alias("n_lineitems"),
-            F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+            F.coalesce(dsum_fp("l_quantity"), F.lit(0.0)).alias("total_qty"),
         )
     )
 
@@ -472,7 +472,7 @@ def ntile_quartiles(spark, sf_dir):
     return (
         orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
         .groupBy("quartile")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum_fp("o_totalprice").alias("total"))
     )
 
 
@@ -569,7 +569,7 @@ def agg_rollup(spark, sf_dir):
     """ROLLUP over (returnflag, linestatus) with exact sums."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n"), dsum_fp("l_quantity").alias("sum_qty")
     )
 
 
@@ -756,7 +756,7 @@ def coalesce_nullif(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(nd).alias("n_discounted"),
-        dsum(F.coalesce(nd, F.lit(0.0))).alias("sum_disc"),
+        dsum_fp(F.coalesce(nd, F.lit(0.0))).alias("sum_disc"),
     )
 
 
@@ -776,7 +776,7 @@ def scalar_subquery_filter(spark, sf_dir):
     """Scalar subquery: orders above the global average price (exact
     avg → identical filter boundary in both engines)."""
     orders = load(spark, sf_dir, "orders")
-    avg_df = orders.agg(davg("o_totalprice").alias("avg_price"))
+    avg_df = orders.agg(davg_fp("o_totalprice").alias("avg_price"))
     return (
         orders.crossJoin(F.broadcast(avg_df))
         .where(F.col("o_totalprice") > F.col("avg_price"))
@@ -830,8 +830,8 @@ def agg_stats(spark, sf_dir):
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.countDistinct("l_partkey").alias("ndv_parts"),
-        dsum("l_quantity").alias("sum_qty"),
-        dsum(F.col("l_quantity") * F.col("l_quantity"), "decimal(18,9)").alias("sum_qty_sq"),
+        dsum_fp("l_quantity").alias("sum_qty"),
+        dsum_fp(F.col("l_quantity") * F.col("l_quantity")).alias("sum_qty_sq"),
     )
     return g.select(
         "l_returnflag",

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import salted_agg
 from . import QuerySpec
-from .common import DSUM, dsum, load
+from .common import DSUM, dsum_fp, load
 
 # ---------------------------------------------------------------- TPC-H shapes
 
@@ -59,7 +59,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .groupBy()
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -115,7 +115,7 @@ def q14_promo_effect(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy()
         .agg(
-            (F.lit(100.0) * dsum(promo_rev) / dsum(rev)).alias("promo_revenue_pct")
+            (F.lit(100.0) * dsum_fp(promo_rev) / dsum_fp(rev)).alias("promo_revenue_pct")
         )
     )
 
@@ -156,7 +156,7 @@ def q18_large_orders(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .agg(dsum_fp("l_quantity").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
     )
     orders = load(spark, sf_dir, "orders")
@@ -197,7 +197,7 @@ def q19_bracketed_revenue(spark, sf_dir):
     return (
         joined.where(b1 | b2 | b3)
         .groupBy()
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -223,7 +223,7 @@ def q22_idle_customers(spark, sf_dir):
     idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
     return (
         idle.groupBy((F.col("c_nationkey") % 5).alias("cntry_bucket"))
-        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum_fp("c_acctbal").alias("totacctbal"))
     )
 
 
@@ -264,7 +264,7 @@ def q7_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -298,7 +298,7 @@ def q17_small_quantity(spark, sf_dir):
         .join(per_part, li.l_partkey == F.col("avg_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy()
-        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dsum_fp("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 

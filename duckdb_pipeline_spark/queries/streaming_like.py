@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .common import DSUM, dsum, load
+from .common import DSUM, dsum_fp, load
 
 
 def tumbling_hourly(spark, sf_dir):
@@ -18,7 +18,7 @@ def tumbling_hourly(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum_fp("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 

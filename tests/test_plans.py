@@ -6,6 +6,8 @@ so a refactor that silently loses one fails CI, not the 100 TB run.
 
 import contextlib
 import io
+import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -57,8 +59,12 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     bucketed by the join key sort-merge join with ZERO exchanges."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the session catalog is in-memory but the warehouse dir persists
+    # across sessions: drop the table AND its leftover location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
         "overwrite"
     ).saveAsTable("b_orders")
