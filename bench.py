@@ -86,7 +86,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run(name), run(name)), 3)
+        a, b = run(name), run(name)
+        best = min(a, b)
+        if abs(a - b) > 0.5 * best:  # a background-load spike hit one
+            best = min(best, run(name))
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

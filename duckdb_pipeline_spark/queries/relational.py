@@ -30,8 +30,11 @@ from .common import DAVG, DSUM, davg_fp, dsum_fp, load, spread
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy filter + 8-aggregate hash agg.
     Group keys (returnflag, linestatus) are low-cardinality: partial
-    map-side aggregation reduces the shuffle to ~9 rows per task."""
-    li = spread(load(spark, sf_dir, "lineitem"))
+    map-side aggregation reduces the shuffle to ~9 rows per task.
+    (With the long fixed-point sums the partial agg is cheap enough
+    that re-splitting the single-row-group local file no longer pays —
+    measured 0.88s plain vs 1.35s with spread() at sf0.1.)"""
+    li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
     return (

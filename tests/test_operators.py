@@ -113,6 +113,16 @@ def test_exact_dedup_finds_planted_twin(spark, sf_dir):
     assert any(r.keeper_id == 0 for r in dup)
 
 
+def test_spread_is_noop_when_well_split(spark, sf_dir):
+    from duckdb_pipeline_spark.queries.common import spread
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert spread(docs, min_parts=1) is docs  # already >= 1 partition
+    wide = spread(docs, min_parts=16)
+    assert wide.rdd.getNumPartitions() == 16
+    assert wide.count() == docs.count()
+
+
 def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     from duckdb_pipeline_spark.operators.relational import salted_agg
 
