@@ -31,6 +31,7 @@ def collect_all() -> dict[str, QuerySpec]:
         similarity,
         sketches,
         streaming_like,
+        timeseries,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -41,6 +42,7 @@ def collect_all() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         sketches,
+        timeseries,
         llmtext,
         streaming_like,
     ):

@@ -1,0 +1,145 @@
+"""Time-series & statistics surface: gap-filled resampling, exact
+correlation, deterministic hash sampling, histogram binning — all
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import load
+
+
+def timeseries_gap_fill(spark, sf_dir):
+    """Resample to an hourly spine with zero-fill: generate the full
+    hour sequence between min and max event time, left-join the hourly
+    counts, fill gaps with 0 — the standard dense-timeline transform
+    (a per-series sequence+explode, no driver-side loop)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = ev.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    return (
+        spine.join(hourly, spine.hour_ts == hourly.h, "left")
+        .select("hour_ts", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+GAP_FILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+)
+SELECT hour_ts, COALESCE(n, 0) AS n_events
+FROM spine LEFT JOIN hourly ON hour_ts = h
+"""
+
+
+def agg_corr_exact(spark, sf_dir):
+    """Pearson correlation from exact integer fixed-point sums (the
+    engines' streaming corr() kernels are not bit-identical; building
+    the co-moments from exact sums and applying one shared formula
+    is). quantity/extendedprice scale-4 fixed point keeps every sum a
+    bigint."""
+    li = load(spark, sf_dir, "lineitem")
+    # scale 100: both columns have 2 decimal digits, so the fixed-point
+    # values are exact; squared-term sums exceed int64 at sf>=0.1, so
+    # they accumulate as decimal(38,0) (exact, = DuckDB's HUGEINT sum)
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return g.select("l_returnflag", "n", (num / den).alias("corr_qty_price"))
+
+
+CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy,
+         SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+         AS corr_qty_price
+FROM s
+"""
+
+
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic ~1/16 sample: keep rows whose md5(key) starts with
+    a fixed hex character. Unlike TABLESAMPLE/rand(), this is stable
+    across engines, partitionings, and reruns — the reproducible-subset
+    primitive for large-pipeline experiments; sampling rate scales by
+    prefix length."""
+    orders = load(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "a"
+    return orders.where(keep).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+SAMPLE_SQL = """
+SELECT o_orderstatus, count(*) AS n_sampled
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+GROUP BY o_orderstatus
+"""
+
+
+def histogram_prices(spark, sf_dir):
+    """Fixed-width histogram of order totals (width_bucket shape):
+    integer bucket index per row, count per bucket."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50_000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.col("bucket") * 50_000)
+    )
+
+
+HIST_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n,
+       CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS lo
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES = {
+    "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
+    "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_SQL, "exact-sum Pearson corr"),
+    "sample_hash_deterministic": QuerySpec(
+        sample_hash_deterministic, SAMPLE_SQL, "deterministic hash sample"
+    ),
+    "histogram_prices": QuerySpec(histogram_prices, HIST_SQL, "fixed-width histogram"),
+}
