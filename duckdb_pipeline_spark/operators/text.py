@@ -77,3 +77,60 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fingerprint"),
         F.md5(F.col(text_col)).alias("content_hash"),
     )
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+URL_RE = "https?://[^ ]+"
+LONG_DIGITS_RE = "[0-9]{6,}"
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Training-corpus PII scrub: mask emails, URLs, and long digit
+    runs (ids, phone numbers); report the redaction count per doc.
+    Pure regexp column expressions — scan-speed at 100 TB."""
+    c = F.col(text_col)
+    n_red = (
+        F.regexp_count(c, F.lit(EMAIL_RE))
+        + F.regexp_count(c, F.lit(URL_RE))
+        + F.regexp_count(c, F.lit(LONG_DIGITS_RE))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        LONG_DIGITS_RE,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk: int = 50,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the context-window prep step
+    for LLM training): chunk of ``chunk`` tokens every ``stride``
+    tokens. One explode over the stride positions — no shuffle, output
+    size = n_tokens/stride chunks per doc."""
+    toks = F.split(F.col(text_col), " ")
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+        ).alias("start"),
+    ).where(F.col("start") <= F.size("t"))
+    piece = F.slice(F.col("t"), F.col("start"), chunk)
+    return ex.select(
+        F.col(id_col),
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

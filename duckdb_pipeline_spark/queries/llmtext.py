@@ -7,10 +7,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.text import (
+    EMAIL_RE,
+    LONG_DIGITS_RE,
     TOKEN_PATTERN,
+    URL_RE,
+    chunk_tokens,
     fingerprint,
     language_id,
     quality_score,
+    scrub_pii,
     token_stats,
 )
 from . import QuerySpec
@@ -104,7 +109,47 @@ FROM documents
 """
 
 
+def text_scrub_pii(spark, sf_dir):
+    """PII scrub over documents (emails / URLs / long digit runs)."""
+    return scrub_pii(load(spark, sf_dir, "documents"))
+
+
+SCRUB_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g'),
+         '{LONG_DIGITS_RE}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+          + len(regexp_extract_all(text, '{URL_RE}'))
+          + len(regexp_extract_all(text, '{LONG_DIGITS_RE}')) AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping 50-token / 30-stride chunking (LLM context-window
+    prep) over the short documents."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return chunk_tokens(docs, chunk=50, stride=30)
+
+
+CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+ex AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 30)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+       array_to_string(toks[start:start+49], ' ') AS chunk_text,
+       len(toks[start:start+49]) AS n_chunk_tokens
+FROM ex WHERE start <= len(toks)
+"""
+
+
 QUERIES = {
+    "text_scrub_pii": QuerySpec(text_scrub_pii, SCRUB_SQL, "PII scrubbing"),
+    "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL, "token-window chunking"),
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token statistics"),
     "text_quality_score": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_language_id": QuerySpec(text_langid, LANGID_SQL, "language-ID heuristic"),
