@@ -48,3 +48,41 @@ def write_single_parquet(df: DataFrame, target_file: str) -> str:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return target_file
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout (`path/col=value/...`). The scale
+    default for lake zones: Catalyst prunes partitions from WHERE
+    clauses on the partition columns, so hourly/daily queries read only
+    their slice — the same effect as the reference's explicit
+    `{date}/{hour}` key construction, but optimizer-visible."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_small_files(
+    spark, path: str, target_files: int = 1, partition_glob: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory (or one
+    partition of it) into ``target_files`` files.
+
+    Streaming/hourly sinks accumulate many small files; scans pay a
+    per-file open cost and lose row-group-sized reads. Periodic
+    compaction is the standard fix. Returns the number of files after
+    compaction. The rewrite is atomic-by-rename at the directory level."""
+    import tempfile as _tf
+
+    src = os.path.join(path, partition_glob) if partition_glob else path
+    df = spark.read.parquet(src)
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    staging = _tf.mkdtemp(prefix="_compact_", dir=parent)
+    try:
+        df.repartition(target_files).write.mode("overwrite").parquet(staging)
+        dest = src if partition_glob else path
+        shutil.rmtree(dest)
+        shutil.move(staging, dest)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return len(_glob.glob(os.path.join(dest, "part-*.parquet")))

@@ -1,0 +1,42 @@
+"""Lake-layout tests: Hive-partitioned writes with partition pruning
+visible to Catalyst, and small-file compaction."""
+
+import contextlib
+import glob
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_pipeline_spark.queries.common import load
+from duckdb_pipeline_spark.sinks import compact_small_files, write_partitioned
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    lake = str(tmp_path / "events_lake")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    write_partitioned(ev, lake, ["event_date"])
+    # layout is hive-style
+    assert glob.glob(f"{lake}/event_date=*")
+
+    one_day = spark.read.parquet(lake).where(F.col("event_date") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # correctness: pruned read equals the filtered full read
+    want = ev.where(F.to_date("ts") == "2024-01-02").count()
+    assert one_day.count() == want > 0
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    lake = str(tmp_path / "fragmented")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(16).write.parquet(lake)
+    assert len(glob.glob(os.path.join(lake, "part-*.parquet"))) == 16
+
+    n_after = compact_small_files(spark, lake, target_files=2)
+    assert n_after == 2
+    assert spark.read.parquet(lake).count() == ev.count()
