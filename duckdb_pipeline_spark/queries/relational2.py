@@ -432,6 +432,63 @@ FROM (
 """
 
 
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL: bag semantics — duplicates survive up to the
+    minimum multiplicity on each side."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+SETOP_INTERSECT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL: bag difference — each right occurrence cancels one
+    left occurrence."""
+    orders = load(spark, sf_dir, "orders")
+    all_keys = orders.select("o_custkey")
+    pending = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return all_keys.exceptAll(pending)
+
+
+SETOP_EXCEPT_ALL_SQL = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.select(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"), "o_orderkey")
+    b = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_status"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select(a.k.alias("status_key"), "o_orderkey", "n_status")
+        .where(F.col("o_orderkey") % 100 == 0)
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, o_orderkey FROM orders),
+b AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_status
+      FROM orders GROUP BY 1)
+SELECT a.k AS status_key, a.o_orderkey, b.n_status
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+WHERE a.o_orderkey % 100 = 0
+"""
+
+
 def agg_salted_hot_keys(spark, sf_dir):
     """Skew-resistant two-phase aggregation (operators.salted_agg) over
     the low-cardinality event_type key — every key is 'hot' here, the
@@ -556,6 +613,9 @@ QUERIES = {
     "scalar_regexp_funcs": QuerySpec(scalar_regexp_funcs, REGEXP_SQL, "regex function coverage"),
     "pivot_status_by_priority": QuerySpec(pivot_status_by_priority, PIVOT_SQL, "pivot"),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL, "unpivot/melt"),
+    "setop_intersect_all": QuerySpec(setop_intersect_all, SETOP_INTERSECT_ALL_SQL, "INTERSECT ALL"),
+    "setop_except_all": QuerySpec(setop_except_all, SETOP_EXCEPT_ALL_SQL, "EXCEPT ALL"),
+    "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "null-safe equality join"),
     "agg_salted_hot_keys": QuerySpec(agg_salted_hot_keys, SALTED_SQL, "skew-salted two-phase agg"),
     "agg_listagg_sorted": QuerySpec(agg_listagg_sorted, LISTAGG_SQL, "ordered string_agg"),
     "unnest_tokens": QuerySpec(unnest_tokens, UNNEST_SQL, "explode/UNNEST lateral"),

@@ -89,6 +89,42 @@ def test_dedup_stream_drops_replayed_file(spark, sf_dir, landing, tmp_path):
     assert got.count() == distinct_n
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir, landing):
+    from duckdb_pipeline_spark.streaming import sliding_counts
+
+    stream = sliding_counts(read_event_stream(spark, landing))
+    got = run_available_now(stream, _mem_name())
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() == batch.count() > 0
+    assert got.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, landing, tmp_path):
+    """foreachBatch: arbitrary batch logic per micro-batch — here an
+    idempotent parquet append keyed by batch id."""
+    out = str(tmp_path / "out")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        read_event_stream(spark, landing, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) == 3  # one micro-batch per landed file
+    assert spark.read.parquet(out).count() == load(spark, sf_dir, "events").count()
+
+
 def test_stateful_running_totals(spark, sf_dir, landing):
     stream = stateful_user_running_totals(read_event_stream(spark, landing))
     got = run_available_now(stream, _mem_name(), output_mode="update")
