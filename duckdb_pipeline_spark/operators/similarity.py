@@ -181,6 +181,46 @@ def cosine_pairs_blocked_vectorized(
     )
 
 
+def cosine_topk_vectorized(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitwise-identical to `cosine_topk`, with the per-row fold done
+    in vectorized numpy (mapInPandas): Spark's higher-order-function
+    lambdas (`zip_with`/`aggregate`) evaluate interpreted per element —
+    3 folds x dim ops per row dominate at scale. Here each Arrow batch
+    does two matrix ops in C. The query vector is fetched once (one
+    1-row job) and closure-captured — it never rides along per row."""
+    import numpy as np
+    import pandas as pd
+
+    qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.asarray(qrow[0], dtype="float64")
+    nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
+
+    def score(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            dot_i = np.floor(V * qv[None, :] * SCALE).astype("int64").sum(axis=1)
+            na_i = np.floor(V * V * SCALE).astype("int64").sum(axis=1)
+            cos = dot_i.astype("float64") / (
+                np.sqrt(na_i.astype("float64")) * np.sqrt(float(nq_i))
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cosine double"
+    )
+    return (
+        scored.where(F.col(id_col) != query_id)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_hyperplanes(n_bits: int = 8, dim: int = 64) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane weights, derived from md5 so
     any engine (or an oracle SQL string generated from these constants)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from ..operators.similarity import (
     cosine_pairs_blocked_vectorized,
-    cosine_topk,
+    cosine_topk_vectorized,
     lsh_hyperplanes,
     lsh_topk,
 )
@@ -18,8 +18,9 @@ S = 1_000_000_000
 
 
 def similarity_topk(spark, sf_dir):
-    """Brute-force exact cosine top-10 neighbors of vector 0."""
-    return cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    """Brute-force exact cosine top-10 neighbors of vector 0
+    (vectorized numpy scoring; bitwise-equal to the codegen fold)."""
+    return cosine_topk_vectorized(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
 TOPK_SQL = f"""

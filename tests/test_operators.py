@@ -62,6 +62,18 @@ def test_blocked_cosine_vectorized_chunking_invariant(spark, sf_dir):
     assert full == tiny
 
 
+def test_cosine_topk_vectorized_matches_hof(spark, sf_dir):
+    from duckdb_pipeline_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = _emb(spark, sf_dir)
+    a = [(r.vec_id, r.cosine) for r in cosine_topk(emb, query_id=0, k=10).collect()]
+    b = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_vectorized(emb, query_id=0, k=10).collect()
+    ]
+    assert a == b and len(a) == 10
+
+
 def test_cosine_topk_excludes_query_and_is_sorted(spark, sf_dir):
     rows = cosine_topk(_emb(spark, sf_dir), query_id=0, k=5).collect()
     assert len(rows) == 5
