@@ -312,6 +312,128 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: multi-fact join with a derived profit measure
+    rolled up by (nation, year). Supply cost is proxied by
+    0.1 x p_retailprice (the driver schema has no partsupp)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").contains("a"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * (F.col("p_retailprice") * 0.1)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(dsum_fp(profit).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name, year(l_shipdate) AS o_year,
+       {DSUM('l_extendedprice * (1 - l_discount) - l_quantity * (p_retailprice * 0.1)')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: derived revenue view + scalar-max join — the
+    suppliers achieving the global maximum period revenue."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.groupBy().agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact under
+    different aliases — suppliers whose 'R' lines appear in multi-
+    supplier orders where no OTHER supplier has an 'R' line."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    # EXISTS: another supplier in the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    # NOT EXISTS: another supplier with an 'R' line in the same order
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")),
+        "left_semi",
+    )
+    sole = cand.join(
+        l3,
+        (cand.l_orderkey == F.col("o3")) & (cand.l_suppkey != F.col("s3")),
+        "left_anti",
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------- scalar: JSON
 
 
@@ -606,6 +728,9 @@ QUERIES = {
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING + join-back top-30"),
     "q19_bracketed_revenue": QuerySpec(q19_bracketed_revenue, Q19_SQL, "OR-of-ANDs join"),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "aliased dim self-join"),
+    "q9_profit_by_nation": QuerySpec(q9_profit_by_nation, Q9_SQL, "multi-fact profit rollup"),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL, "view + scalar-max join"),
+    "q21_sole_late_supplier": QuerySpec(q21_sole_late_supplier, Q21_SQL, "EXISTS + NOT EXISTS"),
     "q17_small_quantity": QuerySpec(q17_small_quantity, Q17_SQL, "correlated scalar subquery"),
     "q22_idle_customers": QuerySpec(q22_idle_customers, Q22_SQL, "scalar subquery + NOT EXISTS"),
     "scalar_json_funcs": QuerySpec(scalar_json_funcs, JSON_SQL, "JSON path extraction"),
