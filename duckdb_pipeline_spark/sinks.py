@@ -86,3 +86,38 @@ def compact_small_files(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return len(_glob.glob(os.path.join(dest, "part-*.parquet")))
+
+
+def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int:
+    """Merge-by-key into a parquet dataset (plain-parquet MERGE:
+    new rows inserted, existing keys replaced by the update row).
+
+    Implementation: anti-join the current data against the update keys
+    (drops superseded rows), union the updates, rewrite via staging +
+    atomic directory rename. At scale this is a partition-scoped
+    rewrite: call it per partition directory so only touched partitions
+    rewrite (copy-on-write semantics, the same model Delta/Iceberg/Hudi
+    use under the hood). Returns the post-merge row count."""
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    import tempfile as _tf
+
+    if os.path.isdir(path) and _glob.glob(os.path.join(path, "part-*")):
+        current = spark.read.parquet(path)
+        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = _tf.mkdtemp(prefix="_upsert_", dir=parent)
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        n = spark.read.parquet(staging).count()
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        shutil.move(staging, path)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return n

@@ -40,3 +40,29 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n_after = compact_small_files(spark, lake, target_files=2)
     assert n_after == 2
     assert spark.read.parquet(lake).count() == ev.count()
+
+
+def test_upsert_parquet_merges_by_key(spark, sf_dir, tmp_path):
+    from duckdb_pipeline_spark.sinks import upsert_parquet
+
+    path = str(tmp_path / "dim_customer")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+    n0 = upsert_parquet(spark, cust, path, ["c_custkey"])
+    assert n0 == cust.count()
+
+    updates = (
+        cust.limit(10).withColumn("c_acctbal", F.lit(-1.0))
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "new customer", 5.0)], ["c_custkey", "c_name", "c_acctbal"]
+        )
+    )
+    n1 = upsert_parquet(spark, updates, path, ["c_custkey"])
+    assert n1 == n0 + 1  # 10 replaced in place, 1 inserted
+
+    merged = spark.read.parquet(path)
+    assert merged.where(F.col("c_acctbal") == -1.0).count() == 10
+    assert merged.where(F.col("c_custkey") == 10_000_001).count() == 1
+    # replaced keys are not duplicated
+    assert merged.groupBy("c_custkey").count().where("count > 1").count() == 0
