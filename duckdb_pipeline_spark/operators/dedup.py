@@ -171,7 +171,12 @@ def minhash_lsh_dedup(
     return jaccard_verify(sh, cands, id_col).where(F.col("jaccard") >= threshold)
 
 
-def _py_shingles(text: str, n: int) -> set:
+def _py_shingles(text, n: int) -> set:
+    """Shingle set of one document; NULL text → empty set (the SQL
+    formulations drop NULL-text docs the same way: string_split(NULL)
+    is NULL and produces no rows)."""
+    if text is None:
+        return set()
     toks = text.split(" ")
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
@@ -255,7 +260,10 @@ def shingle_sets_mapped(
             yield pd.DataFrame(
                 {
                     id_col: pd.Series([r[0] for r in rows], dtype="int64"),
-                    "shingles": [r[1] for r in rows],
+                    # explicit object dtype: an all-dropped batch would
+                    # otherwise yield a float64 empty column that Arrow
+                    # can't convert to list<string>
+                    "shingles": pd.Series([r[1] for r in rows], dtype="object"),
                 }
             )
 

@@ -188,3 +188,40 @@ def test_minhash_lsh_finds_planted_twin(spark, sf_dir):
     assert any(
         r.doc_a == 1 and r.doc_b == 10_000_001 and r.jaccard == 1.0 for r in pairs
     )
+
+
+def test_mapped_dedup_ops_tolerate_null_and_empty_text(spark):
+    from duckdb_pipeline_spark.operators.dedup import (
+        minhash_signatures_mapped,
+        shingle_sets_mapped,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "w x y z")], schema
+    )
+    sigs = minhash_signatures_mapped(df).collect()
+    assert {r.doc_id for r in sigs} == {4}  # only the doc with >= 3 tokens
+    sets = shingle_sets_mapped(df).collect()
+    assert {r.doc_id for r in sets} == {4}
+
+    # relational formulation drops the same docs
+    from duckdb_pipeline_spark.operators.dedup import word_shingles
+
+    rel_ids = {r.doc_id for r in word_shingles(df).collect()}
+    assert rel_ids == {4}
+
+
+def test_simhash_mapped_tolerates_null_text(spark):
+    from duckdb_pipeline_spark.operators.dedup import simhash_fingerprints_mapped
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, "p q r s")], schema)
+    rows = simhash_fingerprints_mapped(df).collect()
+    assert {r.doc_id for r in rows} == {2}
