@@ -136,7 +136,9 @@ def cosine_pairs_blocked_vectorized(
     import pandas as pd
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        # NULL embeddings drop out (the join formulation's NULL cosine
+        # fails the >= threshold filter the same way)
+        pdf = pdf.dropna(subset=[vec_col]).sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         n = len(ids)
         if n < 2:
@@ -203,6 +205,15 @@ def cosine_topk_vectorized(
 
     def score(batches):
         for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             dot_i = np.floor(V * qv[None, :] * SCALE).astype("int64").sum(axis=1)
             na_i = np.floor(V * V * SCALE).astype("int64").sum(axis=1)

@@ -225,3 +225,39 @@ def test_simhash_mapped_tolerates_null_text(spark):
     df = spark.createDataFrame([(1, None), (2, "p q r s")], schema)
     rows = simhash_fingerprints_mapped(df).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_similarity_vectorized_tolerates_null_embedding(spark):
+    from duckdb_pipeline_spark.operators.similarity import (
+        cosine_pairs_blocked_vectorized,
+        cosine_topk_vectorized,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, None, 1),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 1.0], 1),
+        ],
+        schema,
+    )
+    pairs = cosine_pairs_blocked_vectorized(df, threshold=0.5).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 2)}
+    top = cosine_topk_vectorized(df, query_id=0, k=3).collect()
+    assert [r.vec_id for r in top] == [2, 3]  # null row dropped
