@@ -46,9 +46,14 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_neardup_blocked",
+    "similarity_topk_lsh",
     "text_quality_score",
+    "text_scrub_pii",
     "stream_tumbling_hourly",
     "stream_session_30m",
+    "q6_forecast_revenue",
+    "q16_supplier_variety",
+    "timeseries_gap_fill",
 ]
 
 
