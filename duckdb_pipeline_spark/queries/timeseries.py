@@ -135,7 +135,67 @@ FROM orders GROUP BY 1
 """
 
 
+def funnel_view_to_purchase(spark, sf_dir):
+    """Funnel conversion: per user, views followed by that user's next
+    purchase within 10 minutes. One window pass (the as-of pattern in
+    reverse: carry the next purchase time back over earlier events) —
+    no self-join explosion."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    flagged = ev.withColumn("next_purchase_ts", next_purchase)
+    views = flagged.where(F.col("event_type") == "view")
+    # microsecond epochs on both sides: second-truncation (cast long)
+    # vs DuckDB's fractional epoch() would disagree at the boundary
+    converted = F.when(
+        F.col("next_purchase_ts").isNotNull()
+        & (
+            (F.unix_micros("next_purchase_ts") - F.unix_micros("ts"))
+            <= 600 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return views.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(converted).alias("n_converted"),
+    )
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+flagged AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM ev
+)
+SELECT user_id, count(*) AS n_views,
+       SUM(CASE WHEN next_purchase_ts IS NOT NULL
+                 AND epoch_us(next_purchase_ts) - epoch_us(ts) <= 600 * 1000000
+                THEN 1 ELSE 0 END) AS n_converted
+FROM flagged WHERE event_type = 'view'
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "funnel_view_to_purchase": QuerySpec(
+        funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"
+    ),
     "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_SQL, "exact-sum Pearson corr"),
     "sample_hash_deterministic": QuerySpec(
