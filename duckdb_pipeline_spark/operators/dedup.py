@@ -16,6 +16,13 @@ Scale design (100 TB corpus):
 - band-bucket self-join: bucket sizes follow collision probability;
   skewed buckets (boilerplate docs) are handled by AQE skew-join
   splitting.
+
+Measured and rejected: a per-bucket ``groupBy(band_sig).applyInPandas``
+plan (pairs + Jaccard inside each LSH bucket, 2 shuffles total) ran
+~2x SLOWER than the mapped plan at sf0.1 — LSH produces tens of
+thousands of near-singleton buckets and per-group pandas overhead
+dominates. Tiny-group applyInPandas is an anti-pattern; reserve it for
+few-large-group shapes (see similarity.cosine_pairs_blocked_vectorized).
 """
 
 from __future__ import annotations
