@@ -179,11 +179,16 @@ def run_available_now(
 
 
 def write_parquet_stream(
-    stream: DataFrame, path: str, checkpoint: str, partition_by: list[str] | None = None
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = False,
 ):
     """Production sink: append parquet with exactly-once file commit via
     the checkpoint (the streaming twin of the reference's silver zone
-    writes)."""
+    writes). ``available_now=True`` drains the current backlog and
+    stops — the batch/backfill mode."""
     writer = (
         stream.writeStream.format("parquet")
         .option("path", path)
@@ -192,4 +197,6 @@ def write_parquet_stream(
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -140,3 +140,35 @@ def test_stateful_running_totals(spark, sf_dir, landing):
     for uid in b:
         assert g[uid][0] == b[uid][0]
         assert g[uid][1] == pytest.approx(b[uid][1])
+
+
+def test_checkpoint_restart_is_incremental_exactly_once(spark, sf_dir, tmp_path):
+    """The streaming twin of the reference's hourly incrementality:
+    restarting a checkpointed stream processes only files landed since
+    the last run, and reprocesses nothing."""
+    from duckdb_pipeline_spark.streaming import write_parquet_stream
+
+    src = str(tmp_path / "incr_src")
+    out = str(tmp_path / "incr_out")
+    ckpt = str(tmp_path / "incr_ckpt")
+    events = load(spark, sf_dir, "events")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    q = write_parquet_stream(
+        read_event_stream(spark, src), out, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == first.count()
+
+    # land more data, restart from the SAME checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    q2 = write_parquet_stream(
+        read_event_stream(spark, src), out, ckpt, available_now=True
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # everything exactly once
+    assert got.select("event_id").distinct().count() == events.count()
