@@ -69,19 +69,32 @@ def dsum_fp(col: str | Column) -> Column:
       so the nearest-int round is exact — the same n the decimal cast
       produces. Derived PRODUCTS (price*(1-disc)) are full-precision
       doubles where true half-way cases occur: keep those on ``dsum``.
-    - the sum is carried as two longs (quotient/remainder by 1e9 — no
-      overflow: 1e10 rows x 4e6 fits the hi sum), merged with one
-      carry, and rendered by the same floor+fraction split as D2D, so
-      every IEEE operation sees identical operands in both engines.
+    - the hi sum is a long: hi <= 4e6 per row, so it holds exactly up
+      to ~2.3e12 rows per group (TPC-H sf ~400k lineitem in ONE group —
+      comfortably past the 100 TB envelope). The lo sum CANNOT stay a
+      long (lo is up to 1e9-1 per row, wrapping past ~9.2e9 rows/group,
+      i.e. sf ~1.5k — inside the envelope), so it accumulates as
+      decimal(38,0): exact to ~1e29 rows, and only this one accumulator
+      pays the decimal cost. The carry is peeled with an exact decimal
+      remainder and an exact division of a multiple of 1e9 (no rounding
+      can occur), then merged and rendered by the same floor+fraction
+      split as D2D, so every IEEE operation sees identical operands in
+      both engines.
     """
     u = F.round(_c(col) * F.lit(1e9)).cast("long")
     lo_part = F.pmod(u, F.lit(_B))
     hi_part = ((u - lo_part) / F.lit(_B)).cast("long")  # exact: multiple/1e9
     sum_hi = F.sum(hi_part)
-    sum_lo = F.sum(lo_part)
-    carry_rem = F.pmod(sum_lo, F.lit(_B))
+    sum_lo = F.sum(lo_part.cast("decimal(28,0)"))  # -> decimal(38,0) acc
+    carry_rem = F.pmod(sum_lo, F.lit(_B))  # exact decimal remainder, < 1e9
+    # (sum_lo - carry_rem) is an exact multiple of 1e9: decimal division
+    # terminates with zero remainder, so the scale-extension rounding of
+    # Spark's decimal divide never fires. carry <= total/1e9, inside the
+    # same long bound as sum_hi.
     carry = ((sum_lo - carry_rem) / F.lit(_B)).cast("long")
-    return (sum_hi + carry).cast("double") + carry_rem.cast("double") / F.lit(1e9)
+    return (sum_hi + carry).cast("double") + carry_rem.cast("long").cast("double") / F.lit(
+        1e9
+    )
 
 
 def davg_fp(col: str | Column) -> Column:

@@ -711,11 +711,11 @@ def scalar_math_funcs(spark, sf_dir):
 SCALAR_MATH_SQL = """
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS disc_dev,
-       floor(l_extendedprice) AS price_floor,
-       ceil(l_extendedprice) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
        sqrt(l_quantity) AS qty_sqrt,
        l_quantity * l_quantity AS qty_sq,
-       sign(l_discount - 0.05) AS disc_sign,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
        l_orderkey % 7 AS key_mod7
@@ -746,7 +746,7 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 200000 THEN 'medium'
             ELSE 'large' END AS price_bucket,
        count(*) AS n,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
 FROM orders
 GROUP BY 1
 """

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import salted_agg
 from . import QuerySpec
-from .common import DSUM, dsum_fp, load
+from .common import DAVG, DSUM, davg_fp, dsum_fp, load
 
 # ---------------------------------------------------------------- TPC-H shapes
 
@@ -93,8 +93,8 @@ def q12_shipmode_priority(spark, sf_dir):
 
 Q12_SQL = """
 SELECT l_linenumber,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_linenumber <= 2
 GROUP BY l_linenumber
@@ -216,7 +216,10 @@ def q22_idle_customers(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     avg_bal = cust.where(F.col("c_acctbal") > 0).groupBy().agg(
-        F.avg("c_acctbal").alias("ab")
+        # exact-sum average: the threshold is a filter boundary, so it
+        # must be bitwise-identical across engines/partitionings — a
+        # plain double avg can flip a boundary customer (ADVICE r1).
+        davg_fp("c_acctbal").alias("ab")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
@@ -231,7 +234,7 @@ Q22_SQL = f"""
 SELECT c_nationkey % 5 AS cntry_bucket, count(*) AS numcust,
        {DSUM('c_acctbal')} AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT {DAVG('c_acctbal')} FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey % 5
@@ -526,9 +529,9 @@ def pivot_status_by_priority(spark, sf_dir):
 
 PIVOT_SQL = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O",
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "P"
 FROM orders GROUP BY o_orderpriority
 """
 

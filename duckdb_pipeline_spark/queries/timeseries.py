@@ -184,9 +184,9 @@ flagged AS (
   FROM ev
 )
 SELECT user_id, count(*) AS n_views,
-       SUM(CASE WHEN next_purchase_ts IS NOT NULL
+       CAST(SUM(CASE WHEN next_purchase_ts IS NOT NULL
                  AND epoch_us(next_purchase_ts) - epoch_us(ts) <= 600 * 1000000
-                THEN 1 ELSE 0 END) AS n_converted
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM flagged WHERE event_type = 'view'
 GROUP BY user_id
 """

@@ -60,7 +60,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        a_float = pd.api.types.is_float_dtype(av)
+        b_float = pd.api.types.is_float_dtype(bv)
+        if a_float != b_float:
+            # The driver hashes RENDERED values: int64 123 renders "123"
+            # while float64 renders "123.0" — a kind mismatch is a driver
+            # hash failure even when the values are numerically equal
+            # (round-1 lesson: DuckDB SUM(INT)->HUGEINT->float64 vs Spark
+            # LONG). Never coerce across kinds; report it.
+            problems.append(
+                f"dtype-kind mismatch col {c}: spark={av.dtype} vs duck={bv.dtype} "
+                "(renders differently under the driver's value-hash protocol; "
+                "CAST the oracle or the Spark side so kinds agree)"
+            )
+            continue
+        if a_float and b_float:
             av = av.astype("float64")
             bv = bv.astype("float64")
             neq = ~((av == bv) | (av.isna() & bv.isna()))
