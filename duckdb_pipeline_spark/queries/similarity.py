@@ -9,7 +9,7 @@ from ..operators.similarity import (
     cosine_pairs_blocked_vectorized,
     cosine_topk_vectorized,
     lsh_hyperplanes,
-    lsh_topk,
+    lsh_topk_vectorized,
 )
 from . import QuerySpec
 from .common import load
@@ -83,8 +83,12 @@ def similarity_topk_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-10 neighbors of vector 0 — the ANN
     scale path (bucket pruning before exact distance). 4 bits / 16
     buckets keeps buckets populated at test scale; at corpus scale,
-    n_bits grows with log2(n / target_bucket_size)."""
-    return lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4)
+    n_bits grows with log2(n / target_bucket_size). Vectorized numpy
+    kernel — bitwise-equal to the relational HOF formulation (pytest
+    equivalence test)."""
+    return lsh_topk_vectorized(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4
+    )
 
 
 def _lsh_sql(n_bits: int = 8, dim: int = 64) -> str:

@@ -261,3 +261,37 @@ def test_similarity_vectorized_tolerates_null_embedding(spark):
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 2)}
     top = cosine_topk_vectorized(df, query_id=0, k=3).collect()
     assert [r.vec_id for r in top] == [2, 3]  # null row dropped
+
+
+def test_minhash_broadcast_gate_fallback_identical(spark, sf_dir):
+    # threshold 0 forces the shuffled-join path everywhere the pipeline
+    # would otherwise broadcast; output must be identical (the gate is
+    # a pure physical-plan decision)
+    docs = _docs(spark, sf_dir)
+    bc = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_dedup_mapped(docs).collect()
+    )
+    shuffled = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_dedup_mapped(docs, broadcast_threshold_rows=0).collect()
+    )
+    assert bc == shuffled and len(bc) > 0
+
+
+def test_lsh_topk_vectorized_matches_hof(spark, sf_dir):
+    from duckdb_pipeline_spark.operators.similarity import lsh_topk_vectorized
+
+    emb = _emb(spark, sf_dir)
+    for probe in (False, True):
+        a = [
+            (r.vec_id, r.cosine)
+            for r in lsh_topk(emb, query_id=0, k=10, n_bits=4, multiprobe=probe).collect()
+        ]
+        b = [
+            (r.vec_id, r.cosine)
+            for r in lsh_topk_vectorized(
+                emb, query_id=0, k=10, n_bits=4, multiprobe=probe
+            ).collect()
+        ]
+        assert a == b and len(a) > 0
