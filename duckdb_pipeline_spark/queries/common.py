@@ -51,6 +51,7 @@ def davg(col: str | Column, prec: str = DEC) -> Column:
 
 
 _B = 10**9
+_M20 = (1 << 20) - 1
 
 
 def dsum_fp(col: str | Column) -> Column:
@@ -69,32 +70,47 @@ def dsum_fp(col: str | Column) -> Column:
       so the nearest-int round is exact — the same n the decimal cast
       produces. Derived PRODUCTS (price*(1-disc)) are full-precision
       doubles where true half-way cases occur: keep those on ``dsum``.
-    - the hi sum is a long: hi <= 4e6 per row, so it holds exactly up
-      to ~2.3e12 rows per group (TPC-H sf ~400k lineitem in ONE group —
-      comfortably past the 100 TB envelope). The lo sum CANNOT stay a
-      long (lo is up to 1e9-1 per row, wrapping past ~9.2e9 rows/group,
-      i.e. sf ~1.5k — inside the envelope), so it accumulates as
-      decimal(38,0): exact to ~1e29 rows, and only this one accumulator
-      pays the decimal cost. The carry is peeled with an exact decimal
-      remainder and an exact division of a multiple of 1e9 (no rounding
-      can occur), then merged and rendered by the same floor+fraction
-      split as D2D, so every IEEE operation sees identical operands in
-      both engines.
+    - the scale-9 value u is split into THREE long limbs base 2^20
+      (bit ops, floor semantics for negatives: u>>k and u&mask).
+      A 2-limb split by 1e9 would wrap its lo sum past ~9.2e9
+      rows/group — inside the 100 TB envelope; a decimal accumulator
+      fixes that but drops the sum off Spark's long-backed fast path
+      (measured: q1 0.92s -> 1.5s at sf0.1). With 2^20 limbs each limb
+      sum stays a long to ~8.8e12 rows/group, and every accumulator is
+      a plain bigint SUM with map-side partials.
+    - after aggregation (per GROUP, not per row) the three limb sums
+      are carried to canonical base-2^20 digits and long-divided by
+      1e9 exactly: each division step's numerator is an exact multiple
+      of 1e9 below 2^53 except the first, whose quotient is an exact
+      integer with double error << 0.5, so round() recovers it
+      exactly. The result is rendered by the same floor+fraction split
+      as D2D, so every IEEE operation sees identical operands in both
+      engines.
+    - the binding exactness bound is the final integer part fitting a
+      long: rows/group <= ~9.2e18 / (1e9 * avg|x|) — for money columns
+      (|x| <= 4e6) that is >= 2.3e12 rows in ONE group, i.e. TPC-H
+      sf ~400k lineitem in a single global sum; past the envelope.
     """
     u = F.round(_c(col) * F.lit(1e9)).cast("long")
-    lo_part = F.pmod(u, F.lit(_B))
-    hi_part = ((u - lo_part) / F.lit(_B)).cast("long")  # exact: multiple/1e9
-    sum_hi = F.sum(hi_part)
-    sum_lo = F.sum(lo_part.cast("decimal(28,0)"))  # -> decimal(38,0) acc
-    carry_rem = F.pmod(sum_lo, F.lit(_B))  # exact decimal remainder, < 1e9
-    # (sum_lo - carry_rem) is an exact multiple of 1e9: decimal division
-    # terminates with zero remainder, so the scale-extension rounding of
-    # Spark's decimal divide never fires. carry <= total/1e9, inside the
-    # same long bound as sum_hi.
-    carry = ((sum_lo - carry_rem) / F.lit(_B)).cast("long")
-    return (sum_hi + carry).cast("double") + carry_rem.cast("long").cast("double") / F.lit(
-        1e9
-    )
+    sa = F.sum(F.shiftright(u, 40))
+    sb = F.sum(F.shiftright(u, 20).bitwiseAND(F.lit(_M20)))
+    sc = F.sum(u.bitwiseAND(F.lit(_M20)))
+    # carry to canonical digits: 0 <= b3, c2 < 2^20
+    c2 = sc.bitwiseAND(F.lit(_M20))
+    b2 = sb + F.shiftright(sc, 20)
+    b3 = b2.bitwiseAND(F.lit(_M20))
+    a2 = sa + F.shiftright(b2, 20)
+    # exact long division of (a2, b3, c2)_base-2^20 by 1e9
+    r1 = F.pmod(a2, F.lit(_B))
+    q1 = F.round((a2 - r1) / F.lit(_B)).cast("long")
+    t2 = F.shiftleft(r1, 20) + b3
+    r2 = F.pmod(t2, F.lit(_B))
+    q2 = F.round((t2 - r2) / F.lit(_B)).cast("long")
+    t3 = F.shiftleft(r2, 20) + c2
+    r3 = F.pmod(t3, F.lit(_B))
+    q3 = F.round((t3 - r3) / F.lit(_B)).cast("long")
+    q = F.shiftleft(F.shiftleft(q1, 20) + q2, 20) + q3
+    return q.cast("double") + r3.cast("double") / F.lit(1e9)
 
 
 def davg_fp(col: str | Column) -> Column:
