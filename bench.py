@@ -69,7 +69,13 @@ def main() -> None:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            # split multi-row-group files so scans parallelize; the
+            # driver's sf<=0.1 files are single-row-group (one task
+            # regardless), but sf1 scale-up files carry 128k-row groups
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
     )
 
     import __spark_entry__ as entrymod

@@ -1,12 +1,21 @@
 """Multimodal-column plumbing (north-star op).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata
-structs. The Spark-side plumbing — schema, partition-friendly batch
+structs. The Spark-side dataflow — schema, partition-friendly batch
 shapes, Arrow-batched ``mapInPandas`` UDF signatures — is real and
-tested; the actual media decode is STUBBED (decode libraries are not in
-this container): ``decode_stub=True`` produces deterministic fake
-features, ``decode_stub=False`` raises NotImplementedError where a real
-``PIL.Image.open`` / ``soundfile.read`` call would go.
+tested, and so is the decode for the container-supported formats:
+
+- **BMP images**: pure numpy+struct encode/decode (24-bit uncompressed,
+  bottom-up rows, 4-byte row padding) plus stride-sampled resize.
+- **WAV audio**: stdlib ``wave`` encode/decode (16-bit PCM) plus
+  fixed-hop frame sampling.
+
+Formats that need codec libraries not present in this container (JPEG,
+PNG, MP4, FLAC, ...) raise ``NotImplementedError`` at the clearly
+marked dispatch point in :func:`decode_payload`; a real deployment
+drops ``PIL.Image.open`` / ``soundfile.read`` / ``av.open`` into that
+dispatch table and nothing else changes — the Spark-side plan, batch
+shape, and feature schema are identical.
 
 Scale notes: mapInPandas streams Arrow record batches; binary payloads
 never round-trip through Python row objects. Media work parallelizes
@@ -16,8 +25,12 @@ decode so one task doesn't get all the 4K videos.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +72,99 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# --------------------------------------------------------------------------
+# codecs (pure numpy / stdlib — real decode for the supported formats)
+# --------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, rows padded
+    to 4 bytes — the on-disk format, not a container-specific fake)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * abs(h),
+                         offset=data_off).reshape(abs(h), row_bytes)
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if h > 0 else img  # bottom-up -> top-down
+
+
+def resize_image(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Stride-sampled downscale by an integer factor (nearest-neighbor;
+    the point is real pixel-domain work without an image library)."""
+    return pixels[::factor, ::factor, :]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode a float array in [-1, 1] as 16-bit PCM mono WAV (stdlib)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM mono WAV to (float64 array in [-1, 1], rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM WAV")
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+        return data.astype("float64") / 32767.0, f.getframerate()
+
+
+def sample_frames(samples: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndarray:
+    """Fixed-hop frame sampling -> (n_frames, frame) view (the shape a
+    feature extractor consumes); stride trick, no copy."""
+    n = 1 + max(0, (len(samples) - frame)) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    return samples[idx]
+
+
+def decode_payload(media_type: str, payload: bytes) -> tuple[float, int]:
+    """Dispatch: decode one payload -> (feat_mean, feat_dim).
+
+    image/BMP -> mean pixel value over all channels, dim = h*w*3.
+    audio/WAV -> mean absolute amplitude scaled to [0, 255], dim = n_samples.
+    Anything else is a format whose codec library (PIL / soundfile / av)
+    is not in this container — the marked extension point.
+    """
+    if media_type == "image" and payload[:2] == b"BM":
+        img = decode_bmp(payload)
+        return float(img.mean()), int(img.size)
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        samples, _ = decode_wav(payload)
+        return float(np.abs(samples).mean() * 255.0), int(len(samples))
+    raise NotImplementedError(
+        f"decode for media_type={media_type!r} with magic {payload[:4]!r} "
+        "requires PIL/soundfile/av — not in this container"
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side operators
+# --------------------------------------------------------------------------
+
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Compute the typed metadata struct from the raw payload (JVM-side
     — no Python in this path)."""
@@ -75,26 +181,34 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real deployments replace the stub branch with the decode library
-    call; the dataflow (schema, batching, partitioning) is identical.
+    ``decode_stub=True`` computes a payload-level fake (mean byte value)
+    without decoding — the fast smoke path. ``decode_stub=False`` runs
+    the REAL per-format decode via :func:`decode_payload` (BMP/WAV in
+    this container; other formats raise at the marked dispatch point).
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "media decode requires PIL/soundfile/av — not in this container"
-                )
             payloads = pdf["payload"]
-            # deterministic fake feature: mean byte value of the payload
-            feat = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            if decode_stub:
+                feat = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+                dim = pd.Series([1] * len(pdf), dtype="int64")
+            else:
+                decoded = [
+                    decode_payload(t, bytes(b))
+                    for t, b in zip(pdf["media_type"], payloads)
+                ]
+                feat = pd.Series([d[0] for d in decoded], dtype="float64",
+                                 index=pdf.index)
+                dim = pd.Series([d[1] for d in decoded], dtype="int64",
+                                index=pdf.index)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "feat_mean": feat.astype("float64"),
-                    "feat_dim": pd.Series([1] * len(pdf), dtype="int64"),
+                    "feat_dim": dim,
                 }
             )
 
@@ -112,3 +226,43 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.encode(F.col("text"), "UTF-8").alias("payload"),
         )
     )
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build a MEDIA_SCHEMA frame with REAL encoded payloads derived
+    deterministically from each document: even doc_ids become 24-bit
+    BMPs (content-seeded pixels), odd doc_ids become 16-bit PCM WAVs.
+    This is how the decode path is exercised end-to-end in an
+    environment with no media files: encode -> opaque binary column ->
+    distributed decode, all real bytes in the real formats."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_types, out_payloads = [], [], []
+            for did, nchars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rng = np.random.default_rng(int(did))
+                if did % 2 == 0:
+                    w = 16 + int(nchars) % 17  # non-multiple-of-4 widths too
+                    px = rng.integers(0, 256, size=(12, w, 3), dtype=np.uint8)
+                    out_payloads.append(encode_bmp(px))
+                    out_types.append("image")
+                else:
+                    n = 800 + int(nchars) % 800
+                    t = np.arange(n) / 16000.0
+                    out_payloads.append(
+                        encode_wav(0.5 * np.sin(2 * np.pi * (200 + did % 200) * t))
+                    )
+                    out_types.append("audio")
+                out_ids.append(int(did))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "media_type": out_types,
+                    "payload": out_payloads,
+                }
+            )
+
+    synth = docs.select("doc_id", "n_chars").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+    return attach_media_meta(synth)

@@ -52,6 +52,7 @@ PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "text_fingerprint",
     "multimodal_binary_meta",
+    "multimodal_decode_features",
     # streaming semantics (batch-parity formulations)
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
@@ -90,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_purchase_click",
     "range_join_next_10m",
     "window_running_total",
-    "agg_rollup",
 )
 
 

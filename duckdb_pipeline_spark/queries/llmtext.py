@@ -109,6 +109,20 @@ FROM documents
 """
 
 
+def multimodal_decode(spark, sf_dir):
+    """REAL distributed media decode: deterministic BMP/WAV payloads are
+    synthesized from documents (genuine on-disk formats), pushed through
+    the opaque-binary column, and decoded per Arrow batch in numpy /
+    stdlib-wave (operators.multimodal.decode_payload). No SQL oracle —
+    byte-level media decode is not SQL-expressible; correctness is
+    covered by the codec roundtrip + reference-decode pytest
+    (tests/test_catalog_multimodal.py)."""
+    from ..operators.multimodal import extract_features, synthesize_media
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return extract_features(synthesize_media(docs), decode_stub=False)
+
+
 def text_scrub_pii(spark, sf_dir):
     """PII scrub over documents (emails / URLs / long digit runs)."""
     return scrub_pii(load(spark, sf_dir, "documents"))
@@ -155,4 +169,7 @@ QUERIES = {
     "text_language_id": QuerySpec(text_langid, LANGID_SQL, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "bag-of-words fingerprint"),
     "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
+    "multimodal_decode_features": QuerySpec(
+        multimodal_decode, None, "real BMP/WAV decode features (non-SQL-expressible)"
+    ),
 }
