@@ -264,18 +264,30 @@ def test_similarity_vectorized_tolerates_null_embedding(spark):
 
 
 def test_minhash_broadcast_gate_fallback_identical(spark, sf_dir):
-    # threshold 0 forces the shuffled-join path everywhere the pipeline
-    # would otherwise broadcast; output must be identical (the gate is
-    # a pure physical-plan decision)
+    # the pipeline delegates broadcast decisions to AQE runtime stats;
+    # forcing the pure shuffled-join path (AQE broadcast conversion off)
+    # must produce identical output — broadcasting is a physical-plan
+    # decision only, and the plan must survive a corpus whose candidate
+    # set is NOT broadcastable
     docs = _docs(spark, sf_dir)
     bc = sorted(
         (r.doc_a, r.doc_b, r.jaccard)
         for r in minhash_lsh_dedup_mapped(docs).collect()
     )
-    shuffled = sorted(
-        (r.doc_a, r.doc_b, r.jaccard)
-        for r in minhash_lsh_dedup_mapped(docs, broadcast_threshold_rows=0).collect()
-    )
+    prev = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_lsh_dedup_mapped(docs).collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        if prev is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
     assert bc == shuffled and len(bc) > 0
 
 
