@@ -97,9 +97,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        a, b = run(name), run(name)
-        best = min(a, b)
-        if abs(a - b) > 0.5 * best:  # a background-load spike hit one
+        # min of 3, plus a 4th pass when the spread says a
+        # background-load spike hit (this host shows random ~1.5 s
+        # spikes; observed run-to-run totals 13-17 s under min-of-2)
+        samples = [run(name) for _ in range(3)]
+        best = min(samples)
+        if max(samples) > 1.3 * best:
             best = min(best, run(name))
         timings[name] = round(best, 3)
 
