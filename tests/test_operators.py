@@ -307,3 +307,26 @@ def test_lsh_topk_vectorized_matches_hof(spark, sf_dir):
             ).collect()
         ]
         assert a == b and len(a) > 0
+
+
+def test_scrub_pii_arrow_matches_jvm_regex(spark, sf_dir):
+    # the declared text_scrub_pii runs the Arrow/RE2 kernel; it must be
+    # bitwise-identical to the JVM-regex formulation (the patterns are
+    # regular — no backrefs/lookarounds — so the engines agree)
+    from duckdb_pipeline_spark.operators.text import scrub_pii, scrub_pii_arrow
+
+    docs = _docs(spark, sf_dir)
+    jvm = scrub_pii(docs).orderBy("doc_id").collect()
+    arrow = scrub_pii_arrow(docs).orderBy("doc_id").collect()
+    assert jvm == arrow and len(jvm) > 0
+    # sf0.001 plants no PII; force matches through a synthetic doc so
+    # the redaction path itself is compared, not just the no-op path
+    extra = spark.createDataFrame(
+        [(10_000_001, "mail a@b.co or https://x.y/z id 1234567 end")],
+        ["doc_id", "text"],
+    )
+    j2 = scrub_pii(extra).collect()
+    a2 = scrub_pii_arrow(extra).collect()
+    assert j2 == a2
+    assert j2[0].n_redactions == 3
+    assert j2[0].clean_text == "mail <EMAIL> or <URL> id <NUM> end"
