@@ -425,3 +425,104 @@ def cosine_zip(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> Da
         lambda acc, v: acc + v,
     )
     return df.withColumn(out, dot / (F.sqrt(na) * F.sqrt(nb)))
+
+
+def ivf_topk_vectorized(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the third ANN strategy
+    next to brute-force (`cosine_topk*`) and LSH (`lsh_topk*`):
+
+    1. coarse quantizer: ``n_cells`` centroids. Deterministic stand-in
+       here: the embeddings of the ``n_cells`` smallest ids (at real
+       scale the centroids come from a k-means sample; everything
+       downstream — assignment, probing, re-ranking — is identical).
+    2. cell assignment: argmax integer inner product (fixed-point
+       ``floor(v_i * c_i * SCALE)`` term sums — exact, engine-portable;
+       ties break to the smallest cell id). Inner-product cells = the
+       Faiss IVFFlat/METRIC_INNER_PRODUCT variant.
+    3. probe: score the query against the centroids the same way, take
+       the top ``n_probe`` cells.
+    4. exact fixed-point cosine re-rank inside the probed cells only.
+
+    Scale shape: assignment is a pure map (numpy matmul per Arrow
+    batch); at corpus scale the cell id becomes the table's partition
+    key, so probing prunes the SCAN (partition pruning) instead of
+    filtering in-map — same plan shape as `lsh_topk_vectorized`.
+    The centroid matrix and query vector are fetched once (two bounded
+    sub-linear jobs) and closure-captured."""
+    import numpy as np
+    import pandas as pd
+
+    crows = (
+        embeddings.where(F.col(id_col) < n_cells)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype="float64") for r in crows])  # (cells, dim)
+    qv = np.asarray(
+        embeddings.where(F.col(id_col) == query_id).select(vec_col).first()[0],
+        dtype="float64",
+    )
+    nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
+
+    def cell_scores(V: np.ndarray) -> np.ndarray:
+        # (rows, cells) exact integer IP scores: floor per TERM, then sum
+        return (
+            np.floor(V[:, None, :] * C[None, :, :] * SCALE)
+            .astype("int64")
+            .sum(axis=2)
+        )
+
+    qs = cell_scores(qv[None, :])[0]
+    # top n_probe cells by (score desc, cell id asc)
+    probe = set(np.lexsort((np.arange(len(qs)), -qs))[:n_probe].tolist())
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                yield empty
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cells = cell_scores(V).argmax(axis=1)  # first max == smallest id
+            ok = np.isin(cells, list(probe)) & (pdf[id_col].to_numpy() != query_id)
+            if not ok.any():
+                yield empty
+                continue
+            Vs = V[ok]
+            dot_i = np.floor(Vs * qv[None, :] * SCALE).astype("int64").sum(axis=1)
+            na_i = np.floor(Vs * Vs * SCALE).astype("int64").sum(axis=1)
+            cos = dot_i.astype("float64") / (
+                np.sqrt(na_i.astype("float64")) * np.sqrt(float(nq_i))
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[ok],
+                    "cell": cells[ok].astype("int32"),
+                    "cosine": cos,
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cell int, cosine double"
+    )
+    return (
+        scored.select(id_col, "cell", "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -187,3 +187,64 @@ def chunk_tokens(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+# Rabin-Karp rolling-hash fingerprint parameters: base/modulus chosen so
+# every intermediate fits int64 (codepoint < 2^21, B^j mod M < 2^31,
+# 8-term dot < 2^55) — exact in numpy int64 AND DuckDB BIGINT.
+RK_K = 8
+RK_B = 257
+RK_M = (1 << 31) - 1
+RK_POWS = [pow(RK_B, RK_K - 1 - j, RK_M) for j in range(RK_K)]
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint from Rabin-Karp rolling hashes of character
+    ``RK_K``-grams: h(i) = sum_j code(c_{i+j}) * B^(K-1-j) mod M — the
+    hash a rolling scanner maintains incrementally (winnowing / MOSS
+    family). Per doc: k-gram count, min/max hash (the bottom/top of the
+    fingerprint sketch), and the mod-M hash sum (an order-insensitive
+    content signature).
+
+    Vectorized per Arrow batch: codepoints via utf-32 decode, k-gram
+    windows as a stride view, one (n_grams, K) @ (K,) int64 matmul per
+    doc — no per-char Python. A map-only stage (no shuffle), like all
+    per-doc fingerprints. Docs shorter than K characters drop (no
+    k-gram exists), matching the SQL range() semantics."""
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(RK_POWS, dtype="int64")
+
+    def fp(batches):
+        for pdf in batches:
+            ids, n, mn, mx, ms = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < RK_K:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype("int64")
+                wins = np.lib.stride_tricks.sliding_window_view(codes, RK_K)
+                h = (wins @ pows) % RK_M
+                ids.append(doc_id)
+                n.append(len(h))
+                mn.append(int(h.min()))
+                mx.append(int(h.max()))
+                ms.append(int(h.sum() % RK_M))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_kgrams": pd.Series(n, dtype="int64"),
+                    "fp_min": pd.Series(mn, dtype="int64"),
+                    "fp_max": pd.Series(mx, dtype="int64"),
+                    "fp_modsum": pd.Series(ms, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp,
+        f"{id_col} long, n_kgrams long, fp_min long, fp_max long, fp_modsum long",
+    )

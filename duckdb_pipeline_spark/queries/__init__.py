@@ -44,6 +44,7 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "similarity_neardup_blocked",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     # LLM text + multimodal
     "text_scrub_pii",
     "text_chunk_windows",
@@ -90,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "q5_regional_revenue",
     "asof_purchase_click",
     "range_join_next_10m",
-    "window_running_total",
 )
 
 

@@ -9,12 +9,16 @@ from pyspark.sql import functions as F
 from ..operators.text import (
     EMAIL_RE,
     LONG_DIGITS_RE,
+    RK_K,
+    RK_M,
+    RK_POWS,
     TOKEN_PATTERN,
     URL_RE,
     chunk_tokens,
     fingerprint,
     language_id,
     quality_score,
+    rolling_fingerprint,
     scrub_pii_arrow,
     token_stats,
 )
@@ -83,6 +87,37 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint,
        md5(text) AS content_hash
 FROM documents
+"""
+
+
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint (winnowing/MOSS family) over
+    char 8-grams: per-doc k-gram count, min/max hash, mod-M hash sum.
+    Vectorized numpy kernel; exact int64 arithmetic matches the oracle's
+    BIGINT polynomial bit-for-bit."""
+    return rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
+_RK_POLY = " + ".join(
+    f"CAST(unicode(substr(text, i + {j}, 1)) AS BIGINT) * {RK_POWS[j]}"
+    for j in range(RK_K)
+)
+
+ROLLING_FP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text, u.i
+  FROM documents, UNNEST(range(1, length(text) - {RK_K} + 2)) AS u(i)
+  WHERE length(text) >= {RK_K}
+),
+h AS (
+  SELECT doc_id, ({_RK_POLY}) % {RK_M} AS hh FROM g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       min(hh) AS fp_min,
+       max(hh) AS fp_max,
+       CAST(SUM(hh) % {RK_M} AS BIGINT) AS fp_modsum
+FROM h GROUP BY doc_id
 """
 
 
@@ -171,6 +206,9 @@ QUERIES = {
     "text_quality_score": QuerySpec(text_quality, QUALITY_SQL, "quality scoring"),
     "text_language_id": QuerySpec(text_langid, LANGID_SQL, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "bag-of-words fingerprint"),
+    "text_rolling_fingerprint": QuerySpec(
+        text_rolling_fingerprint, ROLLING_FP_SQL, "Rabin-Karp rolling-hash fingerprint"
+    ),
     "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
     "multimodal_decode_features": QuerySpec(
         multimodal_decode, None, "real BMP/WAV decode features (non-SQL-expressible)"

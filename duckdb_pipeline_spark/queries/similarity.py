@@ -8,6 +8,7 @@ from __future__ import annotations
 from ..operators.similarity import (
     cosine_pairs_blocked_vectorized,
     cosine_topk_vectorized,
+    ivf_topk_vectorized,
     lsh_hyperplanes,
     lsh_topk_vectorized,
 )
@@ -143,6 +144,72 @@ LIMIT 10
 LSH_TOPK_SQL = _lsh_sql(n_bits=4)
 
 
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF approximate top-10 neighbors of vector 0 — the third ANN
+    strategy (brute-force / LSH / IVF): deterministic centroids, exact
+    integer inner-product cell assignment, top-2-cell probe, exact
+    cosine re-rank inside probed cells. At corpus scale the cell id is
+    the partition key and probing prunes the scan."""
+    return ivf_topk_vectorized(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=2
+    )
+
+
+def _ivf_sql(n_cells: int = 8, n_probe: int = 2, query_id: int = 0, k: int = 10) -> str:
+    """Oracle for ivf_topk_vectorized: same deterministic centroids
+    (lowest n_cells ids), same fixed-point integer assignment scores
+    with (score DESC, cell_id) tie-break, same probed-cell cosine."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {n_cells}
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+cells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id, row_number() OVER (ORDER BY score DESC, cell_id) AS rn
+    FROM ascore WHERE vec_id = {query_id}) WHERE rn <= {n_probe}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_id}),
+cand AS (
+  SELECT e.vec_id, cl.cell, e.embedding, q.qe
+  FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id, q
+  WHERE cl.cell IN (SELECT cell_id FROM probe) AND e.vec_id <> {query_id}
+),
+terms AS (
+  SELECT vec_id, cell,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) AS et,
+         CAST(floor(CAST(qe[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS qt
+  FROM cand, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, cell, CAST(SUM(dt) AS BIGINT) AS dot_i, CAST(SUM(et) AS BIGINT) AS na_i,
+         CAST(SUM(qt) AS BIGINT) AS nq_i
+  FROM terms GROUP BY vec_id, cell
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nq_i AS DOUBLE))) AS cosine
+FROM sums
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+IVF_TOPK_SQL = _ivf_sql()
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
     "similarity_neardup_blocked": QuerySpec(
@@ -150,5 +217,8 @@ QUERIES = {
     ),
     "similarity_topk_lsh": QuerySpec(
         similarity_topk_lsh, LSH_TOPK_SQL, "LSH-bucketed approximate top-k"
+    ),
+    "similarity_topk_ivf": QuerySpec(
+        similarity_topk_ivf, IVF_TOPK_SQL, "IVF probed-cell approximate top-k"
     ),
 }

@@ -330,3 +330,63 @@ def test_scrub_pii_arrow_matches_jvm_regex(spark, sf_dir):
     assert j2 == a2
     assert j2[0].n_redactions == 3
     assert j2[0].clean_text == "mail <EMAIL> or <URL> id <NUM> end"
+
+
+def test_ivf_topk_probes_cells_and_has_recall(spark, sf_dir):
+    from duckdb_pipeline_spark.operators.similarity import ivf_topk_vectorized
+
+    emb = _emb(spark, sf_dir)
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    rows = ivf_topk_vectorized(emb, query_id=0, k=10, n_cells=8, n_probe=2).collect()
+    assert 0 < len(rows) <= 10
+    assert len({r.cell for r in rows}) <= 2  # only probed cells surface
+    assert all(r.vec_id != 0 for r in rows)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert len(exact & {r.vec_id for r in rows}) >= 1  # near-uniform corpus
+    # probing ALL cells must recover the exact answer (IVF is exact
+    # when nothing is pruned)
+    full = ivf_topk_vectorized(emb, query_id=0, k=10, n_cells=8, n_probe=8).collect()
+    assert {r.vec_id for r in full} == exact
+
+
+def test_rolling_fingerprint_satisfies_rolling_identity(spark, sf_dir):
+    """The k-gram hashes satisfy the Rabin-Karp rolling update
+    h(i+1) = (h(i) - c_i*B^(K-1)) * B + c_(i+K) mod M — i.e. a scanner
+    could maintain them incrementally — and the Spark op reproduces a
+    pure-Python reference on real docs."""
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.text import (
+        RK_B,
+        RK_K,
+        RK_M,
+        RK_POWS,
+        rolling_fingerprint,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog 42 times"
+    codes = [ord(c) for c in text]
+    hashes = [
+        sum(codes[i + j] * RK_POWS[j] for j in range(RK_K)) % RK_M
+        for i in range(len(codes) - RK_K + 1)
+    ]
+    for i in range(len(hashes) - 1):
+        rolled = ((hashes[i] - codes[i] * RK_POWS[0]) * RK_B + codes[i + RK_K]) % RK_M
+        assert rolled == hashes[i + 1]
+
+    docs = _docs(spark, sf_dir).limit(25)
+    got = {r.doc_id: r for r in rolling_fingerprint(docs).collect()}
+    for row in docs.collect():
+        cs = np.array([ord(c) for c in row.text], dtype="int64")
+        if len(cs) < RK_K:
+            assert row.doc_id not in got
+            continue
+        hs = [
+            int(sum(cs[i + j] * RK_POWS[j] for j in range(RK_K)) % RK_M)
+            for i in range(len(cs) - RK_K + 1)
+        ]
+        r = got[row.doc_id]
+        assert (r.n_kgrams, r.fp_min, r.fp_max, r.fp_modsum) == (
+            len(hs), min(hs), max(hs), sum(hs) % RK_M,
+        )
