@@ -47,8 +47,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_neardup_blocked",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "text_quality_score",
     "text_scrub_pii",
+    "text_rolling_fingerprint",
     "stream_tumbling_hourly",
     "stream_session_30m",
     "q6_forecast_revenue",
