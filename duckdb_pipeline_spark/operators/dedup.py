@@ -593,3 +593,68 @@ def ngram_jaccard_blocked(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into duplicate GROUPS: connected
+    components over the pair graph, component id = min member id (the
+    canonical keeper a dedup pipeline retains).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    its own id; each round a node takes the min of its label and its
+    neighbors' labels; converged when a round changes nothing.
+    Per round: one join (edges x labels) + one groupBy min — both on
+    edge-sized data, which LSH has already bounded to true near-dups
+    (orders of magnitude smaller than the corpus). Rounds needed =
+    component diameter; near-dup clusters are tiny cliques-of-cliques
+    (diameter 2-4), so this beats the O(log n) star-contraction
+    alternative (Kiveris et al., "Connected Components in MapReduce")
+    in practice — star-contraction is the upgrade path if components
+    with large diameters ever appear. `localCheckpoint` truncates the
+    growing lineage each round (the standard iterative-DataFrame
+    hazard); the driver-side loop is bounded and each round is one
+    distributed action."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))

@@ -40,6 +40,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_components",
     # similarity / ANN
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -63,7 +64,6 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill",
     "agg_corr_exact",
     "sample_hash_deterministic",
-    "histogram_prices",
     # sketches (2 are rows-only by design: estimates are engine-specific)
     "agg_percentiles_exact",
     "sketch_approx_ndv",

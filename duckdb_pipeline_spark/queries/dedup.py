@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_dedup_mapped,
     ngram_jaccard_blocked,
@@ -160,8 +161,44 @@ WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.05
 """
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup PAIRS -> duplicate GROUPS: connected components over
+    the verified MinHash-LSH pair graph; component id = min member id
+    (the canonical keeper), plus the group size. The step a real dedup
+    pipeline runs after LSH — keep one doc per component. Iterative
+    min-label propagation (rounds = component diameter); the DuckDB
+    oracle computes the same fixpoint with a recursive CTE."""
+    pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return cc.join(sizes, "component").select("doc_id", "component", "component_size")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+pairsq AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairsq UNION SELECT doc_b, doc_a FROM pairsq),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, c.component, s.component_size
+FROM comp c
+JOIN (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component) s USING (component)
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_components": QuerySpec(
+        dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"
+    ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram, DEDUP_NGRAM_SQL, "blocked n-gram Jaccard"),

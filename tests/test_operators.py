@@ -390,3 +390,20 @@ def test_rolling_fingerprint_satisfies_rolling_identity(spark, sf_dir):
         assert (r.n_kgrams, r.fp_min, r.fp_max, r.fp_modsum) == (
             len(hs), min(hs), max(hs), sum(hs) % RK_M,
         )
+
+
+def test_connected_components_chain_and_clique(spark):
+    from duckdb_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 -> needs several propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
