@@ -158,6 +158,43 @@ def multimodal_decode(spark, sf_dir):
     return extract_features(synthesize_media(docs), decode_stub=False)
 
 
+def text_udtf_sentences(spark, sf_dir):
+    """Python UDTF (table function) — the one UDF shape the rest of
+    the engine doesn't exercise (scalar pandas UDFs and grouped/map
+    Arrow UDFs are everywhere else): segment documents via a LATERAL
+    table function (split on the token ' the '; the synthetic corpus
+    has no sentence punctuation). UDTFs are the row-at-a-time slow
+    path, so the corpus slice is small and the docstring is the
+    warning: use mapInPandas (chunk_tokens) for the hot path; a UDTF
+    buys SQL-side composability (LATERAL joins against it), not
+    speed."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id: int, sentence: string")
+    class Sentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(" the ")):
+                yield i, s
+
+    spark.udtf.register("sentences", Sentences)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sentence "
+        "FROM _udtf_docs d, LATERAL sentences(d.text) s"
+    )
+
+
+UDTF_SENTENCES_SQL = """
+SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS sent_id, p[u.i] AS sentence
+FROM (SELECT doc_id, string_split(text, ' the ') AS p FROM documents WHERE doc_id < 100),
+     UNNEST(range(1, len(p) + 1)) AS u(i)
+"""
+
+
 def text_scrub_pii(spark, sf_dir):
     """PII scrub over documents (emails / URLs / long digit runs).
     Arrow/RE2 kernel variant — bitwise-identical to the JVM-regex
@@ -208,6 +245,9 @@ QUERIES = {
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL, "bag-of-words fingerprint"),
     "text_rolling_fingerprint": QuerySpec(
         text_rolling_fingerprint, ROLLING_FP_SQL, "Rabin-Karp rolling-hash fingerprint"
+    ),
+    "text_udtf_sentences": QuerySpec(
+        text_udtf_sentences, UDTF_SENTENCES_SQL, "Python UDTF sentence split (LATERAL)"
     ),
     "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
     "multimodal_decode_features": QuerySpec(
