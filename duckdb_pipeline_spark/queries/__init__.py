@@ -35,6 +35,7 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_clean_events",
     "pipeline_gold_daily_agg",
     "pipeline_hourly_type_counts",
+    "pipeline_corpus_prep",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -88,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "unnest_tokens",
     # representatives of the round-1-green relational families
     "q1_pricing_summary",
-    "q5_regional_revenue",
     "asof_purchase_click",
     "range_join_next_10m",
 )

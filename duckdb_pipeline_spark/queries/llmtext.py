@@ -236,7 +236,57 @@ FROM ex WHERE start <= len(toks)
 """
 
 
+def pipeline_corpus_prep(spark, sf_dir):
+    """The composed training-corpus prep flow — the reason the
+    north-star ops exist as one engine: exact dedup (keep min id per
+    content hash) -> quality filter (score >= 0.45) -> overlapping
+    token chunking. Each stage is the already-tested operator; the
+    composition itself is the product. Plan shape at 100 TB: dedup is
+    one content-hash shuffle, the quality filter is scan-side codegen
+    on the kept docs, chunking is a map-side explode — no stage
+    re-reads the corpus twice."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import chunk_tokens, quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    good_ids = (
+        quality_score(kept)
+        .where(F.col("quality_score") >= 0.45)
+        .select("doc_id")
+    )
+    return chunk_tokens(kept.join(good_ids, "doc_id", "left_semi"))
+
+
+CORPUS_PREP_SQL = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM kd
+  )
+  WHERE 0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE) / len(toks))
+      + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) >= 0.45
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kd JOIN qual USING (doc_id)),
+ex AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 30)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+       array_to_string(toks[start:start+49], ' ') AS chunk_text,
+       len(toks[start:start+49]) AS n_chunk_tokens
+FROM ex WHERE start <= len(toks)
+"""
+
+
 QUERIES = {
+    "pipeline_corpus_prep": QuerySpec(
+        pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
+    ),
     "text_scrub_pii": QuerySpec(text_scrub_pii, SCRUB_SQL, "PII scrubbing"),
     "text_chunk_windows": QuerySpec(text_chunk_windows, CHUNK_SQL, "token-window chunking"),
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_STATS_SQL, "token statistics"),

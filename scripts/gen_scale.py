@@ -20,8 +20,8 @@ per table) but with bounded row groups (default 128k rows) so both
 engines can split scans: the driver's files are single-row-group, which
 serializes Spark's scan at any size (BASELINE.md round-1 note).
 
-Usage: python scripts/gen_scale.py [K] [out_dir]   (defaults: 10,
-<repo>/.scratch/sf1)
+Usage: python scripts/gen_scale.py [K] [out_dir] [src_dir]
+(defaults: 10, <repo>/.scratch/sf1, /root/testdata/sf0.1)
 """
 
 from __future__ import annotations
@@ -136,10 +136,10 @@ def scale_embeddings(con: duckdb.DuckDBPyConnection, out: str, k: int) -> None:
     write(pa.concat_tables(frames), out, "embeddings")
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = sys.argv[2] if len(sys.argv) > 2 else f"{repo}/.scratch/sf1"
+def scale(out: str, k: int, src: str | None = None) -> None:
+    global SRC
+    if src:
+        SRC = src
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     print(f"scaling {SRC} x{k} -> {out}")
@@ -147,6 +147,14 @@ def main() -> None:
     scale_documents(con, out, k)
     scale_embeddings(con, out, k)
     print("done")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[2] if len(sys.argv) > 2 else f"{repo}/.scratch/sf1"
+    src = sys.argv[3] if len(sys.argv) > 3 else None
+    scale(out, k, src)
 
 
 if __name__ == "__main__":
