@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pipeline_gold_daily_agg",
+    "pipeline_corpus_prep",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_regional_revenue",
