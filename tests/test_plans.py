@@ -87,3 +87,41 @@ def test_topk_per_group_avoids_global_sort(spark, sf_dir):
     plan = plan_text(df, "simple")
     # window sort is partition-local: no global (rangepartitioned) sort
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_ivf_topk_is_map_plus_topk_only(spark, sf_dir):
+    """IVF ANN: cell assignment + in-cell scoring are ONE map stage;
+    the only non-map work is the global top-k (TakeOrdered) — no
+    shuffle, no join in the plan."""
+    from duckdb_pipeline_spark.operators.similarity import ivf_topk_vectorized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ivf_topk_vectorized(emb, query_id=0, k=10, n_cells=8, n_probe=2)
+    plan = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_rolling_fingerprint_prunes_scan_to_two_columns(spark, sf_dir):
+    df = collect_all()["text_rolling_fingerprint"].fn(spark, sf_dir)
+    plan = plan_text(df)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_join_left_zero_counts_aggregates_below_join(spark, sf_dir):
+    """The fact-table aggregation must run BELOW the left join (one row
+    per partkey reaches the join, not every lineitem row)."""
+    df = collect_all()["join_left_zero_counts"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    join_pos = plan.find("Join")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert join_pos >= 0 and agg_positions
+    # in explain output, children print BELOW their parent — the
+    # aggregate feeding the join appears after the join line
+    assert any(p > join_pos for p in agg_positions)
+    # and no aggregate sits above the join (nothing re-aggregates the
+    # join output)
+    assert not any(p < join_pos for p in agg_positions)
