@@ -42,6 +42,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_embedding_cosine",
     # similarity / ANN
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "agg_salted_hot_keys",
     "agg_listagg_sorted",
-    "unnest_tokens",
     # representatives of the round-1-green relational families
     "q1_pricing_summary",
     "asof_purchase_click",

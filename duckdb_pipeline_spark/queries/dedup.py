@@ -114,6 +114,71 @@ WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup on the DOCUMENTS table — semantic
+    dedup (catches paraphrases that shingle methods miss): documents
+    join their embedding rows (doc_id == vec_id for the embedded
+    subset), then blocked pairwise cosine >= threshold flags the
+    duplicate-candidate doc pairs. Blocking (label = coarse cluster)
+    bounds the pair space exactly as IVF cells bound ANN; the
+    vectorized per-block numpy kernel is the scale path
+    (operators.similarity.cosine_pairs_blocked_vectorized). Output:
+    (doc_a, doc_b, cosine, n_chars_a, n_chars_b) — the char lengths
+    are what a keeper-selection policy ranks on."""
+    from ..operators.similarity import cosine_pairs_blocked_vectorized
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load(spark, sf_dir, "embeddings")
+    doc_emb = docs.join(
+        emb, docs.doc_id == emb.vec_id
+    ).select("doc_id", "embedding", "label")
+    pairs = cosine_pairs_blocked_vectorized(
+        doc_emb, block_col="label", threshold=0.3, id_col="doc_id"
+    ).withColumnsRenamed({"vec_a": "doc_a", "vec_b": "doc_b"})
+    na = docs.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("n_chars_a"))
+    nb = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("n_chars_b"))
+    return pairs.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a", "doc_b", "cosine", "n_chars_a", "n_chars_b"
+    )
+
+
+_S9 = 1_000_000_000
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH de AS (
+  SELECT d.doc_id, d.n_chars, e.embedding, e.label
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.embedding AS ea, b.embedding AS eb
+  FROM de a JOIN de b ON a.label = b.label AND a.doc_id < b.doc_id
+),
+terms AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS bt2
+  FROM pairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT doc_a, doc_b, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY doc_a, doc_b
+),
+cos AS (
+  SELECT doc_a, doc_b,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) AS cosine
+  FROM sums
+  WHERE CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) >= 0.3
+)
+SELECT c.doc_a, c.doc_b, c.cosine,
+       da.n_chars AS n_chars_a, db.n_chars AS n_chars_b
+FROM cos c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document (portable bit
     extraction from md5 hex; map-only plan, zero shuffles)."""
@@ -202,4 +267,7 @@ QUERIES = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram, DEDUP_NGRAM_SQL, "blocked n-gram Jaccard"),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup on documents"
+    ),
 }

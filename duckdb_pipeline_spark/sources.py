@@ -86,3 +86,28 @@ def read_parquet_glob(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's synthetic tables (TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    mode: str = "DROPMALFORMED",
+) -> DataFrame:
+    """CSV scan; error-tolerant by default (mirrors the JSON reader's
+    contract: malformed lines drop instead of failing the batch). Pass
+    an explicit DDL ``schema`` in production — inference costs an extra
+    pass and pins nothing."""
+    reader = spark.read.option("header", str(header).lower()).option("mode", mode)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native vectorized reader; same pushdown/pruning
+    contract as parquet — asserted in tests)."""
+    return spark.read.orc(path)

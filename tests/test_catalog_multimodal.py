@@ -91,3 +91,27 @@ def test_undecodable_format_raises(spark, sf_dir):
         # documents_as_media labels text bytes as 'image' but they are
         # not BMP — exactly the unsupported-format path
         extract_features(documents_as_media(docs), decode_stub=False).collect()
+
+
+def test_orc_and_csv_sources_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from duckdb_pipeline_spark.sources import read_csv, read_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orc_dir = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_dir)
+    back = read_orc(spark, orc_dir)
+    assert back.count() == docs.count()
+    assert {f.name for f in back.schema.fields} == {f.name for f in docs.schema.fields}
+    # filter pushdown reaches the ORC scan like parquet
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.where(F.col("doc_id") < 10).select("doc_id").explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
+
+    csv_dir = str(tmp_path / "docs_csv")
+    docs.select("doc_id", "lang").write.option("header", "true").csv(csv_dir)
+    got = read_csv(spark, f"{csv_dir}/*.csv", schema="doc_id long, lang string")
+    assert got.count() == docs.count()
