@@ -133,3 +133,38 @@ def top_k_per_group(
     window sorts within partitions only (no global sort/limit)."""
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return df.withColumn(rn_name, F.row_number().over(w)).where(F.col(rn_name) <= k)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the FACT side's key across
+    ``salt_buckets`` sub-keys (deterministic hash of the whole fact
+    row) and EXPLODE the dim side over every salt value, so a hot key's
+    rows land on ``salt_buckets`` reducers instead of one.
+
+    Semantically identical to ``fact.join(dim, fact_key == dim_key,
+    how)`` — the salt is an internal column, dropped on output. Cost:
+    the dim side is replicated x salt_buckets, so use it when dim is
+    small relative to the hot key's row count (the usual skew shape:
+    huge fact, modest dim, one pathological key). AQE's skew-join
+    split is the runtime fix for sort-merge plans; this is the PLANNED
+    fix — it also works where AQE can't see the skew (e.g. map-side
+    outputs with no stats) and composes with any join type.
+    """
+    fact_cols = [c for c in fact.columns]
+    dim_cols = [c for c in dim.columns]
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in fact_cols])), F.lit(salt_buckets))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]), how
+    )
+    return joined.select(*[f[c] for c in fact_cols], *[d[c] for c in dim_cols])

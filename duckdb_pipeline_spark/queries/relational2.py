@@ -633,6 +633,31 @@ FROM events GROUP BY event_type
 """
 
 
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators.salted_join): the
+    fact side's key is salted across 8 sub-keys and the dim side
+    explodes over every salt, so a hot partkey spreads over 8 reducers.
+    Semantically identical to the plain join — the oracle IS the plain
+    join — and it works where AQE's runtime skew split can't see the
+    skew (stats-less map outputs)."""
+    from ..operators.relational import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, "l_partkey", "p_partkey", salt_buckets=8)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_fp("l_quantity").alias("total_qty"),
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT p_brand, count(*) AS n_rows, {DSUM('l_quantity')} AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def agg_listagg_sorted(spark, sf_dir):
     """Ordered string aggregation per group (listagg/string_agg):
     collect_list is order-nondeterministic in a distributed engine, so
@@ -745,6 +770,9 @@ QUERIES = {
     "setop_except_all": QuerySpec(setop_except_all, SETOP_EXCEPT_ALL_SQL, "EXCEPT ALL"),
     "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL, "null-safe equality join"),
     "agg_salted_hot_keys": QuerySpec(agg_salted_hot_keys, SALTED_SQL, "skew-salted two-phase agg"),
+    "join_salted_skew": QuerySpec(
+        join_salted_skew, SALTED_JOIN_SQL, "skew-salted equi-join"
+    ),
     "agg_listagg_sorted": QuerySpec(agg_listagg_sorted, LISTAGG_SQL, "ordered string_agg"),
     "unnest_tokens": QuerySpec(unnest_tokens, UNNEST_SQL, "explode/UNNEST lateral"),
     "window_percentiles": QuerySpec(window_percentiles, WIN_PCT_SQL, "percent_rank/cume_dist"),

@@ -407,3 +407,31 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from duckdb_pipeline_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0), (3, 7.0)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], ["dk", "name"])
+    plain = sorted(
+        (r.k, r.v, r.dk, r.name)
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.dk, r.name)
+        for r in salted_join(fact, dim, "k", "dk", salt_buckets=4).collect()
+    )
+    assert plain == salted and len(plain) == 4
+    # left join keeps unmatched fact rows exactly once (not x buckets)
+    lp = sorted(
+        (r.k, r.v, r.name)
+        for r in fact.join(dim, fact.k == dim.dk, "left").collect()
+    )
+    ls = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(fact, dim, "k", "dk", 4, how="left").collect()
+    )
+    assert lp == ls and len(lp) == 5
