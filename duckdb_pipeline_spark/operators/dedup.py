@@ -631,6 +631,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.id)
@@ -656,5 +657,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds max_iter; raise max_iter or switch to star-contraction"
+        )
 
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))

@@ -134,9 +134,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def sample_frames(samples: np.ndarray, frame: int = 400, hop: int = 160) -> np.ndarray:
-    """Fixed-hop frame sampling -> (n_frames, frame) view (the shape a
-    feature extractor consumes); stride trick, no copy."""
-    n = 1 + max(0, (len(samples) - frame)) // hop
+    """Fixed-hop frame sampling -> (n_frames, frame) array (the shape a
+    feature extractor consumes). Inputs shorter than one frame yield an
+    empty (0, frame) array. Fancy indexing copies; for a zero-copy view
+    use `np.lib.stride_tricks.sliding_window_view(samples, frame)[::hop]`
+    — kept as a copy here because downstream kernels mutate frames."""
+    if len(samples) < frame:
+        return np.empty((0, frame), dtype=samples.dtype)
+    n = 1 + (len(samples) - frame) // hop
     idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
     return samples[idx]
 

@@ -148,15 +148,26 @@ def salted_join(
     row) and EXPLODE the dim side over every salt value, so a hot key's
     rows land on ``salt_buckets`` reducers instead of one.
 
-    Semantically identical to ``fact.join(dim, fact_key == dim_key,
-    how)`` — the salt is an internal column, dropped on output. Cost:
-    the dim side is replicated x salt_buckets, so use it when dim is
-    small relative to the hot key's row count (the usual skew shape:
-    huge fact, modest dim, one pathological key). AQE's skew-join
-    split is the runtime fix for sort-merge plans; this is the PLANNED
-    fix — it also works where AQE can't see the skew (e.g. map-side
-    outputs with no stats) and composes with any join type.
+    For ``how`` in {'inner', 'left'} this is semantically identical to
+    ``fact.join(dim, fact_key == dim_key, how)`` — the salt is an
+    internal column, dropped on output. Other join types are rejected:
+    under 'right'/'full' every exploded dim replica that finds no fact
+    row would surface as its own null-extended output row (up to
+    salt_buckets duplicates per unmatched dim row), and 'left_semi' /
+    'left_anti' drop the dim side entirely so the final select would
+    fail. Cost: the dim side is replicated x salt_buckets, so use it
+    when dim is small relative to the hot key's row count (the usual
+    skew shape: huge fact, modest dim, one pathological key). AQE's
+    skew-join split is the runtime fix for sort-merge plans; this is
+    the PLANNED fix — it also works where AQE can't see the skew
+    (e.g. map-side outputs with no stats).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "right/full would emit up to salt_buckets duplicates per "
+            "unmatched dim row; semi/anti drop the dim columns"
+        )
     fact_cols = [c for c in fact.columns]
     dim_cols = [c for c in dim.columns]
     salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in fact_cols])), F.lit(salt_buckets))

@@ -43,6 +43,12 @@ def _cosine_from_ints(dot_i, na_i, nb_i):
     )
 
 
+def _empty_topk(embeddings: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id, cosine) result for an absent query id — matches the
+    relational formulations, which naturally yield zero rows there."""
+    return embeddings.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -200,6 +206,8 @@ def cosine_topk_vectorized(
     import pandas as pd
 
     qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        return _empty_topk(embeddings, id_col)
     qv = np.asarray(qrow[0], dtype="float64")
     nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
 
@@ -359,6 +367,8 @@ def lsh_topk_vectorized(
     bitpow = np.int64(1) << np.arange(n_bits, dtype=np.int64)
 
     qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        return _empty_topk(embeddings, id_col)
     qv = np.asarray(qrow[0], dtype="float64")
     qi = np.floor(qv * SCALE).astype("int64")
     qb = int((( (qi @ W.T) >= 0).astype(np.int64) * bitpow).sum())
@@ -467,10 +477,10 @@ def ivf_topk_vectorized(
         .collect()
     )
     C = np.stack([np.asarray(r[1], dtype="float64") for r in crows])  # (cells, dim)
-    qv = np.asarray(
-        embeddings.where(F.col(id_col) == query_id).select(vec_col).first()[0],
-        dtype="float64",
-    )
+    qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        return _empty_topk(embeddings, id_col)
+    qv = np.asarray(qrow[0], dtype="float64")
     nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
 
     def cell_scores(V: np.ndarray) -> np.ndarray:

@@ -115,3 +115,15 @@ def test_orc_and_csv_sources_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     docs.select("doc_id", "lang").write.option("header", "true").csv(csv_dir)
     got = read_csv(spark, f"{csv_dir}/*.csv", schema="doc_id long, lang string")
     assert got.count() == docs.count()
+
+
+def test_sample_frames_short_input_is_empty():
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import sample_frames
+
+    short = np.arange(399, dtype="float64")
+    out = sample_frames(short, frame=400, hop=160)
+    assert out.shape == (0, 400) and out.dtype == short.dtype
+    exact = sample_frames(np.arange(400, dtype="float64"), frame=400, hop=160)
+    assert exact.shape == (1, 400)

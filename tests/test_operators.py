@@ -435,3 +435,48 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(fact, dim, "k", "dk", 4, how="left").collect()
     )
     assert lp == ls and len(lp) == 5
+
+
+def test_salted_join_rejects_unsupported_join_types(spark):
+    import pytest
+
+    from duckdb_pipeline_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a")], ["dk", "name"])
+    for how in ("right", "full", "left_semi", "left_anti", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", "dk", 4, how=how)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from duckdb_pipeline_spark.operators.dedup import connected_components
+
+    # chain of diameter 6 cannot converge in 2 min-label rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    # and the same data converges with enough rounds
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_vectorized_topk_absent_query_id_returns_empty(spark, sf_dir):
+    from duckdb_pipeline_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk_vectorized,
+        lsh_topk_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    missing = 10_000_000
+    assert emb.where(F.col("vec_id") == missing).count() == 0
+    for fn in (cosine_topk_vectorized, lsh_topk_vectorized, ivf_topk_vectorized):
+        out = fn(emb, query_id=missing, k=5)
+        assert out.columns == ["vec_id", "cosine"]
+        assert out.count() == 0
