@@ -233,6 +233,43 @@ def _py_lane_minhashes(sh: set, num_hashes: int) -> list[str]:
     return hs
 
 
+def _batch_lane_minhashes(shingle_sets: list, num_hashes: int):
+    """(n_docs, num_hashes) >u4 lane minima for a BATCH of shingle
+    sets, hashing each distinct shingle of the batch ONCE per prefix —
+    boilerplate-heavy corpora repeat shingles across documents, so the
+    md5 count drops from sum(|doc|) to |batch vocabulary|. Bitwise-
+    identical to stacking `_py_lane_minhashes` per doc (same digests,
+    same big-endian u32 lane minima); the per-doc min runs as one
+    `np.minimum.reduceat` over the concatenated index list."""
+    import hashlib
+
+    import numpy as np
+
+    vocab: dict = {}
+    flat: list[int] = []
+    bounds: list[int] = [0]
+    for sh in shingle_sets:
+        for s in sh:
+            k = vocab.get(s)
+            if k is None:
+                k = len(vocab)
+                vocab[s] = k
+            flat.append(k)
+        bounds.append(len(flat))
+    if not flat:
+        return np.empty((0, num_hashes), dtype=">u4")
+    assert 0 not in np.diff(bounds), "empty shingle set in batch (filter first)"
+    idx = np.asarray(flat, dtype=np.int64)
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    enc = [s.encode() for s in vocab]  # insertion order == index order
+    lanes = np.empty((len(vocab), num_hashes), dtype=">u4")
+    for p in range(num_hashes // 4):
+        prefix = f"{p}:".encode()
+        buf = b"".join(hashlib.md5(prefix + s).digest() for s in enc)
+        lanes[:, 4 * p : 4 * p + 4] = np.frombuffer(buf, dtype=">u4").reshape(-1, 4)
+    return np.minimum.reduceat(lanes[idx], starts, axis=0)
+
+
 def minhash_signatures_mapped(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -253,16 +290,17 @@ def minhash_signatures_mapped(
 
     def sign(batches):
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sets = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 sh = _py_shingles(text, n)
                 if not sh:
                     continue
                 ids.append(doc_id)
-                sigs.append(_py_lane_minhashes(sh, num_hashes))
+                sets.append(sh)
+            mins = _batch_lane_minhashes(sets, num_hashes)
             out = {id_col: pd.Series(ids, dtype="int64")}
             for k in range(num_hashes):
-                out[f"h{k}"] = [s[k] for s in sigs]
+                out[f"h{k}"] = [f"{v:08x}" for v in mins[:, k]]
             yield pd.DataFrame(out)
 
     schema = f"{id_col} long, " + ", ".join(f"h{k} string" for k in range(num_hashes))
@@ -288,12 +326,17 @@ def minhash_bands_mapped(
 
     def sign(batches):
         for pdf in batches:
-            ids, bandix, sigs = [], [], []
+            doc_ids, sets = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 sh = _py_shingles(text, n)
                 if not sh:
                     continue
-                hs = _py_lane_minhashes(sh, num_hashes)
+                doc_ids.append(doc_id)
+                sets.append(sh)
+            mins = _batch_lane_minhashes(sets, num_hashes)
+            ids, bandix, sigs = [], [], []
+            for i, doc_id in enumerate(doc_ids):
+                hs = [f"{v:08x}" for v in mins[i]]
                 for b in range(n_bands):
                     ids.append(doc_id)
                     bandix.append(b)

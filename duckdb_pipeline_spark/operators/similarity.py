@@ -470,17 +470,18 @@ def ivf_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    crows = (
-        embeddings.where(F.col(id_col) < n_cells)
-        .orderBy(id_col)
+    # centroids + query vector in ONE bounded driver job (was two; each
+    # sub-second job at small sf is mostly scheduling floor)
+    rows = (
+        embeddings.where((F.col(id_col) < n_cells) | (F.col(id_col) == query_id))
         .select(id_col, vec_col)
         .collect()
     )
-    C = np.stack([np.asarray(r[1], dtype="float64") for r in crows])  # (cells, dim)
-    qrow = embeddings.where(F.col(id_col) == query_id).select(vec_col).first()
-    if qrow is None:
+    by_id = {r[0]: np.asarray(r[1], dtype="float64") for r in rows}
+    if query_id not in by_id:
         return _empty_topk(embeddings, id_col)
-    qv = np.asarray(qrow[0], dtype="float64")
+    C = np.stack([by_id[i] for i in sorted(i for i in by_id if i < n_cells)])
+    qv = by_id[query_id]
     nq_i = int(np.floor(qv * qv * SCALE).astype("int64").sum())
 
     def cell_scores(V: np.ndarray) -> np.ndarray:

@@ -84,3 +84,22 @@ def test_rolling_hash_identity_on_arbitrary_text(text):
     wins = np.lib.stride_tricks.sliding_window_view(cs, RK_K)
     vec = (wins @ np.array(RK_POWS, dtype="int64")) % RK_M
     assert vec.tolist() == hashes
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    batch=st.lists(
+        st.sets(st.text(min_size=1, max_size=10), min_size=1, max_size=25),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_batch_lane_minhashes_match_per_doc_kernel(batch):
+    """The vocabulary-deduped batch kernel must equal the per-doc
+    kernel row for row (same digests, same u32 lane minima)."""
+    from duckdb_pipeline_spark.operators.dedup import _batch_lane_minhashes
+
+    mins = _batch_lane_minhashes(batch, 16)
+    assert mins.shape == (len(batch), 16)
+    for i, sh in enumerate(batch):
+        assert [f"{v:08x}" for v in mins[i]] == _py_lane_minhashes(sh, 16)
