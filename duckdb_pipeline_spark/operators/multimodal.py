@@ -76,15 +76,18 @@ FEATURE_SCHEMA = StructType(
 # codecs (pure numpy / stdlib — real decode for the supported formats)
 # --------------------------------------------------------------------------
 
-def encode_bmp(pixels: np.ndarray) -> bytes:
+def encode_bmp(pixels: np.ndarray, ppm: int = 2835) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
     (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, rows padded
-    to 4 bytes — the on-disk format, not a container-specific fake)."""
+    to 4 bytes — the on-disk format, not a container-specific fake).
+    ``ppm`` is the pixels-per-meter resolution metadata — different
+    encoders stamp different values onto identical pixels, which is
+    exactly why byte-level dedup misses re-saved images."""
     h, w, _ = pixels.shape
     row_bytes = (w * 3 + 3) & ~3
     img_size = row_bytes * h
     header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, ppm, ppm, 0, 0)
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
     rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
     return header + info + rows.tobytes()
@@ -271,3 +274,94 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         _synth, schema="media_id long, media_type string, payload binary"
     )
     return attach_media_meta(synth)
+
+
+def ahash_pixels(img: np.ndarray) -> int:
+    """64-bit average-hash (aHash) of an RGB image: grayscale ->
+    8x8 block means -> bit b set iff block b >= the mean of blocks.
+    Robust to uniform brightness shifts (every block and the threshold
+    move together) and to resampling that preserves block structure —
+    the perceptual twin of content-hash dedup for image corpora."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(8) * w) // 8
+    blocks = np.add.reduceat(np.add.reduceat(gray, ri, axis=0), ci, axis=1)
+    counts = np.outer(np.diff(np.append(ri, h)), np.diff(np.append(ci, w)))
+    means = blocks / counts
+    bits = (means >= means.mean()).flatten()
+    return int(bits.astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, ahash) for every decodable image payload in a media
+    frame — one Arrow-batched map pass, non-image rows dropped. The
+    dedup step downstream is a plain groupBy(ahash): identical to exact
+    dedup's shape, but keyed on perceptual content."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf[payload_col]
+            ):
+                if mtype != "image":
+                    continue
+                ids.append(int(mid))
+                # int64 reinterpret of the u64 bit pattern (Spark LongType)
+                hs.append(np.uint64(ahash_pixels(decode_bmp(bytes(payload)))).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_hash, schema="media_id long, ahash long")
+
+
+def shift_brightness(df: DataFrame, delta: int, payload_col: str = "payload") -> DataFrame:
+    """Re-encode every image payload with a uniform brightness shift
+    (clipped at 0/255); non-image rows pass through unchanged. Produces
+    byte-DIFFERENT payloads that are perceptually close. Note aHash
+    invariance under the shift is exact only while no pixel clips —
+    saturated pixels break the uniform shift (the unit test uses
+    headroom images; the dedup query uses `reencode_images`, whose
+    copies are pixel-exact)."""
+
+    def _shift(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mtype, payload in zip(pdf["media_type"], pdf[payload_col]):
+                if mtype != "image":
+                    out.append(payload)
+                    continue
+                px = decode_bmp(bytes(payload)).astype(np.int16) + delta
+                out.append(encode_bmp(np.clip(px, 0, 255).astype(np.uint8)))
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_shift, schema=df.schema)
+
+
+def reencode_images(df: DataFrame, ppm: int = 5670, payload_col: str = "payload") -> DataFrame:
+    """Re-save every image payload through the codec with different
+    encoder metadata (resolution stamp): pixel-IDENTICAL, byte-
+    DIFFERENT files — the re-saved/duplicate-upload case that byte
+    checksums miss and pixel-level hashing catches. Non-image rows pass
+    through unchanged."""
+
+    def _re(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mtype, payload in zip(pdf["media_type"], pdf[payload_col]):
+                if mtype != "image":
+                    out.append(payload)
+                    continue
+                out.append(encode_bmp(decode_bmp(bytes(payload)), ppm=ppm))
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_re, schema=df.schema)

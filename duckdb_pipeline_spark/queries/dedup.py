@@ -259,8 +259,65 @@ JOIN (SELECT component, CAST(count(*) AS BIGINT) AS component_size
 """
 
 
+def dedup_containment(spark, sf_dir):
+    """Decontamination check: n-gram CONTAINMENT of held-out docs in
+    training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
+    overlap measure used to find benchmark/eval text inside a training
+    corpus (Jaccard under-reports when |B| >> |A|). Held-out set =
+    source 'src0'; candidate pairs come from an inverted-index join on
+    shared shingles (the standard decontamination shape: pair space is
+    bounded by shingle collisions, never all-pairs), then the exact
+    containment filter. All built-in ops — explode + joins + groupBy,
+    no Python."""
+    from ..operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sh = word_shingles(docs, n=3)
+    held = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    sh_h = sh.join(held.select("doc_id"), "doc_id").withColumnRenamed("doc_id", "eval_id")
+    sh_t = sh.join(train.select("doc_id"), "doc_id").withColumnRenamed("doc_id", "train_id")
+    sizes = sh_h.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    inter = (
+        sh_h.join(sh_t, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    cont = inter.join(sizes, "eval_id").select(
+        "eval_id",
+        "train_id",
+        (F.col("ni").cast("double") / F.col("n_eval")).alias("containment"),
+    )
+    return cont.where(F.col("containment") >= 0.2)
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_shingle_cte('documents').strip()},
+sh_h AS (
+  SELECT s.doc_id AS eval_id, s.shingle
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'
+),
+sh_t AS (
+  SELECT s.doc_id AS train_id, s.shingle
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+),
+sizes AS (SELECT eval_id, count(*) AS n_eval FROM sh_h GROUP BY eval_id),
+inter AS (
+  SELECT h.eval_id, t.train_id, count(*) AS ni
+  FROM sh_h h JOIN sh_t t ON h.shingle = t.shingle
+  GROUP BY h.eval_id, t.train_id
+)
+SELECT i.eval_id, i.train_id, CAST(ni AS DOUBLE) / z.n_eval AS containment
+FROM inter i JOIN sizes z ON z.eval_id = i.eval_id
+WHERE CAST(ni AS DOUBLE) / z.n_eval >= 0.2
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_containment": QuerySpec(
+        dedup_containment, DEDUP_CONTAINMENT_SQL, "n-gram containment decontamination"
+    ),
     "dedup_components": QuerySpec(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"
     ),

@@ -283,6 +283,36 @@ FROM ex WHERE start <= len(toks)
 """
 
 
+def multimodal_phash_groups(spark, sf_dir):
+    """Perceptual image dedup: 64-bit average-hash (aHash) over REAL
+    decoded BMP pixels, then groupBy(ahash) — exact dedup's plan shape,
+    keyed on pixel content instead of file bytes. The corpus is the
+    synthesized image set UNION a re-encode of every image under
+    different encoder metadata (pixel-identical, byte-DIFFERENT files —
+    every content checksum differs, so exact dedup finds nothing, while
+    the pixel hash pairs each re-save with its original; the re-saved-
+    upload case every image corpus has). Output: one row per duplicate
+    group (n_copies >= 2). No SQL oracle — pixel decode is not
+    SQL-expressible; aHash invariances are pytest-covered
+    (tests/test_catalog_multimodal.py)."""
+    from ..operators.multimodal import image_ahash, reencode_images, synthesize_media
+
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 2 == 0)
+    )
+    media = synthesize_media(docs)
+    copies = reencode_images(media).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    corpus = media.unionByName(copies)
+    return (
+        image_ahash(corpus)
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("media_id").alias("keeper_id"))
+        .where(F.col("n_copies") >= 2)
+    )
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -302,5 +332,8 @@ QUERIES = {
     "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
     "multimodal_decode_features": QuerySpec(
         multimodal_decode, None, "real BMP/WAV decode features (non-SQL-expressible)"
+    ),
+    "multimodal_phash_groups": QuerySpec(
+        multimodal_phash_groups, None, "perceptual image-hash dedup (non-SQL-expressible)"
     ),
 }

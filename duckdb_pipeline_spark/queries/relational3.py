@@ -1,0 +1,193 @@
+"""Round-3 relational additions: interval RANGE window frames,
+deterministic stratified sampling, int8 embedding quantization, and map
+scalar functions. Each query has a full DuckDB oracle; every expression
+stays JVM-side (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import D2D, DEC, dec2double, load
+
+# ---------------------------------------------------------------------------
+# RANGE window frame over an interval: 7-day moving revenue per customer.
+# The frame is VALUE-bounded (any row within 6 days before the current
+# row's date), not ROW-bounded — ties and gaps behave identically in
+# both engines, and the result is order-deterministic even for same-day
+# orders. Spark's rangeBetween needs a numeric ordering key, so the
+# timestamp is cast to epoch seconds; DuckDB states the same frame as
+# RANGE BETWEEN INTERVAL ... PRECEDING natively.
+# ---------------------------------------------------------------------------
+
+_6D = 6 * 86400
+
+
+def window_moving_7d(spark, sf_dir):
+    """Per-customer 7-day moving order revenue (RANGE frame, exact
+    decimal sum rendered via the deterministic dec→double split)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))  # NTZ→epoch s (session tz pinned UTC)
+        .rangeBetween(-_6D, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dec2double(F.sum(F.col("o_totalprice").cast(DEC)).over(w)).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+_W7 = "(PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"
+
+WINDOW_7D_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       {D2D(f'SUM(CAST(o_totalprice AS DECIMAL(18,9))) OVER {_W7}')} AS rev_7d,
+       COUNT(*) OVER {_W7} AS n_orders_7d
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-stratum rates out of 256 via a
+# lexicographic threshold on the first 2 hex chars of md5(key) — stable
+# across engines, partitionings, and reruns (rand()/TABLESAMPLE are
+# not). The per-row predicate is a pure map: no shuffle beyond the
+# verifying aggregation.
+# ---------------------------------------------------------------------------
+
+_STRATA = {"view": "19", "click": "33", "purchase": "ff"}  # /256: ~10%, ~20%, 100%
+_DEFAULT_T = "0c"  # ~5% for every other stratum
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-event-type deterministic sample rates; output = per-stratum
+    sampled counts (the verification aggregate)."""
+    events = load(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    t = F.lit(_DEFAULT_T)
+    for k, v in _STRATA.items():
+        t = F.when(F.col("event_type") == k, F.lit(v)).otherwise(t)
+    return (
+        events.where(h <= t)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+_CASE_T = (
+    "CASE "
+    + " ".join(f"WHEN event_type = '{k}' THEN '{v}'" for k, v in _STRATA.items())
+    + f" ELSE '{_DEFAULT_T}' END"
+)
+
+SAMPLE_STRAT_SQL = f"""
+SELECT event_type, count(*) AS n_sampled
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <= {_CASE_T}
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: per-vector symmetric scale 127/max|x|,
+# q_i = floor(x_i*scale + 0.5) — floor(+0.5) instead of round() because
+# the two engines' round() tie-breaking is not contractually identical,
+# while floor is exact on every IEEE input. All array math is built-in
+# HOFs over 64 elements (bounded per-row work; the hot path at corpus
+# scale is the scan, not the transform).
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage-shrink step before a 100 TB ANN index build (4x smaller,
+    SIMD-friendly integer dot products downstream)."""
+    emb = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    e = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("tinyint"),
+    )
+    # the int8 vector leaves the query as a comma-joined string: the
+    # hash protocol compares RENDERED values, and raw array rendering
+    # is engine-specific (the quantized array itself stays columnar in
+    # the pipeline form — this projection is the checkable surface)
+    return e.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_csv"),
+    )
+
+
+QUANT_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              ELSE 0.0 END AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS TINYINT) AS VARCHAR)), ',') AS q_csv
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Map scalar functions: construct, probe, and enumerate a MAP column.
+# The map itself never leaves the query (map RENDERING differs between
+# engines); the outputs are its scalar/array projections, which render
+# identically.
+# ---------------------------------------------------------------------------
+
+
+def scalar_map_funcs(spark, sf_dir):
+    """MAP construction + lookup + enumeration over part attributes."""
+    part = load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    d = part.select("p_partkey", m.alias("m"))
+    return d.select(
+        "p_partkey",
+        F.element_at("m", "brand").alias("brand_val"),
+        F.element_at("m", "missing").alias("missing_val"),
+        F.array_join(F.map_keys("m"), ",").alias("ks"),
+        F.size("m").alias("n_entries"),
+    )
+
+
+MAP_SQL = """
+WITH d AS (
+  SELECT p_partkey, map(['brand','type'], [p_brand, p_type]) AS m FROM part
+)
+SELECT p_partkey,
+       map_extract(m, 'brand')[1] AS brand_val,
+       CASE WHEN len(map_extract(m, 'missing')) > 0 THEN map_extract(m, 'missing')[1] END AS missing_val,
+       array_to_string(map_keys(m), ',') AS ks,
+       CAST(cardinality(m) AS INTEGER) AS n_entries
+FROM d
+"""
+
+
+QUERIES = {
+    "window_moving_7d": QuerySpec(
+        window_moving_7d, WINDOW_7D_SQL, "interval RANGE window frame"
+    ),
+    "sample_stratified": QuerySpec(
+        sample_stratified, SAMPLE_STRAT_SQL, "deterministic stratified sample"
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        embedding_quantize_int8, QUANT_SQL, "int8 embedding quantization"
+    ),
+    "scalar_map_funcs": QuerySpec(scalar_map_funcs, MAP_SQL, "map scalar functions"),
+}

@@ -83,8 +83,36 @@ FROM g GROUP BY user_id, sess
 """
 
 
+def stream_interval_join(spark, sf_dir):
+    """Batch twin of streaming.jobs.stream_stream_interval_join: each
+    purchase joins the same user's clicks in the preceding 30 minutes
+    (attribution). The streaming form adds only the watermarks; the
+    parity test (tests/test_streaming.py) asserts identical rows."""
+    from ..streaming.jobs import stream_stream_interval_join
+
+    events = load(spark, sf_dir, "events")
+    return stream_stream_interval_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts, p.value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": QuerySpec(tumbling_hourly, TUMBLING_SQL, "tumbling windows"),
     "stream_sliding_2h_1h": QuerySpec(sliding_2h_1h, SLIDING_SQL, "sliding windows"),
     "stream_session_30m": QuerySpec(session_30m, SESSION_SQL, "session windows"),
+    "stream_interval_join": QuerySpec(
+        stream_interval_join, INTERVAL_JOIN_SQL, "stream-stream interval join (batch twin)"
+    ),
 }

@@ -23,6 +23,7 @@ from .jobs import (
     session_windows,
     sliding_counts,
     stateful_user_running_totals,
+    stream_stream_interval_join,
     tumbling_counts,
     write_parquet_stream,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "session_windows",
     "dedup_stream",
     "stateful_user_running_totals",
+    "stream_stream_interval_join",
     "run_available_now",
     "write_parquet_stream",
 ]

@@ -121,6 +121,45 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: each purchase joins the same user's
+    clicks from the preceding ``lookback`` interval (the attribution
+    join). Both sides carry watermarks and the join condition bounds
+    event time on both sides — the two requirements that let Spark
+    evict buffered rows once they can no longer match (state is
+    O(watermark window), not O(stream history). An unbounded-condition
+    stream-stream join would buffer forever — the streaming analogue of
+    the unpartitioned cross join.)
+
+    Batch twin with identical semantics: queries/streaming_like.
+    stream_interval_join (oracle-checked); parity asserted in
+    tests/test_streaming.py."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value"
+    )
+
+
 _RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 

@@ -127,3 +127,60 @@ def test_sample_frames_short_input_is_empty():
     assert out.shape == (0, 400) and out.dtype == short.dtype
     exact = sample_frames(np.arange(400, dtype="float64"), frame=400, hop=160)
     assert exact.shape == (1, 400)
+
+
+def test_ahash_brightness_invariant_and_discriminative():
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        ahash_pixels,
+        decode_bmp,
+        encode_bmp,
+        shift_brightness,  # noqa: F401 (query-path twin of the local shift)
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(12, 23, 3), dtype=np.uint8)  # headroom: no clip
+    h0 = ahash_pixels(img)
+    # brightness shift: same hash
+    assert ahash_pixels(np.clip(img.astype(np.int16) + 8, 0, 255).astype(np.uint8)) == h0
+    # BMP roundtrip: same hash
+    assert ahash_pixels(decode_bmp(encode_bmp(img))) == h0
+    # different content: different hash
+    other = rng.integers(0, 200, size=(12, 23, 3), dtype=np.uint8)
+    assert ahash_pixels(other) != h0
+
+
+def test_phash_groups_pairs_every_image_with_its_shifted_copy(spark, sf_dir):
+    from duckdb_pipeline_spark.queries.llmtext import multimodal_phash_groups
+
+    rows = multimodal_phash_groups(spark, sf_dir).collect()
+    n_images = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 400 and doc_id % 2 = 0"
+    ).count()
+    # every original must land in a group with its brightness-shifted
+    # copy; distinct contents may also collide into shared groups, so
+    # the invariant is coverage, not group count
+    assert sum(r.n_copies for r in rows) == 2 * n_images
+    assert all(r.n_copies >= 2 for r in rows)
+
+
+def test_reencoded_copies_differ_in_bytes_not_pixels(spark, sf_dir):
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        reencode_images,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 20 and doc_id % 2 = 0"
+    )
+    media = synthesize_media(docs)
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    redone = {r.media_id: bytes(r.payload) for r in reencode_images(media).collect()}
+    assert orig.keys() == redone.keys() and len(orig) > 0
+    for k in orig:
+        assert orig[k] != redone[k]  # byte-different files
+        assert np.array_equal(decode_bmp(orig[k]), decode_bmp(redone[k]))  # same pixels

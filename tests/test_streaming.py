@@ -172,3 +172,71 @@ def test_checkpoint_restart_is_incremental_exactly_once(spark, sf_dir, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == events.count()  # everything exactly once
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, landing):
+    """Stream-stream attribution join (both sides watermarked, time-
+    bounded condition) drains to exactly the batch twin's rows."""
+    from duckdb_pipeline_spark.streaming import stream_stream_interval_join
+
+    src = read_event_stream(spark, landing)
+    stream = stream_stream_interval_join(
+        src.where(F.col("event_type") == "click"),
+        src.where(F.col("event_type") == "purchase"),
+    )
+    # stream-stream joins emit in append mode only
+    got = run_available_now(stream, _mem_name(), output_mode="append")
+
+    events = load(spark, sf_dir, "events")
+    batch = stream_stream_interval_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "purchase"),
+    )
+    key = lambda r: (r.purchase_id, r.click_id)
+    g = sorted(got.collect(), key=key)
+    b = sorted(batch.collect(), key=key)
+    assert len(g) == len(b) > 0
+    assert [key(r) for r in g] == [key(r) for r in b]
+
+
+def test_watermark_drops_late_data_across_restarts(spark, sf_dir, tmp_path):
+    """Event-time correctness under late data: rows arriving behind the
+    checkpointed watermark are DROPPED from the windowed aggregation —
+    the exact semantics a 100 TB pipeline relies on to bound state.
+    Phase 1 lands the corpus and finalizes its windows; phase 2 lands
+    rows 6 hours behind the stream's max event time into an hour bucket
+    that phase 1 never produced; their window must not appear."""
+    from duckdb_pipeline_spark.streaming import write_parquet_stream
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    events = load(spark, sf_dir, "events")
+    lo = events.select(F.min("ts")).first()[0]
+    events.coalesce(1).write.mode("append").parquet(src)
+    q = write_parquet_stream(
+        tumbling_counts(read_event_stream(spark, src), watermark="2 hours"),
+        out, ckpt, available_now=True,
+    )
+    q.awaitTermination()
+
+    # phase 2: replay 50 events time-shifted into the hour before the
+    # corpus begins — far behind the watermark (max ts - 2h) persisted
+    # in the checkpoint
+    late = (
+        events.limit(50)
+        .withColumn("ts", F.expr(f"date_trunc('hour', timestamp'{lo}') - interval 30 minutes"))
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    q2 = write_parquet_stream(
+        tumbling_counts(read_event_stream(spark, src), watermark="2 hours"),
+        out, ckpt, available_now=True,
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    late_ws = late.select(F.date_trunc("hour", "ts").alias("w")).first().w
+    assert got.where(F.col("window_start") == late_ws).count() == 0
+    # control: batch (no watermark) WOULD count them
+    assert late.groupBy(F.window("ts", "1 hour")).count().first()[1] == 50
