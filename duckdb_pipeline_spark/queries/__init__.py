@@ -78,15 +78,15 @@ PRIORITY: tuple[str, ...] = (
     # round-3 relational additions
     "window_moving_7d",
     "scalar_map_funcs",
+    "scalar_pandas_udf",
+    "agg_pandas_udaf",
     # checked once (round 2) — keep until green twice
     "window_percentiles",
     "window_first_last",
     "setop_except_all",
-    "unpivot_part_measures",
     "scalar_array_funcs",
     "scalar_regexp_funcs",
     "agg_salted_hot_keys",
-    "q22_idle_customers",
     # representatives of the twice-green relational families
     "q1_pricing_summary",
     "asof_purchase_click",
@@ -94,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     # rotated out this round (driver-green in r1 AND r2, unchanged):
     # scalar_math_funcs, case_bucketing, q12_shipmode_priority,
     # setop_intersect_all, join_null_safe, agg_listagg_sorted,
-    # pivot_status_by_priority
+    # pivot_status_by_priority, unpivot_part_measures, q22_idle_customers
 )
 
 

@@ -6,6 +6,8 @@ stays JVM-side (no Python UDFs).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -179,6 +181,83 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# pandas UDF shapes: the two Arrow-vectorized UDF forms the rest of the
+# engine doesn't exercise (mapInPandas / applyInPandas / withState /
+# UDTF are covered elsewhere). Both use integer-exact arithmetic so the
+# Python-side numpy result is bitwise-reproducible in the SQL oracle —
+# the UDFs are declared capability, not the hot path (built-ins express
+# both bodies; see each docstring).
+# ---------------------------------------------------------------------------
+
+
+def scalar_pandas_udf_buckets(spark, sf_dir):
+    """SCALAR pandas UDF (Arrow-batched, numpy interior): deterministic
+    price-hash bucketing, floor(p*100+0.5) %% 97 — integer math, so the
+    vectorized Python result is exactly the oracle's SQL expression.
+    (A built-in expression computes the same thing JVM-side; the query
+    declares the UDF shape itself — signature, Arrow transfer, null
+    passthrough — as tested capability.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def price_bucket(p: pd.Series) -> pd.Series:
+        return pd.Series(
+            (np.floor(p.to_numpy() * 100.0 + 0.5).astype("int64")) % 97
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(price_bucket("o_totalprice").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SCALAR_UDF_SQL = """
+SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 97 AS bucket, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def agg_pandas_udaf(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (a user-defined aggregate over Arrow
+    batches): exact fixed-point event-value totals per event type —
+    the sum runs over int64 scale-9 units, so Python-side summation
+    order cannot perturb the result and the oracle reproduces it
+    bit-for-bit. Note the scale contract: a grouped-agg pandas UDF is
+    NOT algebraic to Spark (no partial aggregation — all group rows
+    ship to one worker), so it is for bounded groups or must be
+    pre-combined; the built-in dsum_fp formulation keeps map-side
+    partials and is what the hot queries use."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def exact_units(v: pd.Series) -> int:
+        # nulls are skipped, matching SQL SUM semantics
+        return int(np.floor(v.dropna().to_numpy() * 1e9 + 0.5).astype("int64").sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and non-pandas aggregates in one
+        # agg(), so the count is a pandas aggregate too
+        return len(v)
+
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        exact_units("value").alias("value_units"),
+        n_rows("value").alias("n"),
+    )
+
+
+UDAF_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(floor(value * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS value_units,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "window_moving_7d": QuerySpec(
         window_moving_7d, WINDOW_7D_SQL, "interval RANGE window frame"
@@ -190,4 +269,8 @@ QUERIES = {
         embedding_quantize_int8, QUANT_SQL, "int8 embedding quantization"
     ),
     "scalar_map_funcs": QuerySpec(scalar_map_funcs, MAP_SQL, "map scalar functions"),
+    "scalar_pandas_udf": QuerySpec(
+        scalar_pandas_udf_buckets, SCALAR_UDF_SQL, "Arrow scalar pandas UDF"
+    ),
+    "agg_pandas_udaf": QuerySpec(agg_pandas_udaf, UDAF_SQL, "grouped-agg pandas UDF"),
 }
