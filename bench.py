@@ -57,6 +57,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q16_supplier_variety",
     "timeseries_gap_fill",
+    # round-3 additions
+    "dedup_containment",
+    "embedding_quantize_int8",
+    "window_moving_7d",
+    "stream_interval_join",
+    "sample_stratified",
 ]
 
 

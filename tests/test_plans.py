@@ -125,3 +125,39 @@ def test_join_left_zero_counts_aggregates_below_join(spark, sf_dir):
     # and no aggregate sits above the join (nothing re-aggregates the
     # join output)
     assert not any(p < join_pos for p in agg_positions)
+
+
+def test_window_moving_7d_single_partition_exchange(spark, sf_dir):
+    """The RANGE-frame window shuffles ONCE on the partition key and
+    prunes the orders scan to the four referenced columns."""
+    df = collect_all()["window_moving_7d"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    fplan = plan_text(df)
+    read_schema = fplan.split("ReadSchema")[1][:400]
+    assert "o_totalprice" in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_sample_stratified_filter_is_scan_side(spark, sf_dir):
+    """The md5-threshold predicate runs before the aggregation exchange
+    (map-side filter + partial agg — nothing unsampled shuffles)."""
+    df = collect_all()["sample_stratified"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    before_exchange = plan.split("Exchange")[-1]  # below the agg exchange
+    assert "Filter" in before_exchange
+    assert "HashAggregate" in before_exchange  # partial agg below too
+
+
+def test_quantize_int8_is_pure_map(spark, sf_dir):
+    df = collect_all()["embedding_quantize_int8"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "Exchange" not in plan  # scan -> project, no shuffle
+
+
+def test_containment_uses_no_cartesian(spark, sf_dir):
+    """The decontamination join is keyed on the shingle (inverted
+    index) — never a cartesian/nested-loop pair enumeration."""
+    df = collect_all()["dedup_containment"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
