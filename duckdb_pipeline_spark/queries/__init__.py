@@ -80,6 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "scalar_map_funcs",
     "scalar_pandas_udf",
     "agg_pandas_udaf",
+    "q8_market_share",
+    "q13_order_counts",
     # checked once (round 2) — keep until green twice
     "window_percentiles",
     "window_first_last",
@@ -87,14 +89,13 @@ PRIORITY: tuple[str, ...] = (
     "scalar_array_funcs",
     "scalar_regexp_funcs",
     "agg_salted_hot_keys",
-    # representatives of the twice-green relational families
+    # representative of the twice-green relational families
     "q1_pricing_summary",
-    "asof_purchase_click",
-    "range_join_next_10m",
     # rotated out this round (driver-green in r1 AND r2, unchanged):
     # scalar_math_funcs, case_bucketing, q12_shipmode_priority,
     # setop_intersect_all, join_null_safe, agg_listagg_sorted,
-    # pivot_status_by_priority, unpivot_part_measures, q22_idle_customers
+    # pivot_status_by_priority, unpivot_part_measures, q22_idle_customers,
+    # asof_purchase_click, range_join_next_10m
 )
 
 

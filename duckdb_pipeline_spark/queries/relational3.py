@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .common import D2D, DEC, dec2double, load
+from .common import D2D, DEC, DSUM, dec2double, dsum_fp, load
 
 # ---------------------------------------------------------------------------
 # RANGE window frame over an interval: 7-day moving revenue per customer.
@@ -182,6 +182,105 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# The two TPC-H shapes still expressible on the driver schema (q2/q11/
+# q20 need the absent partsupp table — documented gap, not an omission):
+# Q8 national market share (7-table join, conditional-volume ratio) and
+# Q13 customer order-count distribution (outer join + double grouping).
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_1's share of ASIA's PROMO-part order
+    volume per order year. Two exact decimal sums (conditional and
+    total volume) and ONE final IEEE divide on identical operands in
+    both engines. Small dims broadcast; the fact-side join tree is the
+    q5/q7 shape."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum_fp(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0)).alias(
+            "nation_vol"
+        ),
+        dsum_fp(vol).alias("total_vol"),
+    )
+    return agg.select(
+        "o_year", (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share")
+    )
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       {DSUM("CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0.0 END")}
+       / {DSUM('vol')} AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: how many customers placed exactly k orders
+    (urgent orders excluded) — LEFT join so zero-order customers land
+    in the k=0 bucket, then a second aggregation over the counts."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # pandas UDF shapes: the two Arrow-vectorized UDF forms the rest of the
 # engine doesn't exercise (mapInPandas / applyInPandas / withState /
 # UDTF are covered elsewhere). Both use integer-exact arithmetic so the
@@ -269,6 +368,10 @@ QUERIES = {
         embedding_quantize_int8, QUANT_SQL, "int8 embedding quantization"
     ),
     "scalar_map_funcs": QuerySpec(scalar_map_funcs, MAP_SQL, "map scalar functions"),
+    "q8_market_share": QuerySpec(q8_market_share, Q8_SQL, "TPC-H Q8 market share"),
+    "q13_order_counts": QuerySpec(
+        q13_order_count_distribution, Q13_SQL, "TPC-H Q13 order-count distribution"
+    ),
     "scalar_pandas_udf": QuerySpec(
         scalar_pandas_udf_buckets, SCALAR_UDF_SQL, "Arrow scalar pandas UDF"
     ),
