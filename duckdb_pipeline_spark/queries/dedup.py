@@ -267,12 +267,25 @@ def dedup_containment(spark, sf_dir):
     source 'src0'; candidate pairs come from an inverted-index join on
     shared shingles (the standard decontamination shape: pair space is
     bounded by shingle collisions, never all-pairs), then the exact
-    containment filter. All built-in ops — explode + joins + groupBy,
-    no Python."""
+    containment filter. Shingles occurring in more than ``max_df`` docs
+    are dropped before the join — the boilerplate/stop-shingle cap
+    every production decontamination run applies, and the thing that
+    keeps the inverted-index join linear-ish at corpus scale: without
+    it one hot shingle ("terms of service") contributes
+    |held x shingle| * |train x shingle| join rows. All built-in ops —
+    explode + joins + groupBy, no Python."""
     from ..operators.dedup import word_shingles
 
+    max_df = 50
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    sh = word_shingles(docs, n=3)
+    sh_all = word_shingles(docs, n=3)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle")
     held = docs.where(F.col("source") == "src0")
     train = docs.where(F.col("source") != "src0")
     sh_h = sh.join(held.select("doc_id"), "doc_id").withColumnRenamed("doc_id", "eval_id")
@@ -293,13 +306,15 @@ def dedup_containment(spark, sf_dir):
 
 DEDUP_CONTAINMENT_SQL = f"""
 WITH {_shingle_cte('documents').strip()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 sh_h AS (
   SELECT s.doc_id AS eval_id, s.shingle
-  FROM sh s JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'
+  FROM shr s JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'
 ),
 sh_t AS (
   SELECT s.doc_id AS train_id, s.shingle
-  FROM sh s JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+  FROM shr s JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
 ),
 sizes AS (SELECT eval_id, count(*) AS n_eval FROM sh_h GROUP BY eval_id),
 inter AS (
