@@ -37,26 +37,31 @@ def word_shingles(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Word n-gram shingles per document: (id, shingle).
+    """Word n-gram shingles per document: (id, shingle[, extra_cols]).
 
     Docs with fewer than ``n`` tokens produce no shingles (mirrors the
     DuckDB ``range`` formulation). ``distinct=False`` skips the dedup
     shuffle — correct for consumers like min-hash where duplicates
-    cannot change the result.
+    cannot change the result. ``extra_cols`` are carried through
+    unchanged (they ride the explode; with ``distinct`` they join the
+    dedup key, which is safe because they are constant per document).
     """
     # explode an index sequence, then element_at + concat_ws — every
     # expression stays in whole-stage codegen (a transform() lambda
     # would drop the widest stage of the pipeline to interpreted eval;
     # measured ~3x slower)
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    extra = [F.col(c) for c in (extra_cols or [])]
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"), *extra)
     ex = toks.select(
         F.col(id_col),
         F.col("t"),
+        *extra,
         F.explode(F.expr(f"sequence(1, greatest(size(t) - {n - 1}, 1))")).alias("i"),
     ).where(F.col("i") <= F.size("t") - (n - 1))
     parts = [F.element_at("t", F.col("i") + j) for j in range(n)]
-    out = ex.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
+    out = ex.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"), *extra)
     return out.distinct() if distinct else out
 
 

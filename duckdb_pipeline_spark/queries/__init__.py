@@ -44,6 +44,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_containment",
+    # LLM corpus ops new this round
+    "text_repetition_stats",
+    "corpus_shard_manifest",
+    "seq_pack_offsets",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -65,14 +69,14 @@ PRIORITY: tuple[str, ...] = (
     "stream_sliding_2h_1h",
     "stream_session_30m",
     "stream_interval_join",
-    # timeseries / sampling (round 3 adds stratified sampling)
+    # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
     "timeseries_gap_fill",
     "agg_corr_exact",
-    "sample_hash_deterministic",
     "sample_stratified",
+    "timeseries_ewma",
+    "timeseries_resample_ohlc",
     # sketches (2 are rows-only by design: estimates are engine-specific)
-    "agg_percentiles_exact",
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
     # round-3 relational additions
@@ -82,16 +86,18 @@ PRIORITY: tuple[str, ...] = (
     "agg_pandas_udaf",
     "q8_market_share",
     "q13_order_counts",
-    # checked once (round 2) — keep until green twice
-    "window_percentiles",
-    "window_first_last",
-    "setop_except_all",
-    "scalar_array_funcs",
-    "scalar_regexp_funcs",
-    "agg_salted_hot_keys",
-    # representative of the twice-green relational families
+    # TPC-H completion via the lineitem-derived partsupp (new this round)
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q20_potential_promotion",
+    # representative of the twice-green relational families; q1 also
+    # changed this round (fixed_point_agg pre-projection)
     "q1_pricing_summary",
-    # rotated out this round (driver-green in r1 AND r2, unchanged):
+    # rotated out in round 3 (driver-green r2, unchanged since):
+    # window_percentiles, window_first_last, setop_except_all,
+    # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,
+    # agg_percentiles_exact, sample_hash_deterministic
+    # rotated out in round 2 (driver-green in r1 AND r2, unchanged):
     # scalar_math_funcs, case_bucketing, q12_shipmode_priority,
     # setop_intersect_all, join_null_safe, agg_listagg_sorted,
     # pivot_status_by_priority, unpivot_part_measures, q22_idle_customers,
@@ -107,6 +113,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         sketches,
         streaming_like,
@@ -119,6 +126,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         dedup,
         similarity,
         sketches,

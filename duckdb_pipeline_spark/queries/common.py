@@ -118,6 +118,82 @@ def davg_fp(col: str | Column) -> Column:
     return dsum_fp(col) / F.count(F.lit(1))
 
 
+def _limb_finish(sa: Column, sb: Column, sc: Column) -> Column:
+    """Carry three aggregated base-2^20 limb sums to a canonical
+    scale-9 value and render it as the deterministic double (same math
+    as the tail of dsum_fp)."""
+    c2 = sc.bitwiseAND(F.lit(_M20))
+    b2 = sb + F.shiftright(sc, 20)
+    b3 = b2.bitwiseAND(F.lit(_M20))
+    a2 = sa + F.shiftright(b2, 20)
+    r1 = F.pmod(a2, F.lit(_B))
+    q1 = F.round((a2 - r1) / F.lit(_B)).cast("long")
+    t2 = F.shiftleft(r1, 20) + b3
+    r2 = F.pmod(t2, F.lit(_B))
+    q2 = F.round((t2 - r2) / F.lit(_B)).cast("long")
+    t3 = F.shiftleft(r2, 20) + c2
+    r3 = F.pmod(t3, F.lit(_B))
+    q3 = F.round((t3 - r3) / F.lit(_B)).cast("long")
+    q = F.shiftleft(F.shiftleft(q1, 20) + q2, 20) + q3
+    return q.cast("double") + r3.cast("double") / F.lit(1e9)
+
+
+def fixed_point_agg(
+    df: DataFrame,
+    keys: list[str],
+    exprs: dict[str, Column],
+    sums: dict[str, str],
+    avgs: dict[str, str] | None = None,
+    count_alias: str | None = None,
+    order: list[str] | None = None,
+) -> DataFrame:
+    """Multi-column exact-sum aggregation with the scale-9 units
+    PRE-PROJECTED once per row.
+
+    ``dsum_fp`` inlines round(x*1e9) into each of its three limb-sum
+    update expressions, and Spark's hash-aggregate codegen does not
+    eliminate the common subexpression across aggregate buffers — for a
+    q1-shaped 7-sum aggregation that triples the per-row multiply/round
+    work in the (serial, scan-side) partial agg. Projecting ``u_k =
+    round(e_k*1e9)`` in a parent Project node computes each unit value
+    once; the aggregate updates are then plain shift/mask long sums.
+    Measured: TPC-H q1 1.6s -> 1.33s at sf0.1 (same result bitwise).
+
+    exprs: name -> source double expression (dsum_fp preconditions).
+    sums: output alias -> expr name. avgs: output alias -> expr name
+    (exact sum / COUNT(*), one IEEE divide). ``order``: final column
+    order (defaults to keys + sums + avgs + count).
+    """
+    u_cols = [
+        F.round(e * F.lit(1e9)).cast("long").alias(f"__u_{k}")
+        for k, e in exprs.items()
+    ]
+    proj = df.select(*[F.col(k) for k in keys], *u_cols)
+    aggs: list[Column] = []
+    for k in exprs:
+        u = F.col(f"__u_{k}")
+        aggs += [
+            F.sum(F.shiftright(u, 40)).alias(f"__a_{k}"),
+            F.sum(F.shiftright(u, 20).bitwiseAND(F.lit(_M20))).alias(f"__b_{k}"),
+            F.sum(u.bitwiseAND(F.lit(_M20))).alias(f"__c_{k}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    g = proj.groupBy(*keys).agg(*aggs)
+
+    def fin(k: str) -> Column:
+        return _limb_finish(F.col(f"__a_{k}"), F.col(f"__b_{k}"), F.col(f"__c_{k}"))
+
+    out: dict[str, Column] = {k: F.col(k) for k in keys}
+    for alias, k in sums.items():
+        out[alias] = fin(k).alias(alias)
+    for alias, k in (avgs or {}).items():
+        out[alias] = (fin(k) / F.col("__n")).alias(alias)
+    if count_alias:
+        out[count_alias] = F.col("__n").alias(count_alias)
+    names = order or list(out)
+    return g.select(*[out[n] for n in names])
+
+
 def D2D(expr: str) -> str:
     """SQL twin of dec2double."""
     return f"(CAST(FLOOR({expr}) AS DOUBLE) + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"

@@ -278,25 +278,48 @@ def dedup_containment(spark, sf_dir):
 
     max_df = 50
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    sh_all = word_shingles(docs, n=3)
-    rare = (
-        sh_all.groupBy("shingle")
+    # Structure notes (scale + stage-count):
+    # - `source` rides the shingle explode, so the held/train split is a
+    #   map-side filter — the earlier shape re-joined docs onto the
+    #   shingle table twice (one extra shuffle per side).
+    # - the df cap joins against the HOT set, not the rare set: rare
+    #   shingles are nearly all shingles (unbroadcastable at corpus
+    #   scale), while over-the-cap boilerplate shingles are few by
+    #   construction — so the cap is a BROADCAST anti-join, removing a
+    #   full shuffle of the shingle table from the critical path. The
+    #   hot count itself is a two-phase groupBy (partial aggs), never a
+    #   window over hash(shingle), so a hot shingle's posting list is
+    #   counted distributed, not funneled into one partition.
+    # - measured negative result: persist()ing the shingle table to
+    #   avoid branch recompute is SLOWER at sf0.1 (1.4s -> 1.9-2.1s;
+    #   materialization barriers cost more than the re-run map work).
+    #   The recomputed branches are map-only once the cap is a
+    #   broadcast, so this holds at scale too.
+    sh_d = word_shingles(docs, n=3, distinct=True, extra_cols=["source"])
+    hot = (
+        sh_d.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_df)
+        .where(F.col("df") > max_df)
         .select("shingle")
     )
-    sh = sh_all.join(rare, "shingle")
-    held = docs.where(F.col("source") == "src0")
-    train = docs.where(F.col("source") != "src0")
-    sh_h = sh.join(held.select("doc_id"), "doc_id").withColumnRenamed("doc_id", "eval_id")
-    sh_t = sh.join(train.select("doc_id"), "doc_id").withColumnRenamed("doc_id", "train_id")
-    sizes = sh_h.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    capped = sh_d.join(F.broadcast(hot), "shingle", "left_anti")
+    h = capped.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    t = capped.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
     inter = (
-        sh_h.join(sh_t, "shingle")
+        h.join(t, "shingle")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    cont = inter.join(sizes, "eval_id").select(
+    sizes = (
+        capped.where(F.col("source") == "src0")
+        .groupBy(F.col("doc_id").alias("eval_id"))
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+    )
+    cont = inter.join(F.broadcast(sizes), "eval_id").select(
         "eval_id",
         "train_id",
         (F.col("ni").cast("double") / F.col("n_eval")).alias("containment"),

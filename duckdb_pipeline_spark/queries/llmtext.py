@@ -313,6 +313,199 @@ def multimodal_phash_groups(spark, sf_dir):
     )
 
 
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: per-document top-token
+    fraction, top-bigram fraction, and duplicate-bigram fraction (the
+    share of all bigrams that occur more than once), plus the keep
+    decision at the published-style thresholds. Bigrams are built by
+    exploding an index sequence and probing the token array with
+    element_at — whole-stage-codegen expressions, no interpreted HOF
+    lambdas and no per-doc window shuffle; the two groupBys key on
+    (doc_id, gram) then doc_id, so the pair space is per-document and
+    the plan is two ordinary hash aggregations at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    words = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.expr("sequence(1, size(t))")).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.element_at("t", F.col("i")).alias("w"),
+        F.when(
+            F.col("i") < F.col("n_tokens"),
+            F.concat_ws(" ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)),
+        ).alias("bg"),
+    )
+    tok_top = (
+        words.groupBy("doc_id", "n_tokens", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    bg_stats = (
+        words.where(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bg"),
+            F.max("c").alias("top_bg"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bg"),
+        )
+    )
+    j = tok_top.join(bg_stats, "doc_id")
+    top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    dup_bg_frac = F.col("dup_bg").cast("double") / F.col("n_bg")
+    keep = (
+        (top_tok_frac <= 0.30) & (top_bg_frac <= 0.18) & (dup_bg_frac <= 0.40)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_tok_frac.alias("top_token_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+        dup_bg_frac.alias("dup_bigram_frac"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+words AS (
+  SELECT doc_id, n_tokens, t[u.i] AS w,
+         CASE WHEN u.i < n_tokens THEN t[u.i] || ' ' || t[u.i + 1] END AS bg
+  FROM toks, UNNEST(range(1, n_tokens + 1)) AS u(i)
+),
+tok_top AS (
+  SELECT doc_id, n_tokens, max(c) AS top_tok FROM (
+    SELECT doc_id, n_tokens, w, count(*) AS c FROM words GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+bg_stats AS (
+  SELECT doc_id, SUM(c) AS n_bg, max(c) AS top_bg,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+  FROM (
+    SELECT doc_id, bg, count(*) AS c FROM words WHERE bg IS NOT NULL GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+       CAST(dup_bg AS DOUBLE) / n_bg AS dup_bigram_frac,
+       CASE WHEN CAST(top_tok AS DOUBLE) / n_tokens <= 0.30
+             AND CAST(top_bg AS DOUBLE) / n_bg <= 0.18
+             AND CAST(dup_bg AS DOUBLE) / n_bg <= 0.40
+            THEN 1 ELSE 0 END AS keep
+FROM tok_top JOIN bg_stats USING (doc_id)
+"""
+
+
+def corpus_shard_manifest(spark, sf_dir):
+    """Training-shard writer manifest: deterministic shard assignment
+    (first hex char of md5(doc_id) — 16 shards, stable across engines,
+    partitionings, and reruns, unlike hash()/rand()) with per-shard
+    doc/char/token totals — the balance check before a
+    partitionBy-shard write of training files. A pure map plus one
+    16-group aggregation: the 100 TB plan is scan + partial agg."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens_total"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = """
+SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+_CTX = 256  # packing context length (tokens)
+
+
+def seq_pack_offsets(spark, sf_dir):
+    """GPT-style sequence packing: documents are deterministically
+    shuffled (ordered by md5(doc_id) — the reproducible global shuffle
+    a training run needs), concatenated per shard, and cut into
+    fixed-size context windows; each doc gets its global token offset,
+    its window id, and whether it straddles a window boundary. The
+    running offset is one window cumsum per shard — at 100 TB each
+    shard's prefix sum is an independent partition-local pass after one
+    shuffle on the shard key."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    end = F.sum("n_tokens").over(w)
+    start = end - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / _CTX).cast("long").alias("window_id"),
+        (F.floor(start / _CTX) != F.floor((end - 1) / _CTX)).cast("int").alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+SEQ_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / {_CTX}) AS BIGINT) AS window_id,
+       CASE WHEN floor(start_offset / {_CTX})
+            <> floor((start_offset + n_tokens - 1) / {_CTX})
+            THEN 1 ELSE 0 END AS crosses_boundary
+FROM o
+"""
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -335,5 +528,14 @@ QUERIES = {
     ),
     "multimodal_phash_groups": QuerySpec(
         multimodal_phash_groups, None, "perceptual image-hash dedup (non-SQL-expressible)"
+    ),
+    "text_repetition_stats": QuerySpec(
+        text_repetition_stats, REPETITION_SQL, "Gopher-style repetition filters"
+    ),
+    "corpus_shard_manifest": QuerySpec(
+        corpus_shard_manifest, SHARD_MANIFEST_SQL, "deterministic training-shard manifest"
+    ),
+    "seq_pack_offsets": QuerySpec(
+        seq_pack_offsets, SEQ_PACK_SQL, "GPT-style sequence-packing offsets"
     ),
 }

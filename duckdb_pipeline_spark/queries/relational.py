@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, range_join, top_k_per_group
 from . import QuerySpec
-from .common import DAVG, DSUM, davg_fp, dsum_fp, load, spread
+from .common import DAVG, DSUM, davg_fp, dsum_fp, fixed_point_agg, load, spread
 
 # ---------------------------------------------------------------- TPC-H-ish
 
@@ -33,23 +33,31 @@ def q1_pricing_summary(spark, sf_dir):
     map-side aggregation reduces the shuffle to ~9 rows per task.
     (With the long fixed-point sums the partial agg is cheap enough
     that re-splitting the single-row-group local file no longer pays —
-    measured 0.88s plain vs 1.35s with spread() at sf0.1.)"""
+    measured 0.88s plain vs 1.35s with spread() at sf0.1.) The five
+    fixed-point unit columns are pre-projected once per row
+    (fixed_point_agg) so the 15 limb-sum buffer updates are plain
+    shift/mask ops — see that helper's measured numbers."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum_fp("l_quantity").alias("sum_qty"),
-            dsum_fp("l_extendedprice").alias("sum_base_price"),
-            dsum_fp(disc_price).alias("sum_disc_price"),
-            dsum_fp(charge).alias("sum_charge"),
-            davg_fp("l_quantity").alias("avg_qty"),
-            davg_fp("l_extendedprice").alias("avg_price"),
-            davg_fp("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    return fixed_point_agg(
+        li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")),
+        keys=["l_returnflag", "l_linestatus"],
+        exprs={
+            "qty": F.col("l_quantity"),
+            "price": F.col("l_extendedprice"),
+            "disc_price": disc_price,
+            "charge": charge,
+            "disc": F.col("l_discount"),
+        },
+        sums={
+            "sum_qty": "qty",
+            "sum_base_price": "price",
+            "sum_disc_price": "disc_price",
+            "sum_charge": "charge",
+        },
+        avgs={"avg_qty": "qty", "avg_price": "price", "avg_disc": "disc"},
+        count_alias="count_order",
     )
 
 

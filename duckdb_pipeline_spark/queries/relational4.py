@@ -1,0 +1,221 @@
+"""Round-3 session additions: the last three TPC-H shapes (Q2/Q11/Q20),
+previously recorded as a schema gap because the driver schema has no
+partsupp table. The gap closes by DERIVING the part-supplier relation
+from lineitem — ``ps(partkey, suppkey, supply_cost=min price seen,
+qty=total shipped)`` — which preserves each query's defining SHAPE:
+
+- Q2: correlated scalar MIN subquery (min-cost supplier per part
+  within a region) + multi-dim join + deterministic top-N;
+- Q11: grouped value share vs a scalar-subquery global total
+  (HAVING > fraction-of-total);
+- Q20: nested IN subqueries (suppliers shipping enough of the
+  selected parts).
+
+All aggregation uses MIN/exact fixed-point sums, so both engines
+produce bitwise-identical doubles (see queries.common). Derivation
+cost note (100 TB): ``ps`` is one groupBy over lineitem on
+(l_partkey, l_suppkey) — the same key the downstream joins use, so
+AQE reuses the shuffle layout; no extra pass vs a materialized
+partsupp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import DSUM, dsum_fp, load
+
+
+def _ps(spark, sf_dir):
+    """Derived partsupp: one row per (part, supplier) pair seen in
+    lineitem, with min observed unit price as the supply cost and total
+    shipped quantity (exact sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        dsum_fp("l_quantity").alias("ps_qty"),
+    )
+
+
+_PS_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost,
+         {DSUM('l_quantity')} AS ps_qty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for ECONOMY parts of size <= 5, the EUROPE
+    supplier(s) offering the minimum supply cost — the correlated
+    scalar-MIN subquery expressed as a per-part min over the regional
+    ps relation joined back on equality (MIN is arithmetic-free, so the
+    double equality is engine-stable). Dims broadcast; the ps groupBy
+    and the min-per-part reuse the same partkey shuffle."""
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    regional = (
+        _ps(spark, sf_dir)
+        .join(supp, F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    best = regional.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("b_cost")
+    )
+    return (
+        regional.join(
+            best,
+            (F.col("ps_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("b_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ps_supplycost AS supply_cost
+FROM part
+JOIN ps ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND p_size <= 5 AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape: per-part supply value (cost x shipped qty,
+    exact integer fixed point at scale 4 — both factors have <= 2
+    decimal digits, so scale-2 units are exact and their product is an
+    exact scale-4 long; sums accumulate as decimal(38,0) = DuckDB
+    HUGEINT) restricted to NATION_1 suppliers, keeping parts whose
+    value exceeds 0.1% of the nation total (scalar-subquery HAVING).
+    The fraction threshold is one IEEE multiply on identical operands."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    dec = "decimal(38,0)"
+    units = (
+        F.round(F.col("ps_supplycost") * 100).cast("long")
+        * F.round(F.col("ps_qty") * 100).cast("long")
+    ).cast(dec)
+    national = (
+        _ps(spark, sf_dir)
+        .join(supp, F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(F.col("ps_partkey"), units.alias("u"))
+    )
+    per_part = national.groupBy("ps_partkey").agg(
+        (F.sum("u").cast("double") / F.lit(1e4)).alias("part_value")
+    )
+    total = national.groupBy().agg(
+        (F.sum("u").cast("double") / F.lit(1e4)).alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+national AS (
+  SELECT ps_partkey,
+         CAST(CAST(round(ps_supplycost * 100) AS BIGINT)
+              * CAST(round(ps_qty * 100) AS BIGINT) AS HUGEINT) AS u
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT ps_partkey, CAST(SUM(u) AS DOUBLE) / 1e4 AS part_value
+FROM national
+GROUP BY ps_partkey
+HAVING CAST(SUM(u) AS DOUBLE) / 1e4
+       > 0.001 * (SELECT CAST(SUM(u) AS DOUBLE) / 1e4 FROM national)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than 100 units of
+    small/red-ish parts during 1996 — the nested-IN pattern (parts IN
+    name-filter, suppliers IN qty-threshold set) as two left-semi
+    joins; the threshold aggregate is an exact fixed-point sum."""
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum_fp("l_quantity").alias("qty_1996"))
+        .where(F.col("qty_1996") > 100)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING {DSUM('l_quantity')} > 100)
+ORDER BY s_name
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": QuerySpec(
+        q2_min_cost_supplier, Q2_SQL, "TPC-H Q2 correlated-min supplier"
+    ),
+    "q11_important_value": QuerySpec(
+        q11_important_value, Q11_SQL, "TPC-H Q11 fraction-of-total HAVING"
+    ),
+    "q20_potential_promotion": QuerySpec(
+        q20_potential_promotion, Q20_SQL, "TPC-H Q20 nested-IN suppliers"
+    ),
+}

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .common import load
+from .common import DAVG, load
 
 
 def timeseries_gap_fill(spark, sf_dir):
@@ -192,6 +192,113 @@ GROUP BY user_id
 """
 
 
+def timeseries_ewma(spark, sf_dir):
+    """EWMA smoothing of the daily mean event value per event type —
+    the true sequential recurrence ``e_0 = x_0; e_t = 0.5*x_t +
+    0.5*e_{t-1}`` (pandas ewm adjust=False semantics), run per series
+    in an Arrow-batched applyInPandas numpy loop; the oracle computes
+    the identical recurrence with a recursive CTE.
+
+    Cross-engine determinism: alpha = 1/2 makes each step IEEE-stable
+    under ANY formulation — 0.5*x and 0.5*e are exact halvings, so
+    ``0.5*x + 0.5*e``, ``(x + e)/2``, and ``fma(0.5, x, 0.5*e)`` all
+    round identically — and the recursion visits rows in the same
+    ascending-day order in both engines, so the series is bitwise
+    equal. (Measured negative result: the closed-form window-sum
+    formulation ``0.5 * sum(x_i*2^i) / 2^t`` is NOT cross-engine
+    stable — DuckDB aggregates window frames with a segment tree, so
+    the additions associate differently: 7e-15 diffs at sf0.01.)
+
+    Scale shape: a grouped sequential recurrence is the applyInPandas
+    case (few series, each a bounded ordered vector); the groupBy
+    ships one series to one worker, the loop is O(days)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import davg_fp
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(davg_fp("value").alias("x"))
+
+    def ewma_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        x = pdf["x"].to_numpy()
+        e = np.empty_like(x)
+        for i in range(len(x)):
+            e[i] = x[i] if i == 0 else 0.5 * x[i] + 0.5 * e[i - 1]
+        pdf["ewma"] = e
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        ewma_series, schema="event_type string, d timestamp, x double, ewma double"
+    )
+
+
+EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, {DAVG('value')} AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts)) AS rn
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+r AS (
+  SELECT event_type, d, x, rn, x AS ewma FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.event_type, dd.d, dd.x, dd.rn, 0.5 * dd.x + 0.5 * r.ewma
+  FROM daily dd JOIN r ON dd.event_type = r.event_type AND dd.rn = r.rn + 1
+)
+SELECT event_type, d, x, ewma FROM r
+"""
+
+
+def timeseries_resample_ohlc(spark, sf_dir):
+    """Downsample the event stream to hourly OHLC bars per event type
+    (open/high/low/close + count): first/last by (ts, event_id) — the
+    unique tiebreak makes open/close deterministic — via one window
+    pass, then the bar aggregation. The window and the groupBy share
+    the (event_type, hour-truncated ts) shuffle key."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "h",
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("close_v"),
+    )
+    return o.groupBy("event_type", "h").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+OHLC_SQL = """
+WITH o AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value,
+         first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS open_v,
+         last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+  FROM events
+)
+SELECT event_type, h,
+       min(open_v) AS open, max(value) AS high, min(value) AS low,
+       min(close_v) AS close, count(*) AS n_events
+FROM o GROUP BY event_type, h
+"""
+
+
 QUERIES = {
     "funnel_view_to_purchase": QuerySpec(
         funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"
@@ -202,4 +309,10 @@ QUERIES = {
         sample_hash_deterministic, SAMPLE_SQL, "deterministic hash sample"
     ),
     "histogram_prices": QuerySpec(histogram_prices, HIST_SQL, "fixed-width histogram"),
+    "timeseries_ewma": QuerySpec(
+        timeseries_ewma, EWMA_SQL, "EWMA smoothing (dyadic closed form)"
+    ),
+    "timeseries_resample_ohlc": QuerySpec(
+        timeseries_resample_ohlc, OHLC_SQL, "hourly OHLC downsample"
+    ),
 }
