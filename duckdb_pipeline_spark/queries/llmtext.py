@@ -327,7 +327,11 @@ def text_repetition_stats(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).withColumn("n_tokens", F.size("t"))
-    words = toks.select(
+    # single pass: each position emits its unigram AND (tagged) its
+    # bigram, so one explode + one (doc, tag, gram) count + one per-doc
+    # rollup replaces two aggregation trees joined on doc_id (one
+    # shuffle and one join fewer; same grouping keys at any scale)
+    grams = toks.select(
         "doc_id",
         "n_tokens",
         F.explode(F.expr("sequence(1, size(t))")).alias("i"),
@@ -335,30 +339,35 @@ def text_repetition_stats(spark, sf_dir):
     ).select(
         "doc_id",
         "n_tokens",
-        F.element_at("t", F.col("i")).alias("w"),
-        F.when(
-            F.col("i") < F.col("n_tokens"),
-            F.concat_ws(" ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)),
-        ).alias("bg"),
-    )
-    tok_top = (
-        words.groupBy("doc_id", "n_tokens", "w")
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("tag"), F.element_at("t", F.col("i")).alias("g")),
+                F.struct(
+                    F.lit(1).alias("tag"),
+                    F.when(
+                        F.col("i") < F.col("n_tokens"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("t", F.col("i")),
+                            F.element_at("t", F.col("i") + 1),
+                        ),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("tg"),
+    ).select("doc_id", "n_tokens", F.col("tg.tag").alias("tag"), F.col("tg.g").alias("g"))
+    counts = (
+        grams.where(F.col("g").isNotNull())
+        .groupBy("doc_id", "n_tokens", "tag", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens")
-        .agg(F.max("c").alias("top_tok"))
     )
-    bg_stats = (
-        words.where(F.col("bg").isNotNull())
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bg"),
-            F.max("c").alias("top_bg"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bg"),
-        )
+    is_bg = F.col("tag") == 1
+    j = counts.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(~is_bg, F.col("c"))).alias("top_tok"),
+        F.sum(F.when(is_bg, F.col("c")).otherwise(0)).alias("n_bg"),
+        F.max(F.when(is_bg, F.col("c"))).alias("top_bg"),
+        F.sum(F.when(is_bg & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("dup_bg"),
     )
-    j = tok_top.join(bg_stats, "doc_id")
     top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
     top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg")
     dup_bg_frac = F.col("dup_bg").cast("double") / F.col("n_bg")

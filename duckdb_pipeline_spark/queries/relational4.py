@@ -27,11 +27,21 @@ from . import QuerySpec
 from .common import DSUM, dsum_fp, load
 
 
-def _ps(spark, sf_dir):
+def _ps(spark, sf_dir, li_filter=None):
     """Derived partsupp: one row per (part, supplier) pair seen in
     lineitem, with min observed unit price as the supply cost and total
-    shipped quantity (exact sum)."""
+    shipped quantity (exact sum).
+
+    ``li_filter(li) -> li`` pre-filters lineitem BEFORE the pair
+    groupBy. Each caller's query restricts ps to a filtered part or
+    supplier subset, so deriving only that slice is semantics-
+    preserving and turns the near-key-cardinality pair aggregation
+    (517k groups from 600k rows at sf0.1 — a full-table shuffle) into a
+    small one; at 100 TB this is the difference between shuffling the
+    fact table and shuffling the qualifying slice."""
     li = load(spark, sf_dir, "lineitem")
+    if li_filter is not None:
+        li = li_filter(li)
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -62,8 +72,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    # ps restricted to the filtered parts up front (the query — outer
+    # block AND correlated min — only ever reads those partkeys)
+    wanted = part.select("p_partkey")
     regional = (
-        _ps(spark, sf_dir)
+        _ps(
+            spark,
+            sf_dir,
+            li_filter=lambda li: li.join(
+                F.broadcast(wanted), li.l_partkey == wanted.p_partkey, "left_semi"
+            ),
+        )
         .join(supp, F.col("ps_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -128,8 +147,19 @@ def q11_important_value(spark, sf_dir):
         F.round(F.col("ps_supplycost") * 100).cast("long")
         * F.round(F.col("ps_qty") * 100).cast("long")
     ).cast(dec)
+    # ps restricted to the nation's suppliers up front (both the
+    # per-part values and the total read only this slice)
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    ).select("s_suppkey")
     national = (
-        _ps(spark, sf_dir)
+        _ps(
+            spark,
+            sf_dir,
+            li_filter=lambda li: li.join(
+                F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey, "left_semi"
+            ),
+        )
         .join(supp, F.col("ps_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(F.col("ps_partkey"), units.alias("u"))
