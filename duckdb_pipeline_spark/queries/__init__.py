@@ -84,15 +84,21 @@ PRIORITY: tuple[str, ...] = (
     "scalar_map_funcs",
     "scalar_pandas_udf",
     "agg_pandas_udaf",
-    "q8_market_share",
-    "q13_order_counts",
-    # TPC-H completion via the lineitem-derived partsupp (new this round)
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q20_potential_promotion",
+    # round 5: the 5 queries that had never received a driver row
+    # (rotated in per VERDICT r4 #2; each is green in the local oracle
+    # harness at sf0.01 — this gives every declared query at least one
+    # driver verification)
+    "histogram_prices",
+    "join_salted_skew",
+    "text_rolling_fingerprint",
+    "text_udtf_sentences",
+    "unnest_tokens",
     # representative of the twice-green relational families; q1 also
     # changed this round (fixed_point_agg pre-projection)
     "q1_pricing_summary",
+    # rotated out in round 5 (driver-green r3 AND r4, unchanged):
+    # q8_market_share, q13_order_counts, q2_min_cost_supplier,
+    # q11_important_value, q20_potential_promotion
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

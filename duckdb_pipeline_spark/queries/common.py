@@ -222,12 +222,26 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table. The events table stores TIMESTAMP(NANOS)
-    parquet, which Spark reads as long (nanosAsLong) — convert to
-    microsecond timestamps, the same truncation DuckDB applies when it
-    scans the file, so both engines see identical instants."""
+    """Load a driver table, normalizing timestamp physics so every
+    downstream query sees plain ``timestamp`` columns:
+
+    - TIMESTAMP(NANOS) parquet (driver rounds <= 3) reads as long under
+      ``nanosAsLong`` — convert to microsecond instants, the same
+      truncation DuckDB applies when it scans the file.
+    - Timezone-less ``timestamp[us]`` parquet (driver round 4+) reads as
+      TIMESTAMP_NTZ, which TIMESTAMP-only functions (``unix_micros``,
+      ...) reject at analysis time. The session timezone is pinned UTC
+      (``__spark_entry__``/``session.py``), so casting NTZ→TIMESTAMP
+      preserves the instant exactly and matches DuckDB's naive reading.
+
+    Normalizing here (not at call sites) keeps every current and future
+    query NTZ-proof.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        simple = field.dataType.simpleString()
+        if field.name == "ts" and simple == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif simple == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
