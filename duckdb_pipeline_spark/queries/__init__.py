@@ -44,10 +44,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_containment",
-    # LLM corpus ops new this round
+    # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "text_repetition_stats",
     "corpus_shard_manifest",
     "seq_pack_offsets",
+    "vocab_top_tokens",
+    "corpus_mix_allocation",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -80,8 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
     # round-3 relational additions
-    "window_moving_7d",
-    "scalar_map_funcs",
     "scalar_pandas_udf",
     "agg_pandas_udaf",
     # round 5: the 5 queries that had never received a driver row
@@ -98,7 +98,8 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
-    # q11_important_value, q20_potential_promotion
+    # q11_important_value, q20_potential_promotion, window_moving_7d,
+    # scalar_map_funcs
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

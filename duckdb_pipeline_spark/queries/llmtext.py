@@ -515,6 +515,103 @@ FROM o
 """
 
 
+def vocab_top_tokens(spark, sf_dir):
+    """Tokenizer-prep vocabulary candidates: the 500 most frequent
+    whitespace tokens with occurrence and document frequencies — the
+    counting pass every tokenizer training run (BPE/unigram) starts
+    from. Scale shape: explode -> two-phase groupBy (map-side partial
+    counts; the distinct doc count is Spark's partial-distinct
+    rewrite), then TakeOrdered for the top-k — no global sort
+    materialization. Ties at the cut break (count DESC, token ASC), so
+    the result is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(500)
+    )
+
+
+VOCAB_TOP_SQL = """
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 500
+"""
+
+
+_MIX_BUDGET = 1_000_000
+
+
+def corpus_mix_allocation(spark, sf_dir):
+    """Pretraining-mix apportionment: allocate an integer token budget
+    across sources proportionally to their token counts, using
+    largest-remainder (Hamilton) rounding — allocations sum EXACTLY to
+    the budget, all integer arithmetic (bitwise cross-engine: no float
+    quotas). The per-source aggregation is the only real shuffle; the
+    apportionment windows run over one row per source (tiny)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("rem"), "source")
+    B = F.lit(_MIX_BUDGET)
+    sized = counts.withColumn("total", F.sum("n_tokens").over(w_all))
+    quota = sized.select(
+        "source",
+        "n_tokens",
+        F.expr(f"({_MIX_BUDGET} * n_tokens) div total").alias("base"),
+        F.expr(f"({_MIX_BUDGET} * n_tokens) % total").alias("rem"),
+    )
+    ranked = quota.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "deficit", B - F.sum("base").over(w_all)
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+quota AS (
+  SELECT source, n_tokens,
+         ({_MIX_BUDGET} * n_tokens) // (SELECT SUM(n_tokens) FROM counts) AS base,
+         ({_MIX_BUDGET} * n_tokens) % (SELECT SUM(n_tokens) FROM counts) AS rem
+  FROM counts
+),
+ranked AS (
+  SELECT source, n_tokens, base,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         {_MIX_BUDGET} - SUM(base) OVER () AS deficit
+  FROM quota
+)
+SELECT source, n_tokens,
+       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM ranked
+"""
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -546,5 +643,11 @@ QUERIES = {
     ),
     "seq_pack_offsets": QuerySpec(
         seq_pack_offsets, SEQ_PACK_SQL, "GPT-style sequence-packing offsets"
+    ),
+    "vocab_top_tokens": QuerySpec(
+        vocab_top_tokens, VOCAB_TOP_SQL, "tokenizer-prep vocabulary counts"
+    ),
+    "corpus_mix_allocation": QuerySpec(
+        corpus_mix_allocation, CORPUS_MIX_SQL, "largest-remainder pretraining-mix apportionment"
     ),
 }
