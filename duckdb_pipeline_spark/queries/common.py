@@ -179,19 +179,44 @@ def fixed_point_agg(
     proj = df.select(*[F.col(k) for k in keys], *u_cols)
     agg_exprs = []
     for k in exprs:
-        agg_exprs += [
-            f"sum(shiftright(__u_{k}, 40)) AS __a_{k}",
-            f"sum(shiftright(__u_{k}, 20) & {_M20}) AS __b_{k}",
-            f"sum(__u_{k} & {_M20}) AS __c_{k}",
-        ]
+        agg_exprs += limb_agg_sql(k)
     agg_exprs.append("count(1) AS __n")
     g = proj.groupBy(*keys).agg(*[F.expr(s) for s in agg_exprs])
 
-    # limb carry + exact long division by 1e9, layered so each
-    # selectExpr step only references columns of the previous step
-    # (same math as _limb_finish; Catalyst collapses the Projects)
+    cur = apply_limb_finish(g, ks=list(exprs))
+
+    out: dict[str, str] = {k: k for k in keys}
+    for alias, k in sums.items():
+        out[alias] = f"__v_{k} AS {alias}"
+    for alias, k in (avgs or {}).items():
+        out[alias] = f"__v_{k} / __n AS {alias}"
+    if count_alias:
+        out[count_alias] = f"__n AS {count_alias}"
+    names = order or list(out)
+    return cur.selectExpr(*[out[n] for n in names])
+
+
+def limb_agg_sql(k: str, u_col: str | None = None) -> list[str]:
+    """The three limb-sum aggregate expression strings for unit column
+    ``u_col`` (default ``__u_{k}``), aliased ``__a_{k}/__b_{k}/__c_{k}``
+    — the re-aggregatable representation of an exact scale-9 sum (limb
+    sums are plain longs: summing THEM later composes exactly, which is
+    what makes two-level rollups possible without an Expand)."""
+    u = u_col or f"__u_{k}"
+    return [
+        f"sum(shiftright({u}, 40)) AS __a_{k}",
+        f"sum(shiftright({u}, 20) & {_M20}) AS __b_{k}",
+        f"sum({u} & {_M20}) AS __c_{k}",
+    ]
+
+
+def apply_limb_finish(df: DataFrame, ks: list[str]) -> DataFrame:
+    """Carry the aggregated limb sums ``__a_{k}/__b_{k}/__c_{k}`` to the
+    canonical deterministic double ``__v_{k}`` for every k — layered
+    selectExpr steps so each step only references the previous one
+    (same math as ``_limb_finish``; Catalyst collapses the Projects).
+    """
     B, M = _B, _M20
-    ks = list(exprs)
     steps = [
         [f"__c_{k} & {M} AS __c2_{k}" for k in ks]
         + [f"__b_{k} + shiftright(__c_{k}, 20) AS __bb_{k}" for k in ks],
@@ -211,19 +236,10 @@ def fixed_point_agg(
             for k in ks
         ],
     ]
-    cur = g
+    cur = df
     for step in steps:
         cur = cur.selectExpr("*", *step)
-
-    out: dict[str, str] = {k: k for k in keys}
-    for alias, k in sums.items():
-        out[alias] = f"__v_{k} AS {alias}"
-    for alias, k in (avgs or {}).items():
-        out[alias] = f"__v_{k} / __n AS {alias}"
-    if count_alias:
-        out[count_alias] = f"__n AS {count_alias}"
-    names = order or list(out)
-    return cur.selectExpr(*[out[n] for n in names])
+    return cur
 
 
 def D2D(expr: str) -> str:

@@ -589,10 +589,36 @@ DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
 def agg_rollup(spark, sf_dir):
-    """ROLLUP over (returnflag, linestatus) with exact sums."""
+    """ROLLUP over (returnflag, linestatus) with exact sums — computed
+    as ONE finest-level aggregation plus re-aggregation of its (tiny)
+    result, not Spark's native `rollup()`: the native plan Expands
+    every input row once per grouping set (3x the scan volume for a
+    2-level rollup; measured 1.08 s vs DuckDB's hierarchical 0.03 s at
+    sf1). The limb-sum representation re-aggregates exactly (limb sums
+    are plain longs), so the coarser levels are sums over the 9
+    finest-level rows — free — and the result is bitwise-identical to
+    the native rollup and the oracle. At 100 TB the Expand is 2x the
+    whole corpus; this shape scans once."""
+    from .common import apply_limb_finish, limb_agg_sql
+
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum_fp("l_quantity").alias("sum_qty")
+    base = (
+        li.selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "cast(round(l_quantity * 1e9) as bigint) AS __u_q",
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*(F.expr(s) for s in (*limb_agg_sql("q"), "count(1) AS __n")))
+    )
+    rolled = base.rollup("l_returnflag", "l_linestatus").agg(
+        F.expr("sum(__a_q) AS __a_q"),
+        F.expr("sum(__b_q) AS __b_q"),
+        F.expr("sum(__c_q) AS __c_q"),
+        F.expr("coalesce(sum(__n), 0) AS __n"),
+    )
+    return apply_limb_finish(rolled, ["q"]).selectExpr(
+        "l_returnflag", "l_linestatus", "__n AS n", "__v_q AS sum_qty"
     )
 
 
