@@ -295,6 +295,19 @@ def dedup_containment(spark, sf_dir):
     #   materialization barriers cost more than the re-run map work).
     #   The recomputed branches are map-only once the cap is a
     #   broadcast, so this holds at scale too.
+    # - round-5 re-audit at sf1 (6M lineitem / 50k docs): this is the
+    #   one query slower than DuckDB at BOTH scales (9.8s vs 2.1s at
+    #   sf1). Stage profile: per-branch DISTINCT shuffles ~3s each; the
+    #   h x t join + pair agg ~4.5s. Every cheaper shape measured and
+    #   rejected: localCheckpoint -8%, persist +35% (sf0.1),
+    #   countDistinct-folded branches -15% at sf1 but +12% at sf0.1,
+    #   collect_set posting lists (df-cap-bounded, so scale-safe) +25%
+    #   at sf1, xxhash64 shingle keys -8% at sf1 — rejected because a
+    #   cross-engine hash collision (p ~ n^2/2^65) would break the
+    #   bitwise oracle guarantee this repo holds everywhere else. The
+    #   residual is Spark's string-keyed shuffle constant factor; the
+    #   SHAPE (bounded pair space, broadcast cap, no cartesian) is the
+    #   one that survives 100 TB.
     sh_d = word_shingles(docs, n=3, distinct=True, extra_cols=["source"])
     hot = (
         sh_d.groupBy("shingle")
