@@ -82,8 +82,8 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
     # round-3 relational additions
-    "scalar_pandas_udf",
     "agg_pandas_udaf",
+    "stats_trimmed_mean",
     # round 5: the 5 queries that had never received a driver row
     # (rotated in per VERDICT r4 #2; each is green in the local oracle
     # harness at sf0.01 — this gives every declared query at least one
@@ -99,7 +99,7 @@ PRIORITY: tuple[str, ...] = (
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
-    # scalar_map_funcs
+    # scalar_map_funcs, scalar_pandas_udf
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

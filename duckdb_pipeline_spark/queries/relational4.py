@@ -238,9 +238,58 @@ ORDER BY s_name
 """
 
 
+def stats_trimmed_mean(spark, sf_dir):
+    """Robust corpus statistics: 5%-trimmed mean of document length per
+    source — the winsorize/trim pass a corpus-quality report runs to
+    keep outlier pages from skewing per-source length profiles. Exact
+    cross-engine: lengths are integers, the kept-range sum is an exact
+    long, and the mean is ONE IEEE divide of identical operands. Rows
+    at the cut are dropped by (value, doc_id) rank; ties straddling the
+    cut have equal values, so the kept SUM is rank-choice-invariant.
+    Scale shape: one hash Exchange on source for the window rank, then
+    partial-agg'd sums — no global sort."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("cnt"),
+    ).withColumn("k", F.expr("cast(cnt * 5 / 100 as bigint)"))
+    kept = ranked.where((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("cnt") - F.col("k")))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_len"),
+        (F.sum("n_chars") / F.count(F.lit(1))).cast("double").alias("trimmed_mean_len"),
+    )
+
+
+TRIMMED_MEAN_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+),
+kept AS (
+  SELECT source, n_chars FROM ranked
+  WHERE rn > cnt * 5 // 100 AND rn <= cnt - cnt * 5 // 100
+)
+SELECT source, count(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       CAST(CAST(SUM(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS trimmed_mean_len
+FROM kept GROUP BY source
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": QuerySpec(
         q2_min_cost_supplier, Q2_SQL, "TPC-H Q2 correlated-min supplier"
+    ),
+    "stats_trimmed_mean": QuerySpec(
+        stats_trimmed_mean, TRIMMED_MEAN_SQL, "5%-trimmed per-source length mean"
     ),
     "q11_important_value": QuerySpec(
         q11_important_value, Q11_SQL, "TPC-H Q11 fraction-of-total HAVING"
