@@ -193,3 +193,37 @@ def test_ivf_pruned_scan_reads_only_probed_partitions(spark, sf_dir, tmp_path):
     assert len(files_per_cell) == 8
     # two probed cells -> at most the files of two partitions are read
     assert n_files_probed <= 2 * max(files_per_cell.values())
+
+
+def test_vocab_top_tokens_uses_takeordered(spark, sf_dir):
+    """Tokenizer-vocab counting: the top-500 cut must be TakeOrdered
+    (per-partition heaps + merge), never a global Sort of the full
+    vocabulary — at web-corpus scale the vocabulary is billions of
+    distinct tokens and a global sort materializes all of them."""
+    df = collect_all()["vocab_top_tokens"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_trimmed_mean_single_window_exchange(spark, sf_dir):
+    """Trimmed mean: ONE hash Exchange on source feeds both the rank
+    window and the final aggregation (partial aggs downstream) — no
+    second shuffle, no global sort."""
+    df = collect_all()["stats_trimmed_mean"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange") <= 2  # window hash + (AQE) agg reuse
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_agg_rollup_expands_aggregate_not_input(spark, sf_dir):
+    """agg_rollup must Expand the 9-row finest-level AGGREGATE, not the
+    raw input: the Expand node sits above the first HashAggregate pair
+    in the plan (aggregate-then-rollup), so the scan volume is 1x, not
+    grouping-sets-x."""
+    df = collect_all()["agg_rollup"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "Expand" in plan
+    # the Expand's subtree already contains the base aggregation
+    below_expand = plan.split("Expand", 1)[1]
+    assert "HashAggregate" in below_expand
