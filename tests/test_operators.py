@@ -480,3 +480,21 @@ def test_vectorized_topk_absent_query_id_returns_empty(spark, sf_dir):
         out = fn(emb, query_id=missing, k=5)
         assert out.columns == ["vec_id", "cosine"]
         assert out.count() == 0
+
+
+def test_ivf_pruned_equals_inmap(spark, sf_dir, tmp_path):
+    """The partition-pruned IVF path must return EXACTLY the in-map
+    formulation's result (same centroids, assignment, fixed-point
+    re-rank) — the index changes the physical plan, never the answer."""
+    from duckdb_pipeline_spark.operators.similarity import (
+        ivf_topk_pruned,
+        ivf_topk_vectorized,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_eq")
+    ivf_write_index(emb, idx, n_cells=8)
+    a = ivf_topk_pruned(spark, idx, emb, query_id=0, k=10, n_cells=8, n_probe=2)
+    b = ivf_topk_vectorized(emb, query_id=0, k=10, n_cells=8, n_probe=2)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -103,3 +103,71 @@ def test_batch_lane_minhashes_match_per_doc_kernel(batch):
     assert mins.shape == (len(batch), 16)
     for i, sh in enumerate(batch):
         assert [f"{v:08x}" for v in mins[i]] == _py_lane_minhashes(sh, 16)
+
+
+# ---------------------------------------------------------------------------
+# Limb-sum finish math (queries/common.py): the exactness the rollup
+# rewrite and every fixed_point_agg consumer rest on. Mirror the SQL
+# operator semantics in pure Python (>> and % match Spark's
+# shiftright/pmod on these domains; the two divisions are binary
+# double ops exactly as in the generated SQL) and check against an
+# independent Decimal derivation — including arbitrary GROUPING of the
+# rows, which is what aggregate-then-rollup re-aggregation does.
+# ---------------------------------------------------------------------------
+
+_LM = (1 << 20) - 1
+_LB = 10**9
+
+
+def _limb_finish_py(sa: int, sb: int, sc: int) -> float:
+    c2 = sc & _LM
+    b2 = sb + (sc >> 20)
+    b3 = b2 & _LM
+    a2 = sa + (b2 >> 20)
+    r1 = a2 % _LB
+    q1 = int(round((a2 - r1) / _LB))
+    t2 = (r1 << 20) + b3
+    r2 = t2 % _LB
+    q2 = int(round((t2 - r2) / _LB))
+    t3 = (r2 << 20) + c2
+    r3 = t3 % _LB
+    q3 = int(round((t3 - r3) / _LB))
+    q = (((q1 << 20) + q2) << 20) + q3
+    return float(q) + float(r3) / 1e9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(
+        st.decimals(
+            min_value=-4_000_000, max_value=4_000_000, places=4, allow_nan=False
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    cuts=st.lists(st.integers(0, 299), max_size=6),
+)
+def test_limb_finish_exact_and_regroupable(xs, cuts):
+    from decimal import Decimal
+    from math import floor
+
+    us = [int(Decimal(x).scaleb(9)) for x in xs]  # exact scale-9 units
+
+    # arbitrary partition of the rows (the rollup re-aggregation path)
+    bounds = sorted({c for c in cuts if c < len(us)} | {0, len(us)})
+    groups = [us[a:b] for a, b in zip(bounds, bounds[1:]) if a < b] or [us]
+    sa = sum((u >> 40) for g in groups for u in g)
+    sb = sum(((u >> 20) & _LM) for g in groups for u in g)
+    # per-group partials first, then totals — exactly what
+    # aggregate-then-rollup does; integer addition is associative so
+    # this MUST equal the single-pass sums
+    sc_groups = [sum(u & _LM for u in g) for g in groups]
+    sc = sum(sc_groups)
+
+    got = _limb_finish_py(sa, sb, sc)
+
+    s = sum(us)
+    d = Decimal(s).scaleb(-9)
+    i = floor(d)
+    expected = float(i) + float(d - i)
+    assert got == expected
