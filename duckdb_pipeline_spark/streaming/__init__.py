@@ -26,6 +26,7 @@ from .jobs import (
     stream_stream_interval_join,
     tumbling_counts,
     write_parquet_stream,
+    write_stream_upsert,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "stream_stream_interval_join",
     "run_available_now",
     "write_parquet_stream",
+    "write_stream_upsert",
 ]

@@ -239,3 +239,37 @@ def write_parquet_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_upsert(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = False,
+):
+    """Stream -> idempotent MERGE into a parquet gold table via
+    foreachBatch: each micro-batch upserts by key (`sinks.
+    upsert_parquet` — anti-join superseded rows, union updates, atomic
+    staging rename). The batch id + checkpoint give exactly-once
+    EFFECT: a replayed micro-batch re-merges the same keys to the same
+    final state (the merge is idempotent), which is the standard
+    plain-parquet stand-in for Delta/Iceberg MERGE sinks. Aggregation
+    streams run in update mode so each batch carries only changed
+    groups — at scale the merge rewrite is bounded by changed
+    partitions, not table size."""
+    from ..sinks import upsert_parquet
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, path, keys)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

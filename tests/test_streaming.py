@@ -240,3 +240,43 @@ def test_watermark_drops_late_data_across_restarts(spark, sf_dir, tmp_path):
     assert got.where(F.col("window_start") == late_ws).count() == 0
     # control: batch (no watermark) WOULD count them
     assert late.groupBy(F.window("ts", "1 hour")).count().first()[1] == 50
+
+
+def test_stream_upsert_gold_table_idempotent(spark, sf_dir, landing, tmp_path):
+    """foreachBatch MERGE sink: a per-type count aggregation streamed
+    into a parquet gold table equals the batch answer; re-draining the
+    SAME source from a FRESH checkpoint (a full replay — stronger than
+    a duplicate micro-batch) re-merges every key to the same final
+    state, proving the upsert is idempotent by effect."""
+    from duckdb_pipeline_spark.streaming import (
+        read_event_stream,
+        write_stream_upsert,
+    )
+
+    gold = str(tmp_path / "gold_counts")
+
+    def drain(ckpt: str):
+        stream = (
+            read_event_stream(spark, landing)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = write_stream_upsert(
+            stream, gold, str(tmp_path / ckpt), keys=["event_type"],
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got1 = {r.event_type: r.n for r in spark.read.parquet(gold).collect()}
+    want = {r.event_type: r.n for r in batch.collect()}
+    assert got1 == want
+
+    drain("ckpt2")  # full replay into the existing table
+    got2 = {r.event_type: r.n for r in spark.read.parquet(gold).collect()}
+    assert got2 == want
