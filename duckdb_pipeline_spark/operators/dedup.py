@@ -713,3 +713,88 @@ def connected_components(
         )
 
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the documented upgrade path from min-label
+    propagation (`connected_components`): propagation needs
+    diameter-many rounds, star contraction converges in O(log^2 n)
+    rounds INDEPENDENT of diameter, so a pathological chain component
+    (doc A near-dups B near-dups C ... — common in incrementally-edited
+    boilerplate) cannot blow the round budget at 100 TB.
+
+    Per round each phase is one groupBy-min + one join on edge-sized
+    data; edges only ever point toward smaller ids, and at the joint
+    fixpoint every edge is (node -> component minimum), which is
+    exactly the (doc_id, component) labeling `connected_components`
+    produces — outputs are identical (pytest-asserted, including a
+    50-node path where propagation's default budget fails).
+
+    localCheckpoint truncates per-round lineage (same hazard note as
+    the propagation variant).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        d = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            d.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(mins, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            joined.select("u", F.col("m").alias("v"))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        same = (
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
+        )
+        e = e2
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # fixpoint edges are (node -> component min); minima label themselves
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    minima = nodes.join(
+        e.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    ).select(F.col("id").alias("doc_id"), F.col("id").alias("component"))
+    return labels.unionByName(minima)

@@ -42,6 +42,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_components_star",
     "dedup_embedding_cosine",
     "dedup_containment",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
@@ -82,7 +83,6 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
     # round-3 relational additions
-    "agg_pandas_udaf",
     "stats_trimmed_mean",
     # round 5: the 5 queries that had never received a driver row
     # (rotated in per VERDICT r4 #2; each is green in the local oracle
@@ -99,7 +99,7 @@ PRIORITY: tuple[str, ...] = (
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
-    # scalar_map_funcs, scalar_pandas_udf
+    # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

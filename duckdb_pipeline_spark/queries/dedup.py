@@ -259,6 +259,24 @@ JOIN (SELECT component, CAST(count(*) AS BIGINT) AS component_size
 """
 
 
+def dedup_components_star(spark, sf_dir):
+    """Same pairs -> groups contract as `dedup_components`, computed by
+    large-star/small-star contraction (Kiveris et al.) instead of
+    min-label propagation: round budget O(log^2 n) independent of
+    component diameter -- the variant to run at 100 TB where a chain of
+    incrementally-edited boilerplate can make a component's diameter
+    arbitrary. Identical labeling (component id = min member), same
+    recursive-CTE oracle."""
+    from ..operators.dedup import connected_components_star
+
+    pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+    cc = connected_components_star(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return cc.join(sizes, "component").select("doc_id", "component", "component_size")
+
+
 def dedup_containment(spark, sf_dir):
     """Decontamination check: n-gram CONTAINMENT of held-out docs in
     training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
@@ -371,6 +389,11 @@ QUERIES = {
     ),
     "dedup_components": QuerySpec(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"
+    ),
+    "dedup_components_star": QuerySpec(
+        dedup_components_star,
+        DEDUP_COMPONENTS_SQL,
+        "near-dup components via star contraction (diameter-independent rounds)",
     ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),

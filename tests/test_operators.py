@@ -498,3 +498,40 @@ def test_ivf_pruned_equals_inmap(spark, sf_dir, tmp_path):
     a = ivf_topk_pruned(spark, idx, emb, query_id=0, k=10, n_cells=8, n_probe=2)
     b = ivf_topk_vectorized(emb, query_id=0, k=10, n_cells=8, n_probe=2)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_components_star_equals_propagation(spark, sf_dir):
+    """Star contraction must produce the identical (doc_id, component)
+    labeling as min-label propagation on the real near-dup pair graph."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_dedup_mapped,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pairs = minhash_lsh_dedup_mapped(docs).select("doc_a", "doc_b")
+    a = sorted(tuple(r) for r in connected_components(pairs).collect())
+    b = sorted(tuple(r) for r in connected_components_star(pairs).collect())
+    assert a == b and len(a) > 0
+
+
+def test_components_star_handles_long_path(spark):
+    """A 60-node path graph: diameter 59 defeats propagation's default
+    budget (rounds = diameter), star contraction converges in O(log^2 n)
+    rounds — the property that bounds the 100 TB round budget."""
+    import pytest as _pytest
+
+    from duckdb_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = connected_components_star(edges, max_iter=10).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 61
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=10)
