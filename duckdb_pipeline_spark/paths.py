@@ -22,7 +22,7 @@ must be exact and cheap.
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timedelta
 
 COMPRESSION_EXTENSIONS = [".gz", ".bz2", ".zip", ".xz", ".zst"]
 
@@ -90,3 +90,17 @@ def sink_path(
     part = partition_path(process_date, hourly=hourly)
     fname = export_filename(data_type, process_date, hourly=hourly)
     return f"{bucket_url}/{base_path}/{part}/{fname}"
+
+
+def process_hour(now: datetime) -> datetime:
+    """Cron process date for the hourly jobs (ingest, serialise): the
+    PREVIOUS full hour. The reference's comment says 2 hours back; its
+    code subtracts 1 — we preserve the code's behavior
+    (ref scripts/run_serialise_raw_data.py:13-25)."""
+    return now.replace(minute=0, second=0, microsecond=0) - timedelta(hours=1)
+
+
+def process_day(now: datetime) -> datetime:
+    """Cron process date for the daily aggregate: the previous UTC day
+    at midnight (ref scripts/run_agg_silver_data.py:13-25)."""
+    return now.replace(hour=0, minute=0, second=0, microsecond=0) - timedelta(days=1)

@@ -6,10 +6,11 @@ Process date = UTC midnight minus 1 day.
 import logging
 import os
 import sys
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from duckdb_pipeline_spark.paths import process_day
 from duckdb_pipeline_spark.session import build_spark
 from duckdb_pipeline_spark.transform import DataLakeTransformer
 
@@ -21,7 +22,7 @@ def main():
         spark = build_spark("agg-silver-data")
         transformer = DataLakeTransformer("gharchive/events", spark)
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        process_date = now.replace(hour=0, minute=0, second=0, microsecond=0) - timedelta(days=1)
+        process_date = process_day(now)
         transformer.aggregate_silver_data(process_date)
         logging.info("Successfully aggregated silver data for %s", process_date)
     except Exception as e:

@@ -7,10 +7,11 @@ says 2 hours; its code subtracts 1 — we preserve the code's behavior.)
 import logging
 import os
 import sys
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from duckdb_pipeline_spark.paths import process_hour
 from duckdb_pipeline_spark.session import build_spark
 from duckdb_pipeline_spark.transform import DataLakeTransformer
 
@@ -22,7 +23,7 @@ def main():
         spark = build_spark("serialise-raw-data")
         transformer = DataLakeTransformer("gharchive/events", spark)
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        process_date = now.replace(minute=0, second=0, microsecond=0) - timedelta(hours=1)
+        process_date = process_hour(now)
         transformer.serialise_raw_data(process_date)
         logging.info("Successfully serialised raw data for %s", process_date)
     except Exception as e:

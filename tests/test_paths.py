@@ -89,3 +89,25 @@ def test_globs_and_sink_path():
         paths.sink_path("agg", "/lake/gold", "gharchive/events", TS_D)
         == "/lake/gold/gharchive/events/2024-10-01/agg_20241001.parquet"
     )
+
+
+def test_process_hour_previous_full_hour():
+    """F4 scheduler arithmetic: hourly jobs process the PREVIOUS full
+    hour (the reference's code subtracts 1h even though its comment
+    says 2 — code behavior preserved)."""
+    from datetime import datetime
+
+    from duckdb_pipeline_spark.paths import process_hour
+
+    assert process_hour(datetime(2024, 10, 1, 5, 37, 12)) == datetime(2024, 10, 1, 4)
+    assert process_hour(datetime(2024, 10, 1, 0, 0, 0)) == datetime(2024, 9, 30, 23)
+    assert process_hour(datetime(2024, 1, 1, 0, 59, 59)) == datetime(2023, 12, 31, 23)
+
+
+def test_process_day_previous_midnight():
+    from datetime import datetime
+
+    from duckdb_pipeline_spark.paths import process_day
+
+    assert process_day(datetime(2024, 10, 1, 5, 37)) == datetime(2024, 9, 30)
+    assert process_day(datetime(2024, 1, 1, 0, 0)) == datetime(2023, 12, 31)
