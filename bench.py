@@ -126,13 +126,15 @@ def bench_spark(sf_dir: str, cpus: int) -> dict[str, float]:
         run(name)
 
     # Samples are taken in round-robin PASSES over the whole set, not
-    # back-to-back per query: this host shows multi-second background
-    # load spikes, and three consecutive runs of one query can all land
-    # inside one spike (observed: q10 3.1 s min-of-3 vs 0.9 s steady).
-    # Round-robin decorrelates the spike from any single query; min
-    # across passes then rejects it.
+    # back-to-back per query: this host shows background load spikes
+    # lasting tens of seconds to minutes, and consecutive runs of one
+    # query can all land inside one spike (observed: q10 3.1 s min-of-3
+    # vs 0.9 s steady). Round-robin decorrelates the spike from any
+    # single query, and FIVE passes (~3-4 min span, cheap now that
+    # plans are prebuilt) give each query good odds of at least one
+    # spike-free sample; min across passes then rejects the rest.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(3):
+    for _ in range(5):
         for name in HEADLINE:
             samples[name].append(run(name))
     timings: dict[str, float] = {}
