@@ -170,7 +170,7 @@ def bench_duckdb(sf_dir: str, threads: int) -> dict[str, float]:
     for name in names:
         run(name)
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(3):
+    for _ in range(5):  # same pass count as the Spark side
         for name in names:
             samples[name].append(run(name))
     timings: dict[str, float] = {}
