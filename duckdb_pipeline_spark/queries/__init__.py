@@ -51,6 +51,7 @@ PRIORITY: tuple[str, ...] = (
     "seq_pack_offsets",
     "vocab_top_tokens",
     "corpus_mix_allocation",
+    "ngram_lm_counts",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -78,7 +79,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_corr_exact",
     "sample_stratified",
     "timeseries_ewma",
-    "timeseries_resample_ohlc",
     # sketches (2 are rows-only by design: estimates are engine-specific)
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
@@ -99,7 +99,8 @@ PRIORITY: tuple[str, ...] = (
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
-    # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf
+    # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
+    # timeseries_resample_ohlc
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

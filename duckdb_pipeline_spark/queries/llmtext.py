@@ -612,6 +612,59 @@ FROM ranked
 """
 
 
+def ngram_lm_counts(spark, sf_dir):
+    """Bigram language-model statistics: the top-200 bigrams with raw
+    counts AND Kneser-Ney-style continuation diversities (distinct left
+    contexts of w2, distinct right contexts of w1) -- the count tables
+    an n-gram LM / contamination detector builds. Plan: bigrams come
+    from the token ARRAY map-side (element_at pairs over a posexploded
+    index -- no window, no per-doc shuffle); three two-phase groupBys
+    (bigram counts + left/right type counts) joined on vocabulary keys,
+    AQE picks broadcast when a side is small; TakeOrdered for the cut.
+    All-integer outputs, deterministic (n DESC, w1, w2) tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = (
+        toks.select(
+            F.explode(F.expr("sequence(1, greatest(size(t) - 1, 1))")).alias("i"),
+            "t",
+        )
+        .where(F.col("i") <= F.size("t") - 1)
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    rt = bg.groupBy("w1").agg(F.countDistinct("w2").alias("n_right_types"))
+    lt = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n_left_types"))
+    return (
+        counts.join(rt, "w1")
+        .join(lt, "w2")
+        .select("w1", "w2", "n", "n_right_types", "n_left_types")
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(200)
+    )
+
+
+NGRAM_LM_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE i <= len(t) - 1 AND t[i] <> '' AND t[i+1] <> ''
+),
+counts AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+rt AS (SELECT w1, count(DISTINCT w2) AS n_right_types FROM bg GROUP BY w1),
+lt AS (SELECT w2, count(DISTINCT w1) AS n_left_types FROM bg GROUP BY w2)
+SELECT c.w1, c.w2, c.n, r.n_right_types, l.n_left_types
+FROM counts c JOIN rt r USING (w1) JOIN lt l USING (w2)
+ORDER BY n DESC, w1, w2
+LIMIT 200
+"""
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -649,5 +702,8 @@ QUERIES = {
     ),
     "corpus_mix_allocation": QuerySpec(
         corpus_mix_allocation, CORPUS_MIX_SQL, "largest-remainder pretraining-mix apportionment"
+    ),
+    "ngram_lm_counts": QuerySpec(
+        ngram_lm_counts, NGRAM_LM_SQL, "bigram LM counts + Kneser-Ney continuation diversities"
     ),
 }
