@@ -357,9 +357,44 @@ FROM events GROUP BY event_type
 """
 
 
+def sample_topk_per_group(spark, sf_dir):
+    """Deterministic k-per-stratum subset (eval-split construction):
+    the 25 documents per source with the smallest md5(doc_id) -- a
+    uniform pseudo-random but engine-portable and rerun-stable choice
+    (rand()/TABLESAMPLE are neither). Exact shape here is a rank
+    window per stratum; at 100 TB compose it with the md5-threshold
+    pre-filter (sample_hash_deterministic's trick) so the window sorts
+    ~k-sized survivor sets per stratum instead of the full corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 25)
+        .select("source", "doc_id", "rk")
+    )
+
+
+SAMPLE_TOPK_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 25
+"""
+
+
 QUERIES = {
     "window_moving_7d": QuerySpec(
         window_moving_7d, WINDOW_7D_SQL, "interval RANGE window frame"
+    ),
+    "sample_topk_per_group": QuerySpec(
+        sample_topk_per_group, SAMPLE_TOPK_SQL, "deterministic k-per-stratum sample"
     ),
     "sample_stratified": QuerySpec(
         sample_stratified, SAMPLE_STRAT_SQL, "deterministic stratified sample"
