@@ -1,0 +1,66 @@
+"""Loader-normalization contract (queries/common.py:load): the round-4
+environment break — driver-regenerated parquet switching timestamp
+physics — must never reach query code again. Pins:
+
+- timezone-less timestamp[us] parquet (TIMESTAMP_NTZ in Spark) loads
+  as plain TIMESTAMP with the instant unchanged (session TZ is UTC);
+- TIMESTAMP(NANOS) parquet (read as long under nanosAsLong) loads as
+  microsecond TIMESTAMP via the same truncation DuckDB applies;
+- loads are memoized per (session, sf_dir, table).
+"""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from duckdb_pipeline_spark.queries.common import load
+
+UTC = datetime.timezone.utc
+
+
+def test_ntz_micros_normalized_to_timestamp(spark, tmp_path):
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2024, 10, 1, 5, 1, 2, 345678),
+                    datetime.datetime(2024, 10, 1, 6, 0, 0, 1),
+                ],
+                pa.timestamp("us"),  # no timezone -> Spark TIMESTAMP_NTZ
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "ev.parquet"))
+    df = load(spark, str(tmp_path), "ev")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.collect())
+    # session TZ is UTC: the naive wall-clock IS the instant
+    assert got[0].replace(tzinfo=None) == datetime.datetime(2024, 10, 1, 5, 1, 2, 345678)
+    assert got[1].replace(tzinfo=None) == datetime.datetime(2024, 10, 1, 6, 0, 0, 1)
+
+
+def test_nanos_as_long_normalized_to_micros(spark, tmp_path):
+    ns = [1_727_757_662_345_678_901, 1_727_761_200_000_000_999]
+    t = pa.table({"ts": pa.array(ns, pa.timestamp("ns"))})
+    pq.write_table(t, str(tmp_path / "ev.parquet"), coerce_timestamps=None, version="2.6")
+    # confirm the file really carries NANOS (else this test is vacuous)
+    assert "timestamp[ns]" in str(pq.read_schema(str(tmp_path / "ev.parquet")))
+    df = load(spark, str(tmp_path), "ev")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.collect())
+    for g, n in zip(got, sorted(ns)):
+        micros = n // 1000  # DuckDB's nanos->micros truncation
+        assert g.replace(tzinfo=None) == datetime.datetime.fromtimestamp(
+            micros / 1e6, tz=UTC
+        ).replace(tzinfo=None)
+
+
+def test_load_memoized_per_session(spark, sf_dir):
+    a = load(spark, sf_dir, "region")
+    b = load(spark, sf_dir, "region")
+    assert a is b
+    c = load(spark, sf_dir, "nation")
+    assert c is not a
