@@ -106,6 +106,9 @@ def run_all(sf_dir: str = "/root/testdata/sf0.001", names: list[str] | None = No
             "oracle-check",
             master=os.environ.get("SPARK_MASTER", "local[8]"),
             shuffle_partitions=8,
+            # \r progress frames interleave with the OK/FAIL lines and
+            # swallow some under grep — keep the report machine-readable
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
