@@ -118,26 +118,6 @@ def davg_fp(col: str | Column) -> Column:
     return dsum_fp(col) / F.count(F.lit(1))
 
 
-def _limb_finish(sa: Column, sb: Column, sc: Column) -> Column:
-    """Carry three aggregated base-2^20 limb sums to a canonical
-    scale-9 value and render it as the deterministic double (same math
-    as the tail of dsum_fp)."""
-    c2 = sc.bitwiseAND(F.lit(_M20))
-    b2 = sb + F.shiftright(sc, 20)
-    b3 = b2.bitwiseAND(F.lit(_M20))
-    a2 = sa + F.shiftright(b2, 20)
-    r1 = F.pmod(a2, F.lit(_B))
-    q1 = F.round((a2 - r1) / F.lit(_B)).cast("long")
-    t2 = F.shiftleft(r1, 20) + b3
-    r2 = F.pmod(t2, F.lit(_B))
-    q2 = F.round((t2 - r2) / F.lit(_B)).cast("long")
-    t3 = F.shiftleft(r2, 20) + c2
-    r3 = F.pmod(t3, F.lit(_B))
-    q3 = F.round((t3 - r3) / F.lit(_B)).cast("long")
-    q = F.shiftleft(F.shiftleft(q1, 20) + q2, 20) + q3
-    return q.cast("double") + r3.cast("double") / F.lit(1e9)
-
-
 def fixed_point_agg(
     df: DataFrame,
     keys: list[str],
@@ -214,7 +194,8 @@ def apply_limb_finish(df: DataFrame, ks: list[str]) -> DataFrame:
     """Carry the aggregated limb sums ``__a_{k}/__b_{k}/__c_{k}`` to the
     canonical deterministic double ``__v_{k}`` for every k — layered
     selectExpr steps so each step only references the previous one
-    (same math as ``_limb_finish``; Catalyst collapses the Projects).
+    (same math as the tail of ``dsum_fp``; Catalyst collapses the
+    Projects).
     """
     B, M = _B, _M20
     steps = [
