@@ -78,9 +78,21 @@ def read_json_auto(
     return reader.json(path)
 
 
-def read_parquet_glob(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan over a (possibly multi-level) glob."""
-    return spark.read.parquet(path)
+def read_parquet_glob(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan over a (possibly multi-level) glob.
+
+    ``merge_schema=True`` unions the schemas of all footers (columns
+    added over a table's lifetime read as NULL in older files) — the
+    lake schema-evolution read path. Off by default: footer-merging
+    lists and reads every file's metadata up front, which a 100 TB
+    steady-state scan should not pay when the schema is known stable.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -140,3 +140,20 @@ def test_ingester_local_landing(tmp_path):
     )
     with open(out, "rb") as f:
         assert f.read() == b"payload"
+
+
+def test_read_parquet_glob_merge_schema_evolution(spark, tmp_path):
+    """Lake schema evolution: a column added partway through a table's
+    life must union-read (old files NULL-fill) under merge_schema=True;
+    the default read keeps the fast single-footer path."""
+    from duckdb_pipeline_spark.sources import read_parquet_glob
+
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    old.write.parquet(str(tmp_path / "d" / "p1"))
+    new.write.parquet(str(tmp_path / "d" / "p2"))
+
+    merged = read_parquet_glob(spark, str(tmp_path / "d" / "p*"), merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
