@@ -51,6 +51,10 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as INT64 micros, not the deprecated INT96:
+        # INT96 chunks carry no min/max footer stats, which silently
+        # defeats row-group pruning on every time-sorted layout
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # tolerate TIMESTAMP(NANOS) parquet (read as long; loaders
         # convert to microsecond timestamps — matching DuckDB's own
         # nanos->micros truncation)

@@ -121,3 +121,31 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return n
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Data-skipping layout: range-partition by ``sort_cols`` then sort
+    within each partition before writing, so every row group's min/max
+    footer stats cover a narrow, non-overlapping range of the sort key.
+    A later filtered scan (e.g. a time-range query on ``ts``) then
+    prunes whole row groups / files from the footer stats alone — the
+    plain-parquet equivalent of clustering/Z-ordering on one key, and
+    the single highest-leverage layout decision for append-only event
+    tables at 100 TB. repartitionByRange gives globally disjoint file
+    ranges (a plain sortWithinPartitions on round-robin input leaves
+    every file spanning the full key range — no pruning)."""
+    ranged = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    writer = ranged.sortWithinPartitions(*sort_cols).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

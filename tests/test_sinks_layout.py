@@ -66,3 +66,35 @@ def test_upsert_parquet_merges_by_key(spark, sf_dir, tmp_path):
     assert merged.where(F.col("c_custkey") == 10_000_001).count() == 1
     # replaced keys are not duplicated
     assert merged.groupBy("c_custkey").count().where("count > 1").count() == 0
+
+
+def test_write_sorted_parquet_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
+    """The sorted layout must yield (near-)disjoint per-file ts ranges —
+    the property footer-stats pruning depends on. Verified from the
+    parquet footers directly (pyarrow), not from Spark."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from duckdb_pipeline_spark.queries.common import load
+    from duckdb_pipeline_spark.sinks import write_sorted_parquet
+
+    events = load(spark, sf_dir, "events")
+    out = str(tmp_path / "events_sorted")
+    write_sorted_parquet(events, out, ["ts"], num_files=4)
+
+    ranges = []
+    for f in _glob.glob(f"{out}/part-*.parquet"):
+        md = _pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "ts"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2, "expected multiple files/row groups"
+    ranges.sort()
+    overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if b[0] < a[1])
+    # range partitioning makes ranges disjoint up to boundary duplicates
+    assert overlaps == 0, f"overlapping ts ranges defeat pruning: {ranges}"
