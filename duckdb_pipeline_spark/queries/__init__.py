@@ -43,6 +43,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
+    "graph_pagerank",
     "dedup_embedding_cosine",
     "dedup_containment",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
@@ -76,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
     "timeseries_gap_fill",
-    "agg_corr_exact",
     "sample_stratified",
     "sample_topk_per_group",
     # sketches (2 are rows-only by design: estimates are engine-specific)
@@ -100,7 +100,7 @@ PRIORITY: tuple[str, ...] = (
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
     # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
-    # timeseries_resample_ohlc, timeseries_ewma
+    # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

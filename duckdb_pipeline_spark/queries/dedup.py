@@ -277,6 +277,98 @@ def dedup_components_star(spark, sf_dir):
     return cc.join(sizes, "component").select("doc_id", "component", "component_size")
 
 
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 fixed iterations, damping 0.85) over the verified
+    near-dup pair graph -- the keeper-selection signal a dedup pipeline
+    uses when clusters are large (rank the most-connected doc highest
+    instead of min-id). Iterative DataFrame algorithm, exactly
+    deterministic cross-engine: each per-node contribution r/deg is ONE
+    IEEE divide on identical operands, incoming contributions are
+    summed with the decimal-exact idiom (queries/common.dsum), and the
+    damping update is two IEEE ops on identical doubles -- so three
+    iterations stay bitwise-identical to the oracle's chained-CTE
+    formulation. Per iteration: one join (edges x ranks, rank side
+    tiny-broadcast at this scale, shuffled at corpus scale) + one
+    groupBy -- the standard distributed PageRank shape with a fixed
+    round budget."""
+    from .common import dsum
+
+    pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(0.15) + F.lit(0.85) * dsum("c")).alias("r"))
+            .select(F.col("dst").alias("src"), "r")
+        )
+    return ranks.select(F.col("src").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    from .common import DSUM
+
+    return f"""{out} AS (
+  SELECT e.dst AS id, 0.15 + 0.85 * {DSUM('p.r / d.deg')} AS r
+  FROM edges e JOIN {prev} p ON p.id = e.src JOIN deg d ON d.id = e.src
+  GROUP BY e.dst
+)"""
+
+
+def _pagerank_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE},
+{_shingle_cte('corpus').strip().lstrip()}
+,
+mh AS (
+  SELECT doc_id, k,
+         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+  FROM sh, (SELECT unnest(range(0, 16)) AS k) ks
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  FROM mh GROUP BY doc_id, k // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairsq AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq UNION SELECT doc_b, doc_a FROM pairsq),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT id AS doc_id, r AS pagerank FROM r3
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Decontamination check: n-gram CONTAINMENT of held-out docs in
     training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
@@ -389,6 +481,11 @@ QUERIES = {
     ),
     "dedup_components": QuerySpec(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"
+    ),
+    "graph_pagerank": QuerySpec(
+        graph_pagerank,
+        _pagerank_sql(),
+        "3-iteration exact-deterministic PageRank over the near-dup graph",
     ),
     "dedup_components_star": QuerySpec(
         dedup_components_star,
