@@ -53,6 +53,7 @@ PRIORITY: tuple[str, ...] = (
     "vocab_top_tokens",
     "corpus_mix_allocation",
     "ngram_lm_counts",
+    "search_docs_keywords",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -77,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
     "timeseries_gap_fill",
-    "sample_stratified",
     "sample_topk_per_group",
     # sketches (2 are rows-only by design: estimates are engine-specific)
     "sketch_approx_ndv",
@@ -100,7 +100,8 @@ PRIORITY: tuple[str, ...] = (
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
     # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
-    # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact
+    # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact,
+    # sample_stratified
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

@@ -665,6 +665,48 @@ LIMIT 200
 """
 
 
+_SEARCH_TERMS = ("spark", "hash", "merge")
+
+
+def search_docs_keywords(spark, sf_dir):
+    """Conjunctive keyword retrieval: documents containing ALL query
+    terms, ranked by total term frequency -- the inverted-index probe a
+    corpus browser runs. Scale shape: the token explode is filtered to
+    the query terms BEFORE any shuffle (the selective predicate every
+    inverted index exists to serve; here it prunes map-side), then one
+    groupBy carries both the AND check (distinct-term count) and the
+    rank key (term frequency). All-integer, deterministic (tf DESC,
+    doc_id) tie-break, TakeOrdered cut."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token").isin(*_SEARCH_TERMS))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("n_terms"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .where(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id", "tf")
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(20)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+SEARCH_SQL = f"""
+SELECT doc_id, count(*) AS tf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token IN ({_TERMS_SQL})
+GROUP BY doc_id
+HAVING count(DISTINCT token) = {len(_SEARCH_TERMS)}
+ORDER BY tf DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -705,5 +747,8 @@ QUERIES = {
     ),
     "ngram_lm_counts": QuerySpec(
         ngram_lm_counts, NGRAM_LM_SQL, "bigram LM counts + Kneser-Ney continuation diversities"
+    ),
+    "search_docs_keywords": QuerySpec(
+        search_docs_keywords, SEARCH_SQL, "conjunctive keyword retrieval with tf ranking"
     ),
 }
