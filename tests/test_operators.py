@@ -535,3 +535,22 @@ def test_components_star_handles_long_path(spark):
     assert len(got) == 61
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=10)
+
+
+def test_pagerank_partition_invariant(spark, sf_dir):
+    """The iterative PageRank must be bitwise partition-invariant: the
+    decimal-exact contribution sums make each iteration's doubles
+    independent of shuffle layout, so 3 iterations at different
+    parallelism produce IDENTICAL floats (the property the oracle
+    equality rests on)."""
+    from duckdb_pipeline_spark.queries.dedup import graph_pagerank
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {r.doc_id: r.pagerank for r in graph_pagerank(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = {r.doc_id: r.pagerank for r in graph_pagerank(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b and len(a) > 0
