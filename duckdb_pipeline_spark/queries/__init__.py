@@ -72,7 +72,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_phash_groups",
     # streaming semantics (round 3 adds the stream-stream interval join)
     "stream_tumbling_hourly",
-    "stream_sliding_2h_1h",
     "stream_session_30m",
     "stream_interval_join",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
@@ -84,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_quantiles",
     # round-3 relational additions
     "stats_trimmed_mean",
+    "agg_rollup",
     # round 5: the 5 queries that had never received a driver row
     # (rotated in per VERDICT r4 #2; each is green in the local oracle
     # harness at sf0.01 — this gives every declared query at least one
@@ -101,7 +101,7 @@ PRIORITY: tuple[str, ...] = (
     # q11_important_value, q20_potential_promotion, window_moving_7d,
     # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
     # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact,
-    # sample_stratified
+    # sample_stratified, stream_sliding_2h_1h
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,
