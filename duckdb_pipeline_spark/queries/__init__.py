@@ -54,6 +54,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mix_allocation",
     "ngram_lm_counts",
     "search_docs_keywords",
+    "corpus_filter_funnel",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -66,7 +67,6 @@ PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
-    "text_fingerprint",
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_phash_groups",
@@ -101,7 +101,7 @@ PRIORITY: tuple[str, ...] = (
     # q11_important_value, q20_potential_promotion, window_moving_7d,
     # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
     # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact,
-    # sample_stratified, stream_sliding_2h_1h
+    # sample_stratified, stream_sliding_2h_1h, text_fingerprint
     # rotated out in round 3 (driver-green r2, unchanged since):
     # window_percentiles, window_first_last, setop_except_all,
     # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,

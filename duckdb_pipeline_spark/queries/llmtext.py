@@ -707,6 +707,65 @@ LIMIT 20
 """
 
 
+def corpus_filter_funnel(spark, sf_dir):
+    """Corpus-cleaning funnel report: how many documents survive each
+    successive filter stage (language-ID -> quality threshold -> length
+    band) -- the acceptance accounting every production cleaning
+    pipeline emits. One scan, one aggregation row of conditional
+    counts; the stage predicates reuse the exact langid/quality
+    expressions (identical IEEE evaluation in the oracle, so threshold
+    comparisons agree bitwise)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ltoks = F.split(F.lower(F.col("text")), " ")
+    from ..operators.text import STOPWORDS
+
+    n_tok = F.size(toks)
+    stop_l = F.size(F.filter(ltoks, lambda t: t.isin(STOPWORDS))).cast("double") / F.size(ltoks)
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    uniq_r = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_s = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    q = F.lit(0.4) * len_s + F.lit(0.3) * stop_r + F.lit(0.3) * uniq_r
+    lang_ok = stop_l > 0.02
+    q_ok = lang_ok & (q >= 0.5)
+    len_ok = q_ok & (n_tok >= 20) & (n_tok <= 2000)
+    flags = docs.select(
+        lang_ok.cast("int").alias("f1"),
+        q_ok.cast("int").alias("f2"),
+        len_ok.cast("int").alias("f3"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("f1").alias("n_after_lang"),
+        F.sum("f2").alias("n_after_quality"),
+        F.sum("f3").alias("n_after_length"),
+    )
+
+
+FILTER_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks,
+         string_split(lower(text), ' ') AS ltoks
+  FROM documents
+),
+f AS (
+  SELECT
+    (CAST(len(list_filter(ltoks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE)
+       / len(ltoks)) > 0.02 AS lang_ok,
+    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE) / len(toks))
+      + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS q,
+    len(toks) AS n_tok
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+       CAST(SUM(CASE WHEN lang_ok AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       CAST(SUM(CASE WHEN lang_ok AND q >= 0.5 AND n_tok BETWEEN 20 AND 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length
+FROM f
+"""
+
+
 QUERIES = {
     "pipeline_corpus_prep": QuerySpec(
         pipeline_corpus_prep, CORPUS_PREP_SQL, "dedup->quality->chunk corpus prep"
@@ -750,5 +809,8 @@ QUERIES = {
     ),
     "search_docs_keywords": QuerySpec(
         search_docs_keywords, SEARCH_SQL, "conjunctive keyword retrieval with tf ranking"
+    ),
+    "corpus_filter_funnel": QuerySpec(
+        corpus_filter_funnel, FILTER_FUNNEL_SQL, "cleaning-pipeline acceptance funnel"
     ),
 }
