@@ -28,10 +28,12 @@ Methodology (round 5):
   ±15-30% — see VERDICT r4 — so the DuckDB twin runs in THIS session,
   below, and the printed ratio is the only number comparable across
   rounds).
-- After the Spark side, the same headline queries' oracle SQL runs in
-  DuckDB (same files, same warmup + min-of-3 methodology, 32 threads)
-  and the JSON line carries both totals and the ratio, making the
-  BASELINE.md gate auditable from this one artifact.
+- The DuckDB twin (same files, oracle SQL, 32 threads) runs with its
+  passes INTERLEAVED between the Spark passes, so both engines sample
+  the same background-load environment — a spike can no longer hit one
+  engine's whole window and skew the ratio. The JSON line carries both
+  totals and the ratio, making the BASELINE.md gate auditable from
+  this one artifact.
 """
 
 from __future__ import annotations
@@ -88,10 +90,10 @@ DUCK_TABLES = [
 ]
 
 
-def bench_spark(sf_dir: str, cpus: int) -> dict[str, float]:
+def _spark_session(cpus: int):
     from duckdb_pipeline_spark.session import build_spark
 
-    spark = build_spark(
+    return build_spark(
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
@@ -101,18 +103,30 @@ def bench_spark(sf_dir: str, cpus: int) -> dict[str, float]:
             # driver's sf<=0.1 files are single-row-group (one task
             # regardless), but sf1 scale-up files carry 128k-row groups
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
+
+def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
+    """Run both engines with INTERLEAVED round-robin passes (spark pass
+    1, duck pass 1, spark pass 2, ...): this host's background load
+    spikes last tens of seconds to minutes, and sequential phases let a
+    spike hit one engine's entire window, skewing the ratio +-20%
+    (observed). Interleaving gives both engines the same load exposure;
+    min across five passes then rejects the spikes per query. Per-query
+    samples are round-robin within each pass too, so consecutive runs
+    of one query never share a spike (q10: 3.1 s min-of-3 back-to-back
+    vs 0.9 s steady). Plans are prebuilt once (driver-side plan
+    construction is scale-invariant and excluded from timing; DuckDB's
+    parse equivalent is ~1 ms)."""
     import __spark_entry__ as entrymod
 
+    spark = _spark_session(cpus)
     qs = entrymod.queries()
-    # build every plan once (driver-side construction excluded from
-    # timing — see module doc); execution re-runs the full Catalyst
-    # pipeline per action
     dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE}
 
-    def run(name: str) -> float:
+    def srun(name: str) -> float:
         t0 = time.time()
         dfs[name].write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
@@ -122,64 +136,52 @@ def bench_spark(sf_dir: str, cpus: int) -> dict[str, float]:
         spark.catalog.clearCache()
         return dt
 
-    for name in HEADLINE:  # untimed warmup pass (JVM, codegen, listing)
-        run(name)
+    duck_names: list[str] = []
+    drun = None
+    if not skip_duck:
+        import duckdb
 
-    # Samples are taken in round-robin PASSES over the whole set, not
-    # back-to-back per query: this host shows background load spikes
-    # lasting tens of seconds to minutes, and consecutive runs of one
-    # query can all land inside one spike (observed: q10 3.1 s min-of-3
-    # vs 0.9 s steady). Round-robin decorrelates the spike from any
-    # single query, and FIVE passes (~3-4 min span, cheap now that
-    # plans are prebuilt) give each query good odds of at least one
-    # spike-free sample; min across passes then rejects the rest.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        con.execute(f"SET threads={cpus}")
+        for t in DUCK_TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS FROM '{p}'")
+        duck_names = [n for n in HEADLINE if n in oracles]
+
+        def drun(name: str) -> float:
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            return time.time() - t0
+
+    for name in HEADLINE:  # untimed warmup (JVM, codegen, listing)
+        srun(name)
+    for name in duck_names:
+        drun(name)
+
+    ss: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    ds: dict[str, list[float]] = {name: [] for name in duck_names}
     for _ in range(5):
         for name in HEADLINE:
-            samples[name].append(run(name))
+            ss[name].append(srun(name))
+        for name in duck_names:
+            ds[name].append(drun(name))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = min(samples[name])
-        if max(samples[name]) > 1.3 * best:  # spiky query: one more vote
-            best = min(best, run(name))
+        best = min(ss[name])
+        if max(ss[name]) > 1.3 * best:  # spiky query: one more vote
+            best = min(best, srun(name))
         timings[name] = round(best, 3)
+    duck: dict[str, float] = {}
+    for name in duck_names:
+        best = min(ds[name])
+        if max(ds[name]) > 1.3 * best:
+            best = min(best, drun(name))
+        duck[name] = round(best, 3)
     spark.stop()
-    return timings
-
-
-def bench_duckdb(sf_dir: str, threads: int) -> dict[str, float]:
-    import duckdb
-
-    import __spark_entry__ as entrymod
-
-    oracles = entrymod.oracle_sql()
-    con = duckdb.connect()
-    con.execute(f"SET threads={threads}")
-    for t in DUCK_TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS FROM '{p}'")
-
-    names = [n for n in HEADLINE if n in oracles]
-
-    def run(name: str) -> float:
-        t0 = time.time()
-        con.execute(oracles[name]).fetchall()
-        return time.time() - t0
-
-    for name in names:
-        run(name)
-    samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(5):  # same pass count as the Spark side
-        for name in names:
-            samples[name].append(run(name))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = min(samples[name])
-        if max(samples[name]) > 1.3 * best:
-            best = min(best, run(name))
-        timings[name] = round(best, 3)
-    return timings
+    return timings, duck
 
 
 def main() -> None:
@@ -188,19 +190,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    timings = bench_spark(sf_dir, cpus)
+    skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
+    timings, duck = bench_both(sf_dir, cpus, skip_duck)
     total = round(sum(timings.values()), 3)
-
-    duck: dict[str, float] = {}
-    duck_total = None
-    ratio = None
-    if os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") != "1":
-        try:
-            duck = bench_duckdb(sf_dir, cpus)
-            duck_total = round(sum(duck.values()), 3)
-            ratio = round(total / duck_total, 3) if duck_total else None
-        except Exception as exc:  # keep the Spark numbers if DuckDB fails
-            print(f"duckdb twin failed: {exc}", file=sys.stderr)
+    duck_total = round(sum(duck.values()), 3) if duck else None
+    ratio = round(total / duck_total, 3) if duck_total else None
 
     print(
         json.dumps(
