@@ -22,12 +22,12 @@ Methodology (round 5):
   role).
 - One untimed warmup pass amortizes JVM spin-up and Janino
   whole-stage-codegen compilation (one-time costs that vanish at real
-  scale); per-query time is then the min of three timed passes, plus a
-  fourth tiebreak pass when the spread exceeds 30% (this host shows
-  random ~1.5 s background-load spikes; cross-session comparisons drift
-  ±15-30% — see VERDICT r4 — so the DuckDB twin runs in THIS session,
-  below, and the printed ratio is the only number comparable across
-  rounds).
+  scale); per-query time is then the min of FIVE round-robin timed
+  passes, plus a tiebreak pass when the spread exceeds 30% (this host
+  shows background-load spikes lasting tens of seconds to minutes;
+  cross-session comparisons drift ±15-30% — see VERDICT r4 — so the
+  DuckDB twin runs in THIS session and the printed ratio is the only
+  number comparable across rounds).
 - The DuckDB twin (same files, oracle SQL, 32 threads) runs with its
   passes INTERLEAVED between the Spark passes, so both engines sample
   the same background-load environment — a spike can no longer hit one
@@ -124,7 +124,18 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
 
     spark = _spark_session(cpus)
     qs = entrymod.queries()
-    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE}
+    # one broken query must not kill the whole artifact (a round-4-style
+    # environment change broke one query at ANALYSIS time; the bench
+    # record is worth more than its completeness) — drop it with a note
+    dfs = {}
+    broken = []
+    for name in HEADLINE:
+        try:
+            dfs[name] = qs[name](spark, sf_dir)
+        except Exception as exc:
+            broken.append(name)
+            print(f"bench: dropping {name}: {exc}", file=sys.stderr)
+    live = [n for n in HEADLINE if n not in broken]
 
     def srun(name: str) -> float:
         t0 = time.time()
@@ -148,28 +159,28 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS FROM '{p}'")
-        duck_names = [n for n in HEADLINE if n in oracles]
+        duck_names = [n for n in live if n in oracles]
 
         def drun(name: str) -> float:
             t0 = time.time()
             con.execute(oracles[name]).fetchall()
             return time.time() - t0
 
-    for name in HEADLINE:  # untimed warmup (JVM, codegen, listing)
+    for name in live:  # untimed warmup (JVM, codegen, listing)
         srun(name)
     for name in duck_names:
         drun(name)
 
-    ss: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    ss: dict[str, list[float]] = {name: [] for name in live}
     ds: dict[str, list[float]] = {name: [] for name in duck_names}
     for _ in range(5):
-        for name in HEADLINE:
+        for name in live:
             ss[name].append(srun(name))
         for name in duck_names:
             ds[name].append(drun(name))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in live:
         best = min(ss[name])
         if max(ss[name]) > 1.3 * best:  # spiky query: one more vote
             best = min(best, srun(name))
