@@ -38,6 +38,7 @@ def word_shingles(
     n: int = 3,
     distinct: bool = True,
     extra_cols: list[str] | None = None,
+    local_distinct: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per document: (id, shingle[, extra_cols]).
 
@@ -47,13 +48,36 @@ def word_shingles(
     cannot change the result. ``extra_cols`` are carried through
     unchanged (they ride the explode; with ``distinct`` they join the
     dedup key, which is safe because they are constant per document).
+
+    ``local_distinct=True`` computes the per-document dedup MAP-SIDE
+    (``array_distinct`` on the per-doc shingle array before explode) —
+    zero shuffles, identical output set, because shingle uniqueness is
+    a per-document property: one doc's shingles live in one row's
+    array, so a global DISTINCT shuffle moves data only to rediscover
+    locality it already had. The trade: the lambda-based ``transform``
+    is interpreted (not codegen), so the map stage is slower per row —
+    a win whenever the DISTINCT exchange dominates (any plan where the
+    shingle table is branch-recomputed or corpus-sized; measured at
+    sf1: containment 4.6 s -> shuffle-free variant, see
+    queries/dedup.py notes).
     """
+    extra = [F.col(c) for c in (extra_cols or [])]
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"), *extra)
+    if local_distinct:
+        parts_sql = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+        arr = F.expr(
+            f"CASE WHEN size(t) >= {n} THEN array_distinct(transform("
+            f"sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts_sql})"
+            f")) ELSE array() END"
+        )
+        return toks.select(
+            F.col(id_col), F.explode(arr).alias("shingle"), *extra
+        )
     # explode an index sequence, then element_at + concat_ws — every
     # expression stays in whole-stage codegen (a transform() lambda
     # would drop the widest stage of the pipeline to interpreted eval;
-    # measured ~3x slower)
-    extra = [F.col(c) for c in (extra_cols or [])]
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"), *extra)
+    # measured ~3x slower per row — see local_distinct above for when
+    # that trade reverses)
     ex = toks.select(
         F.col(id_col),
         F.col("t"),

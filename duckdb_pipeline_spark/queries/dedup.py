@@ -388,59 +388,88 @@ def dedup_containment(spark, sf_dir):
 
     max_df = 50
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    # Structure notes (scale + stage-count):
-    # - `source` rides the shingle explode, so the held/train split is a
-    #   map-side filter — the earlier shape re-joined docs onto the
-    #   shingle table twice (one extra shuffle per side).
-    # - the df cap joins against the HOT set, not the rare set: rare
-    #   shingles are nearly all shingles (unbroadcastable at corpus
-    #   scale), while over-the-cap boilerplate shingles are few by
-    #   construction — so the cap is a BROADCAST anti-join, removing a
-    #   full shuffle of the shingle table from the critical path. The
-    #   hot count itself is a two-phase groupBy (partial aggs), never a
-    #   window over hash(shingle), so a hot shingle's posting list is
-    #   counted distributed, not funneled into one partition.
-    # - measured negative result: persist()ing the shingle table to
-    #   avoid branch recompute is SLOWER at sf0.1 (1.4s -> 1.9-2.1s;
-    #   materialization barriers cost more than the re-run map work).
-    #   The recomputed branches are map-only once the cap is a
-    #   broadcast, so this holds at scale too.
-    # - round-5 re-audit at sf1 (6M lineitem / 50k docs): this is the
-    #   one query slower than DuckDB at BOTH scales (9.8s vs 2.1s at
-    #   sf1). Stage profile: per-branch DISTINCT shuffles ~3s each; the
-    #   h x t join + pair agg ~4.5s. Every cheaper shape measured and
-    #   rejected: localCheckpoint -8%, persist +35% (sf0.1),
-    #   countDistinct-folded branches -15% at sf1 but +12% at sf0.1,
-    #   collect_set posting lists (df-cap-bounded, so scale-safe) +25%
-    #   at sf1, xxhash64 shingle keys -8% at sf1 — rejected because a
-    #   cross-engine hash collision (p ~ n^2/2^65) would break the
-    #   bitwise oracle guarantee this repo holds everywhere else. The
-    #   residual is Spark's string-keyed shuffle constant factor; the
-    #   SHAPE (bounded pair space, broadcast cap, no cartesian) is the
-    #   one that survives 100 TB.
-    sh_d = word_shingles(docs, n=3, distinct=True, extra_cols=["source"])
-    hot = (
-        sh_d.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("shingle")
+    # Structure notes (scale + stage-count) — round-6 shape:
+    # - THE key asymmetry of decontamination: the held-out side is small
+    #   by construction (eval benchmarks are KBs-to-GBs against a
+    #   multi-TB training corpus; here src0 = 5% of docs). So broadcast
+    #   the ENTIRE capped eval postings list (shingle, eval_id) and turn
+    #   every training-side operation into a map-side broadcast-hash
+    #   lookup. The training shingle table — the 95%+ giant — is never
+    #   shuffled at all; it is scanned once, filtered by the broadcast,
+    #   and only MATCHED rows (bounded by eval-postings collisions)
+    #   reach the single remaining shuffle, the (eval_id, train_id) pair
+    #   aggregation, which partial-aggregates map-side.
+    # - the global df cap (drop shingles in > max_df docs — the
+    #   boilerplate/stop-shingle cap) only matters for shingles that
+    #   can match, i.e. shingles present in the eval set: training-only
+    #   shingles never pair and never count toward n_eval. So df is
+    #   counted ONLY for the broadcast eval-shingle vocabulary — the
+    #   full-corpus scan is map-side filtered by that broadcast before
+    #   its (small) count shuffle, replacing round-5's full
+    #   all-shingles groupBy, the dominant cost at sf1.
+    # - shuffles on the giant side: ZERO (was: df-count groupBy + join
+    #   h x t). Remaining shuffles are eval-sized (distinct vocab, df
+    #   count of eval vocab, n_eval) or match-sized (pair agg).
+    # - scale guard: if the held-out set ever outgrows the broadcast
+    #   budget (~10s of GB executor memory), shard the eval postings
+    #   and union the per-shard outputs — containment is per
+    #   (eval_id, train_id), so eval-side sharding is embarrassingly
+    #   parallel. Round-5's shuffle-join shape (git history) is the
+    #   fallback.
+    # - round-5 negative results (shuffle-join shape, kept for the
+    #   record): persist +35%, localCheckpoint -8%, countDistinct
+    #   folding mixed, collect_set postings +25% at sf1, xxhash64 keys
+    #   rejected (breaks bitwise oracle guarantee).
+    # The giant (full-corpus / training) side is exploded WITHOUT any
+    # per-doc distinct — the explode stays in whole-stage codegen and is
+    # map-only. Per-doc dedup is pushed into countDistinct aggregations
+    # that run AFTER the broadcast filters, so they only ever see
+    # eval-vocabulary collisions, never the corpus. Only the small eval
+    # side (5% here; KBs-to-GBs in a real decontamination run) pays a
+    # DISTINCT shuffle. (Measured alternates at sf1: round-5 per-branch
+    # global DISTINCT 4.6 s; map-side array_distinct via interpreted
+    # transform() lambda 6.9 s — the lambda's per-row interpretation
+    # costs more than the exchange it saves.)
+    # spread: the docs scan is a single parquet split at test scales
+    # (one row-group), which would serialize BOTH corpus-wide
+    # explode+probe branches on one core; a round-robin exchange of the
+    # raw (pre-explode, ~100x smaller) rows buys full-width map stages.
+    # No-op on well-split real-scale input.
+    from .common import spread
+
+    sh_d = word_shingles(
+        spread(docs, bytes_per_split=256 * 1024),
+        n=3,
+        distinct=False,
+        extra_cols=["source"],
     )
-    capped = sh_d.join(F.broadcast(hot), "shingle", "left_anti")
-    h = capped.where(F.col("source") == "src0").select(
-        F.col("doc_id").alias("eval_id"), "shingle"
+    eval_sh = (
+        sh_d.where(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+        .distinct()
     )
-    t = capped.where(F.col("source") != "src0").select(
-        F.col("doc_id").alias("train_id"), "shingle"
+    ev_vocab = eval_sh.select("shingle").distinct()
+    # df (docs containing the shingle) over the FULL corpus, but only
+    # for eval-vocabulary shingles: map-side broadcast semi-join prunes
+    # the scan before the count; countDistinct handles in-doc repeats
+    dfc = (
+        sh_d.join(F.broadcast(ev_vocab), "shingle")
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
     )
-    inter = (
-        h.join(t, "shingle")
-        .groupBy("eval_id", "train_id")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    rare_ev = dfc.where(F.col("df") <= max_df).select("shingle")
+    eval_post = eval_sh.join(F.broadcast(rare_ev), "shingle")
+    sizes = eval_post.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    matches = (
+        sh_d.where(F.col("source") != "src0")
+        .select(F.col("doc_id").alias("train_id"), "shingle")
+        .join(F.broadcast(eval_post), "shingle")
     )
-    sizes = (
-        capped.where(F.col("source") == "src0")
-        .groupBy(F.col("doc_id").alias("eval_id"))
-        .agg(F.count(F.lit(1)).alias("n_eval"))
+    # eval_post is per-doc distinct, so duplicate (eval, train, shingle)
+    # rows come only from train-side in-doc repeats — countDistinct
+    # restores exact |A ∩ B|
+    inter = matches.groupBy("eval_id", "train_id").agg(
+        F.countDistinct("shingle").alias("ni")
     )
     cont = inter.join(F.broadcast(sizes), "eval_id").select(
         "eval_id",

@@ -156,11 +156,20 @@ def test_quantize_int8_is_pure_map(spark, sf_dir):
 
 def test_containment_uses_no_cartesian(spark, sf_dir):
     """The decontamination join is keyed on the shingle (inverted
-    index) — never a cartesian/nested-loop pair enumeration."""
+    index) — never a cartesian/nested-loop pair enumeration — and
+    (round 6) every shingle-keyed join is a BROADCAST of the small
+    eval side: the training/full-corpus shingle stream must reach its
+    pair aggregation without a single shuffle keyed on the shingle
+    string (SortMergeJoin or ShuffledHashJoin would mean the 100 TB
+    side moves; the broadcast shape moves only the KB-to-GB eval
+    side)."""
     df = collect_all()["dedup_containment"].fn(spark, sf_dir)
     plan = plan_text(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_ivf_pruned_scan_reads_only_probed_partitions(spark, sf_dir, tmp_path):
