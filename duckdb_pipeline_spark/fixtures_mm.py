@@ -1,0 +1,175 @@
+"""Oracle fixtures for the two pixel/sample-decode queries.
+
+Media decode is not SQL-expressible, so DuckDB cannot recompute
+``multimodal_decode_features`` / ``multimodal_phash_groups`` from the
+documents table directly. Instead, this module precomputes the expected
+output with a PURE pandas/numpy pipeline — no Spark: payload synthesis
+and codecs are the shared pure functions in ``operators.multimodal``
+(pytest-verified against hand-built reference bytes), while the
+dataflow around them (filtering, re-encode, grouping, aggregation) is
+re-derived independently in pandas. The oracle SQL then becomes a plain
+DuckDB scan of the fixture parquet, which converts both queries from
+rows-only self-graded to driver-hash-checked.
+
+One fixture file serves every scale: rows are tagged with
+``corpus_key`` — a content-sensitive scalar both engines compute
+identically, ``count(*) + sum(doc_id * n_chars)`` — and the oracle
+filters on the same expression over the mounted documents view, so one
+static SQL string dispatches to the right expected set whichever sf dir
+the driver mounts. A plain row count is NOT enough: the driver's
+sf0.001 and sf0.01 corpora both hold 500 docs (measured), differing
+only in content, and the key must separate them.
+
+Staleness: the round driver REGENERATES testdata between rounds. Every
+query call therefore stamps the source parquet (size + sha256) and
+rebuilds its ``corpus_n`` partition when the stamp moves — the fixture
+can never silently drift from the data it grades.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+DECODE_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_decode_features.parquet")
+PHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_phash_groups.parquet")
+STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
+
+
+def _digest(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return f"{os.path.getsize(path)}:{h.hexdigest()}"
+
+
+def _load_docs(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return t.to_pandas()
+
+
+def _expected_decode_features(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_decode: doc_id <
+    500 -> synthesize -> decode -> (feat_mean, feat_dim)."""
+    from .operators.multimodal import decode_payload, synth_payload
+
+    rows = []
+    sel = docs[docs["doc_id"] < 500].sort_values("doc_id")
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        mtype, payload = synth_payload(did, nchars)
+        feat_mean, feat_dim = decode_payload(mtype, payload)
+        rows.append((int(did), mtype, len(payload), feat_mean, feat_dim))
+    return pd.DataFrame(
+        rows, columns=["media_id", "media_type", "n_bytes", "feat_mean", "feat_dim"]
+    ).astype(
+        {
+            "media_id": "int64",
+            "n_bytes": "int64",
+            "feat_mean": "float64",
+            "feat_dim": "int64",
+        }
+    )
+
+
+def _expected_phash_groups(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_phash_groups:
+    even doc_id < 400 -> BMP -> union a metadata-reencode of every
+    image (+1_000_000 ids) -> aHash -> groups with n_copies >= 2."""
+    from .operators.multimodal import (
+        ahash_pixels,
+        decode_bmp,
+        encode_bmp,
+        synth_payload,
+    )
+
+    sel = docs[(docs["doc_id"] < 400) & (docs["doc_id"] % 2 == 0)].sort_values("doc_id")
+    ids, hashes = [], []
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        _, payload = synth_payload(did, nchars)
+        px = decode_bmp(payload)
+        h = np.uint64(ahash_pixels(px)).astype(np.int64)
+        ids.append(int(did))
+        hashes.append(int(h))
+        # the re-saved copy: pixel-identical, different encoder metadata
+        h2 = np.uint64(ahash_pixels(decode_bmp(encode_bmp(px, ppm=5670)))).astype(np.int64)
+        ids.append(int(did) + 1_000_000)
+        hashes.append(int(h2))
+    df = pd.DataFrame({"media_id": ids, "ahash": hashes})
+    g = (
+        df.groupby("ahash")
+        .agg(n_copies=("media_id", "size"), keeper_id=("media_id", "min"))
+        .reset_index()
+    )
+    return g[g["n_copies"] >= 2].astype(
+        {"ahash": "int64", "n_copies": "int64", "keeper_id": "int64"}
+    )[["ahash", "n_copies", "keeper_id"]]
+
+
+def corpus_key(docs: pd.DataFrame) -> int:
+    """Content-sensitive dispatch scalar; the SQL twin is
+    ``count(*) + sum(doc_id * n_chars)`` over the documents view."""
+    return int(len(docs) + (docs["doc_id"].astype("int64") * docs["n_chars"].astype("int64")).sum())
+
+
+def _merge_partition(path: str, key: int, fresh: pd.DataFrame) -> None:
+    fresh = fresh.copy()
+    fresh["corpus_key"] = np.int64(key)
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        old = old[old["corpus_key"] != key]
+        fresh = pd.concat([old, fresh], ignore_index=True)
+    fresh.to_parquet(path, index=False)
+
+
+def ensure_fixtures(sf_dir: str) -> None:
+    """Idempotent: (re)build this sf_dir's corpus_key partition of both
+    fixtures iff the source documents.parquet changed since the last
+    build. Driver-side, sub-second for the <=500-doc slices involved."""
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp_key = os.path.abspath(sf_dir)
+    dig = _digest(src)
+    stamps = {}
+    if os.path.exists(STAMP_FILE):
+        try:
+            with open(STAMP_FILE) as f:
+                stamps = json.load(f)
+        except (OSError, ValueError):
+            stamps = {}
+    if (
+        stamps.get(stamp_key) == dig
+        and os.path.exists(DECODE_FIXTURE)
+        and os.path.exists(PHASH_FIXTURE)
+    ):
+        return
+    docs = _load_docs(sf_dir)
+    key = corpus_key(docs)
+    _merge_partition(DECODE_FIXTURE, key, _expected_decode_features(docs))
+    _merge_partition(PHASH_FIXTURE, key, _expected_phash_groups(docs))
+    stamps[stamp_key] = dig
+    with open(STAMP_FILE, "w") as f:
+        json.dump(stamps, f, indent=1)
+
+
+DECODE_ORACLE_SQL = f"""
+SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
+FROM read_parquet('{DECODE_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+PHASH_ORACLE_SQL = f"""
+SELECT ahash, n_copies, keeper_id
+FROM read_parquet('{PHASH_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""

@@ -236,10 +236,26 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic (media_type, payload) for one document: even
+    doc_ids become 24-bit BMPs (content-seeded pixels), odd doc_ids
+    16-bit PCM WAVs. Shared by the Spark synthesis kernel AND the
+    pure-pandas oracle-fixture generator (fixtures_mm.py) so both sides
+    hash the same bytes by construction."""
+    did, nchars = int(did), int(nchars)
+    if did % 2 == 0:
+        rng = np.random.default_rng(did)
+        w = 16 + nchars % 17  # non-multiple-of-4 widths too
+        px = rng.integers(0, 256, size=(12, w, 3), dtype=np.uint8)
+        return "image", encode_bmp(px)
+    n = 800 + nchars % 800
+    t = np.arange(n) / 16000.0
+    return "audio", encode_wav(0.5 * np.sin(2 * np.pi * (200 + did % 200) * t))
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA frame with REAL encoded payloads derived
-    deterministically from each document: even doc_ids become 24-bit
-    BMPs (content-seeded pixels), odd doc_ids become 16-bit PCM WAVs.
+    deterministically from each document (see :func:`synth_payload`).
     This is how the decode path is exercised end-to-end in an
     environment with no media files: encode -> opaque binary column ->
     distributed decode, all real bytes in the real formats."""
@@ -248,19 +264,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out_ids, out_types, out_payloads = [], [], []
             for did, nchars in zip(pdf["doc_id"], pdf["n_chars"]):
-                rng = np.random.default_rng(int(did))
-                if did % 2 == 0:
-                    w = 16 + int(nchars) % 17  # non-multiple-of-4 widths too
-                    px = rng.integers(0, 256, size=(12, w, 3), dtype=np.uint8)
-                    out_payloads.append(encode_bmp(px))
-                    out_types.append("image")
-                else:
-                    n = 800 + int(nchars) % 800
-                    t = np.arange(n) / 16000.0
-                    out_payloads.append(
-                        encode_wav(0.5 * np.sin(2 * np.pi * (200 + did % 200) * t))
-                    )
-                    out_types.append("audio")
+                mtype, payload = synth_payload(did, nchars)
+                out_payloads.append(payload)
+                out_types.append(mtype)
                 out_ids.append(int(did))
             yield pd.DataFrame(
                 {

@@ -23,6 +23,7 @@ from ..operators.text import (
     token_stats,
 )
 from . import QuerySpec
+from .. import fixtures_mm as _fixtures_mm
 from .common import load
 
 STOPWORD_SQL_LIST = "['the', 'a', 'of', 'and', 'in', 'to', 'is', 'it', 'that', 'for']"
@@ -148,12 +149,18 @@ def multimodal_decode(spark, sf_dir):
     """REAL distributed media decode: deterministic BMP/WAV payloads are
     synthesized from documents (genuine on-disk formats), pushed through
     the opaque-binary column, and decoded per Arrow batch in numpy /
-    stdlib-wave (operators.multimodal.decode_payload). No SQL oracle —
-    byte-level media decode is not SQL-expressible; correctness is
-    covered by the codec roundtrip + reference-decode pytest
+    stdlib-wave (operators.multimodal.decode_payload). Byte-level media
+    decode is not SQL-expressible, so the oracle is a DuckDB scan of a
+    precomputed expected-output fixture built by an independent
+    pure-pandas pipeline (fixtures_mm.py), refreshed here whenever the
+    source documents.parquet changes — hash-checked like every other
+    query, not rows-only. Codec correctness is additionally covered by
+    the roundtrip + reference-decode pytest
     (tests/test_catalog_multimodal.py)."""
+    from ..fixtures_mm import ensure_fixtures
     from ..operators.multimodal import extract_features, synthesize_media
 
+    ensure_fixtures(sf_dir)
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return extract_features(synthesize_media(docs), decode_stub=False)
 
@@ -292,11 +299,15 @@ def multimodal_phash_groups(spark, sf_dir):
     every content checksum differs, so exact dedup finds nothing, while
     the pixel hash pairs each re-save with its original; the re-saved-
     upload case every image corpus has). Output: one row per duplicate
-    group (n_copies >= 2). No SQL oracle — pixel decode is not
-    SQL-expressible; aHash invariances are pytest-covered
-    (tests/test_catalog_multimodal.py)."""
+    group (n_copies >= 2). Pixel decode is not SQL-expressible, so the
+    oracle scans a precomputed expected-output fixture from an
+    independent pure-pandas pipeline (fixtures_mm.py), refreshed here
+    when the source data changes — hash-checked, not rows-only. aHash
+    invariances are pytest-covered (tests/test_catalog_multimodal.py)."""
+    from ..fixtures_mm import ensure_fixtures
     from ..operators.multimodal import image_ahash, reencode_images, synthesize_media
 
+    ensure_fixtures(sf_dir)
     docs = load(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 400) & (F.col("doc_id") % 2 == 0)
     )
@@ -784,10 +795,14 @@ QUERIES = {
     ),
     "multimodal_binary_meta": QuerySpec(multimodal_meta, MULTIMODAL_SQL, "binary payload metadata"),
     "multimodal_decode_features": QuerySpec(
-        multimodal_decode, None, "real BMP/WAV decode features (non-SQL-expressible)"
+        multimodal_decode,
+        _fixtures_mm.DECODE_ORACLE_SQL,
+        "real BMP/WAV decode features (fixture oracle: decode is not SQL-expressible)",
     ),
     "multimodal_phash_groups": QuerySpec(
-        multimodal_phash_groups, None, "perceptual image-hash dedup (non-SQL-expressible)"
+        multimodal_phash_groups,
+        _fixtures_mm.PHASH_ORACLE_SQL,
+        "perceptual image-hash dedup (fixture oracle: decode is not SQL-expressible)",
     ),
     "text_repetition_stats": QuerySpec(
         text_repetition_stats, REPETITION_SQL, "Gopher-style repetition filters"

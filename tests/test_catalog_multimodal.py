@@ -2,6 +2,8 @@
 multimodal binary-column plumbing (schema, Arrow batching, stub
 decode)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -184,3 +186,35 @@ def test_reencoded_copies_differ_in_bytes_not_pixels(spark, sf_dir):
     for k in orig:
         assert orig[k] != redone[k]  # byte-different files
         assert np.array_equal(decode_bmp(orig[k]), decode_bmp(redone[k]))  # same pixels
+
+
+def test_mm_fixture_stamp_and_dispatch(sf_dir, tmp_path, monkeypatch):
+    """The fixture oracle's two load-bearing properties: (1) rebuild
+    happens iff the source documents.parquet changes (the driver
+    regenerates testdata between rounds — a stale fixture must be
+    impossible); (2) the corpus_key dispatch scalar separates corpora
+    with the SAME row count but different content (the driver's sf0.001
+    and sf0.01 are exactly that pair)."""
+    import pandas as pd
+
+    from duckdb_pipeline_spark import fixtures_mm as fm
+
+    monkeypatch.setattr(fm, "FIXTURE_DIR", str(tmp_path))
+    monkeypatch.setattr(fm, "DECODE_FIXTURE", str(tmp_path / "dec.parquet"))
+    monkeypatch.setattr(fm, "PHASH_FIXTURE", str(tmp_path / "ph.parquet"))
+    monkeypatch.setattr(fm, "STAMP_FILE", str(tmp_path / "stamps.json"))
+
+    fm.ensure_fixtures(sf_dir)
+    m1 = os.path.getmtime(fm.DECODE_FIXTURE)
+    fm.ensure_fixtures(sf_dir)  # unchanged source -> no rebuild
+    assert os.path.getmtime(fm.DECODE_FIXTURE) == m1
+
+    k1 = fm.corpus_key(fm._load_docs(sf_dir))
+    other = "/root/testdata/sf0.01" if "0.001" in sf_dir else "/root/testdata/sf0.001"
+    if os.path.exists(os.path.join(other, "documents.parquet")):
+        k2 = fm.corpus_key(fm._load_docs(other))
+        assert k1 != k2  # same row count, different content -> distinct keys
+        fm.ensure_fixtures(other)
+        fx = pd.read_parquet(fm.DECODE_FIXTURE)
+        # both corpora coexist in one fixture file, partitioned by key
+        assert set(fx["corpus_key"].unique()) == {k1, k2}
