@@ -52,6 +52,7 @@ HEADLINE = [
     "pipeline_gold_daily_agg",
     "pipeline_corpus_prep",
     "q1_pricing_summary",
+    "q1_pricing_summary_fast",
     "q3_top_orders",
     "q5_regional_revenue",
     "q10_returned_revenue",
@@ -154,13 +155,36 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
     if not skip_duck:
         import duckdb
 
-        oracles = entrymod.oracle_sql()
+        from duckdb_pipeline_spark.queries.similarity import (
+            IVF_BENCH_PROBE_SQL,
+            IVF_BENCH_SETUP_SQL,
+        )
+
+        oracles = dict(entrymod.oracle_sql())
         con = duckdb.connect()
         con.execute(f"SET threads={cpus}")
         for t in DUCK_TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS FROM '{p}'")
+        # Amortized-index parity (ADVICE r5): Spark's similarity_topk_ivf
+        # times a probe of a prebuilt index; give the twin the same
+        # amortization — materialize its cell table once (untimed) and
+        # time only the probe. Guard: the probe must return exactly what
+        # the full-recompute oracle returns, or the substitution is
+        # rejected and the original SQL stays.
+        if "similarity_topk_ivf" in oracles:
+            for stmt in IVF_BENCH_SETUP_SQL:
+                con.execute(stmt)
+            full = con.execute(oracles["similarity_topk_ivf"]).fetchall()
+            fast = con.execute(IVF_BENCH_PROBE_SQL).fetchall()
+            if full == fast:
+                oracles["similarity_topk_ivf"] = IVF_BENCH_PROBE_SQL
+            else:
+                print(
+                    "bench: IVF probe SQL mismatch vs oracle; keeping full SQL",
+                    file=sys.stderr,
+                )
         duck_names = [n for n in live if n in oracles]
 
         def drun(name: str) -> float:

@@ -46,6 +46,9 @@ PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "dedup_embedding_cosine",
     "dedup_containment",
+    # round 6: NEW incremental probe + broadcast-rewritten containment
+    # (above) both need driver rows
+    "dedup_incremental_probe",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "text_repetition_stats",
     "corpus_shard_manifest",
@@ -64,9 +67,7 @@ PRIORITY: tuple[str, ...] = (
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
     "text_chunk_windows",
-    "text_token_stats",
     "text_quality_score",
-    "text_language_id",
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_phash_groups",
@@ -77,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
     "timeseries_gap_fill",
-    "sample_topk_per_group",
     # sketches (2 are rows-only by design: estimates are engine-specific)
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
@@ -93,9 +93,12 @@ PRIORITY: tuple[str, ...] = (
     "text_rolling_fingerprint",
     "text_udtf_sentences",
     "unnest_tokens",
-    # representative of the twice-green relational families; q1 also
-    # changed this round (fixed_point_agg pre-projection)
+    # representative of the twice-green relational families; round 6
+    # adds the plain-IEEE-sum q1 variant (new: needs a driver row)
     "q1_pricing_summary",
+    "q1_pricing_summary_fast",
+    # rotated out in round 6 (driver-green r4 AND r5, unchanged since):
+    # text_language_id, text_token_stats, sample_topk_per_group
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

@@ -506,8 +506,10 @@ WHERE CAST(ni AS DOUBLE) / z.n_eval >= 0.2
 def _ensure_band_index(spark, sf_dir: str) -> str:
     """Build (once per corpus version) the persisted MinHash band index
     over the 'already-ingested' batch (doc_id % 4 != 0). Staleness is
-    keyed on the source parquet (size, mtime) — the round driver
-    regenerates testdata between rounds. The cache directory includes a
+    keyed on the source parquet's content (size + sha256) — the round
+    driver regenerates testdata between rounds, and a regeneration
+    preserving size and mtime must still invalidate. The cache
+    directory includes a
     hash of the ABSOLUTE sf_dir (not just its basename): two scale dirs
     with the same basename under different roots must not share a cache
     path (round-5 ADVICE on the IVF cache)."""
@@ -525,8 +527,11 @@ def _ensure_band_index(spark, sf_dir: str) -> str:
     )
     path = os.path.join(repo, ".scratch", "bandidx", label)
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    stamp = {"size": st.st_size, "mtime": st.st_mtime}
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest()}
     marker = os.path.join(path, "_SRC.json")
     try:
         with open(marker) as fh:

@@ -582,11 +582,20 @@ def corpus_mix_allocation(spark, sf_dir):
     w_rank = Window.partitionBy().orderBy(F.desc("rem"), "source")
     B = F.lit(_MIX_BUDGET)
     sized = counts.withColumn("total", F.sum("n_tokens").over(w_all))
+    # budget * n_tokens in DECIMAL(38,0): the bigint product wraps
+    # silently in Spark (non-ANSI) but raises in DuckDB once n_tokens
+    # exceeds ~9.2e12 — i.e. exactly at the 100 TB corpus posture this
+    # query claims. int128 keeps both engines exact (and identical) to
+    # ~1.7e32 tokens.
     quota = sized.select(
         "source",
         "n_tokens",
-        F.expr(f"({_MIX_BUDGET} * n_tokens) div total").alias("base"),
-        F.expr(f"({_MIX_BUDGET} * n_tokens) % total").alias("rem"),
+        F.expr(
+            f"(CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * n_tokens) div total"
+        ).alias("base"),
+        F.expr(
+            f"(CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * n_tokens) % total"
+        ).alias("rem"),
     )
     ranked = quota.withColumn("rk", F.row_number().over(w_rank)).withColumn(
         "deficit", B - F.sum("base").over(w_all)
@@ -607,8 +616,8 @@ WITH counts AS (
 ),
 quota AS (
   SELECT source, n_tokens,
-         ({_MIX_BUDGET} * n_tokens) // (SELECT SUM(n_tokens) FROM counts) AS base,
-         ({_MIX_BUDGET} * n_tokens) % (SELECT SUM(n_tokens) FROM counts) AS rem
+         CAST((CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * n_tokens) // (SELECT SUM(n_tokens) FROM counts) AS BIGINT) AS base,
+         (CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * n_tokens) % (SELECT SUM(n_tokens) FROM counts) AS rem
   FROM counts
 ),
 ranked AS (

@@ -150,17 +150,34 @@ LSH_TOPK_SQL = _lsh_sql(n_bits=4)
 
 def _ensure_ivf_index(spark, sf_dir: str, n_cells: int) -> str:
     """Build (once) the cell-partitioned IVF index for this corpus
-    version. Staleness is keyed on the source parquet's (size, mtime):
-    the round driver regenerates testdata between rounds, so a cached
-    index must invalidate when the file changes. The build is the
-    index-construction pass every IVF deployment runs at ingest; the
-    ANN query itself then partition-prunes."""
+    version. The cache directory includes a hash of the ABSOLUTE
+    sf_dir — basename alone would let two scale dirs with the same
+    basename under different roots share a path and thrash rebuilds
+    (round-5 ADVICE). Staleness is keyed on the source parquet's
+    CONTENT (size + sha256), not mtime: the round driver regenerates
+    testdata between rounds, and a regeneration that preserves size and
+    mtime must still invalidate. The build is the index-construction
+    pass every IVF deployment runs at ingest; the ANN query itself then
+    partition-prunes."""
+    import hashlib
+
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    label = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
     path = os.path.join(repo, ".scratch", "ivf", label)
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    stamp = {"size": st.st_size, "mtime": st.st_mtime, "n_cells": n_cells}
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {
+        "size": os.path.getsize(src),
+        "sha256": h.hexdigest(),
+        "n_cells": n_cells,
+    }
     marker = os.path.join(path, "_SRC.json")
     try:
         with open(marker) as fh:
@@ -244,6 +261,79 @@ LIMIT {k}
 
 
 IVF_TOPK_SQL = _ivf_sql()
+
+# Bench-twin amortized IVF (round-6, ADVICE r5): the Spark side of
+# `similarity_topk_ivf` times a partition-pruned probe of a PREBUILT
+# index (the build runs once, outside the timed region — the amortized
+# deployment shape). The correctness ORACLE must recompute everything
+# from base tables, but using that same SQL as the bench twin made
+# DuckDB rebuild the whole IVF pipeline inside every timed pass —
+# biasing the headline ratio in Spark's favor. These statements give
+# the twin the SAME amortization: the cell-assignment table is
+# materialized once (untimed, mirroring the index build), and the timed
+# probe recomputes only what Spark's probe does (query-cell selection +
+# in-cell re-rank). bench.py runs the setup after view creation and
+# substitutes the probe SQL for this query only.
+IVF_BENCH_SETUP_SQL = [
+    "DROP TABLE IF EXISTS ivf_bench_cells",
+    f"""CREATE TABLE ivf_bench_cells AS
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+cells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore) WHERE rn = 1
+)
+SELECT e.vec_id, cl.cell, e.embedding
+FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id""",
+]
+
+IVF_BENCH_PROBE_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+qscore AS (
+  SELECT c.cell_id, CAST(SUM(
+           CAST(floor(CAST(q.qe[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM cents c, q, UNNEST(range(1, len(c.ce) + 1)) AS u(i)
+  GROUP BY c.cell_id
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id, row_number() OVER (ORDER BY score DESC, cell_id) AS rn
+    FROM qscore) WHERE rn <= 2
+),
+cand AS (
+  SELECT t.vec_id, t.cell, t.embedding, q.qe
+  FROM ivf_bench_cells t, q
+  WHERE t.cell IN (SELECT cell_id FROM probe) AND t.vec_id <> 0
+),
+terms AS (
+  SELECT vec_id, cell,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) AS et,
+         CAST(floor(CAST(qe[u.i] AS DOUBLE) * CAST(qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS qt
+  FROM cand, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, cell, CAST(SUM(dt) AS BIGINT) AS dot_i, CAST(SUM(et) AS BIGINT) AS na_i,
+         CAST(SUM(qt) AS BIGINT) AS nq_i
+  FROM terms GROUP BY vec_id, cell
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nq_i AS DOUBLE))) AS cosine
+FROM sums
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
 
 
 QUERIES = {
