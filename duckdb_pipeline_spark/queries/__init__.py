@@ -37,7 +37,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_hourly_type_counts",
     "pipeline_corpus_prep",
     # dedup (round 3 adds containment decontamination)
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -47,8 +46,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_containment",
     # round 6: NEW incremental probe + broadcast-rewritten containment
-    # (above) both need driver rows
+    # (above) both need driver rows; plus NEW keeper selection and
+    # SemDeDup-style learned-cell embedding dedup
     "dedup_incremental_probe",
+    "dedup_cluster_canonical",
+    "dedup_semantic_cells",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "text_repetition_stats",
     "corpus_shard_manifest",
@@ -58,6 +60,9 @@ PRIORITY: tuple[str, ...] = (
     "ngram_lm_counts",
     "search_docs_keywords",
     "corpus_filter_funnel",
+    # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling)
+    "search_docs_bm25",
+    "tfidf_top_terms",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
@@ -66,18 +71,15 @@ PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
-    "text_chunk_windows",
     "text_quality_score",
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_phash_groups",
-    # streaming semantics (round 3 adds the stream-stream interval join)
-    "stream_tumbling_hourly",
+    # streaming semantics (round 6: NEW applyInPandasWithState batch twin)
     "stream_session_30m",
-    "stream_interval_join",
+    "stream_user_state_totals",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
-    "timeseries_gap_fill",
     # sketches (2 are rows-only by design: estimates are engine-specific)
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
@@ -98,7 +100,9 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q1_pricing_summary_fast",
     # rotated out in round 6 (driver-green r4 AND r5, unchanged since):
-    # text_language_id, text_token_stats, sample_topk_per_group
+    # text_language_id, text_token_stats, sample_topk_per_group,
+    # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
+    # stream_interval_join, timeseries_gap_fill
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
@@ -126,6 +130,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        retrieval,
         similarity,
         sketches,
         streaming_like,
@@ -144,6 +149,7 @@ def collect_all() -> dict[str, QuerySpec]:
         sketches,
         timeseries,
         llmtext,
+        retrieval,
         streaming_like,
     ):
         for name, spec in mod.QUERIES.items():

@@ -640,8 +640,207 @@ FROM cand c LEFT JOIN comp cp ON cp.doc_id = c.dup_of
 """
 
 
+def dedup_cluster_canonical(spark, sf_dir):
+    """Keeper selection per near-dup cluster — the step that turns
+    duplicate GROUPS into a dedup decision: for every connected
+    component of the verified MinHash-LSH pair graph, keep the longest
+    member (most content preserved), ties to the smallest doc_id.
+    Output: (component, keeper_id, component_size, max_chars).
+
+    Scale shape: pairs and components are the existing bucketed /
+    star-contraction plans (`dedup_components_star` — O(log^2 n)
+    rounds); keeper selection adds ONE join (members x lengths, both
+    keyed by doc_id) and one groupBy whose argmax folds as a struct
+    max — exact, association-order-free (integer fields only), so no
+    second pass over members is needed."""
+    from ..operators.dedup import connected_components_star
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_dedup_mapped(corpus)
+    cc = connected_components_star(pairs)
+    lens = corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    m = cc.join(lens, "doc_id")
+    agg = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            -F.max(
+                F.struct(
+                    F.col("n_chars").alias("l"), (-F.col("doc_id")).alias("nid")
+                )
+            ).getField("nid")
+        ).alias("keeper_id"),
+    )
+    return agg.select("component", "keeper_id", "component_size", "max_chars")
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE
+{CORPUS_CTE.strip()},
+pairsq AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairsq UNION SELECT doc_b, doc_a FROM pairsq),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+m AS (
+  SELECT c.doc_id, c.component, CAST(length(t.text) AS BIGINT) AS n_chars
+  FROM comp c JOIN corpus t USING (doc_id)
+),
+mx AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS component_size,
+         max(n_chars) AS max_chars
+  FROM m GROUP BY component
+),
+keep AS (
+  SELECT m.component, min(m.doc_id) AS keeper_id
+  FROM m JOIN mx ON m.component = mx.component AND m.n_chars = mx.max_chars
+  GROUP BY m.component
+)
+SELECT mx.component, k.keeper_id, mx.component_size, mx.max_chars
+FROM mx JOIN keep k USING (component)
+"""
+
+
+_SEM_K = 8
+_SEM_TAU = 0.3
+
+
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al., 2023 — public
+    paper): cluster embeddings into cells, then drop near-duplicate
+    members WITHIN each cell (cosine >= tau keeps the lower vec_id).
+    Unlike `dedup_embedding_cosine` (blocks on a GIVEN label), the
+    cells here are LEARNED from the data: nearest of K deterministic
+    centroids (the first K stored vectors — the same seeding
+    `similarity_topk_ivf` uses). Output: per-cell (n_total, n_dropped,
+    n_kept) — the dedup yield report per semantic bucket.
+
+    Scale shape: assignment is a broadcast of K centroid rows against a
+    map-side scan (int_dot folds in whole-stage codegen; argmax is a
+    struct-max groupBy — no window over the corpus); within-cell pair
+    generation reuses the blocked vectorized numpy kernel, so the pair
+    space is n^2/K per cell, never global. Exact fixed-point cosines
+    (operators/similarity module doc) keep every comparison bitwise
+    cross-engine, including the argmax cell choice."""
+    from ..operators.similarity import (
+        _cosine_from_ints,
+        cosine_pairs_blocked_vectorized,
+        int_dot,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.where(F.col("vec_id") < _SEM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+    )
+    e = emb.withColumn("vn", int_dot(F.col("embedding"), F.col("embedding")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _cosine_from_ints(
+            int_dot(F.col("embedding"), F.col("cv")), F.col("vn"), F.col("cn")
+        ).alias("cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        # embedding is constant within the group (one row per centroid)
+        F.first("embedding").alias("embedding"),
+        (
+            -F.max(
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
+            ).getField("nc")
+        ).alias("cell"),
+    )
+    pairs = cosine_pairs_blocked_vectorized(
+        assigned, block_col="cell", threshold=_SEM_TAU, id_col="vec_id"
+    )
+    dropped = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(1))
+    )
+    marked = assigned.join(dropped, "vec_id", "left")
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .withColumn("n_kept", (F.col("n_total") - F.col("n_dropped")).cast("long"))
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_SEM_K}),
+vterm AS (
+  SELECT e.vec_id, c.cid,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.cv[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS dt,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS vt,
+         CAST(floor(CAST(c.cv[u.i] AS DOUBLE) * CAST(c.cv[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS ct
+  FROM e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, cid, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(vt) AS BIGINT) AS vn_i, CAST(SUM(ct) AS BIGINT) AS cn_i
+  FROM vterm GROUP BY vec_id, cid
+),
+cosx AS (
+  SELECT vec_id, cid,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(vn_i AS DOUBLE)) * sqrt(CAST(cn_i AS DOUBLE))) AS cos
+  FROM sums
+),
+asg AS (
+  SELECT vec_id, cid AS cell
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM cosx)
+  WHERE rn = 1
+),
+ae AS (SELECT a.vec_id, a.cell, e.embedding FROM asg a JOIN e USING (vec_id)),
+pterm AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(floor(CAST(a.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS dt,
+         CAST(floor(CAST(a.embedding[u.i] AS DOUBLE) * CAST(a.embedding[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS at2,
+         CAST(floor(CAST(b.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS bt2
+  FROM ae a JOIN ae b ON a.cell = b.cell AND a.vec_id < b.vec_id,
+       UNNEST(range(1, len(a.embedding) + 1)) AS u(i)
+),
+psums AS (
+  SELECT vec_a, vec_b, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM pterm GROUP BY vec_a, vec_b
+),
+dup AS (
+  SELECT DISTINCT vec_b AS vec_id FROM psums
+  WHERE CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) >= {_SEM_TAU}
+)
+SELECT a.cell,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM asg a LEFT JOIN dup d USING (vec_id)
+GROUP BY a.cell
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_cluster_canonical": QuerySpec(
+        dedup_cluster_canonical,
+        DEDUP_CANONICAL_SQL,
+        "keeper selection per near-dup component (longest member, tie min id)",
+    ),
+    "dedup_semantic_cells": QuerySpec(
+        dedup_semantic_cells,
+        DEDUP_SEMANTIC_SQL,
+        "SemDeDup-style within-cell embedding dedup with learned cells",
+    ),
     "dedup_containment": QuerySpec(
         dedup_containment, DEDUP_CONTAINMENT_SQL, "n-gram containment decontamination"
     ),

@@ -1,0 +1,188 @@
+"""Ranked retrieval over `documents` — BM25 scoring and per-document
+TF-IDF term extraction, the two classic lexical-relevance operators a
+corpus-curation pipeline runs (query-time retrieval; salient-term
+profiling for topic filters).
+
+Reference parity note: the reference repo (pracdata/duckdb-pipeline)
+delegates ad-hoc document queries to its embedded engine; these two
+queries extend the engine surface the same way the keyword-retrieval
+query (`llmtext.search_docs_keywords`) does, with full DuckDB oracles.
+
+Cross-engine determinism: every score is a composition of IEEE-754
+double ops (+ - * /) on identical operands — bitwise-portable — except
+the single `ln` call, where Spark (JVM `Math.log`) and DuckDB (libm)
+may differ in the last ulp. Scores are therefore rounded to 4 decimals
+on BOTH engines before ranking and output: a 1-ulp input wiggle changes
+the rounded value only if the true score sits within ~1e-12 of a
+0.00005 boundary (the same argument `q1_pricing_summary_fast` pins
+down; see queries/relational.py). Per-document accumulation across
+matched terms uses the decimal-exact sum idiom (`common.dsum`) so
+association order cannot reorder ulps either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import QuerySpec
+from .common import DSUM, dsum, load
+
+# Same query surface as llmtext.search_docs_keywords — disjunctive here
+# (BM25 scores any match; the conjunctive AND-filter is that query).
+_TERMS = ("spark", "hash", "merge")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+
+# k1 / b literals are written as SQL-parseable decimal strings so both
+# engines bind the exact same doubles (1.2 + 1.0 computed in Python is
+# NOT the same double as the literal 2.2).
+#   k1 = 1.2, b = 0.75, k1 + 1 = 2.2, 1 - b = 0.25
+
+
+def search_docs_bm25(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 documents for a 3-term
+    disjunctive query.
+
+    Scale shape (the inverted-index probe, relationally): the token
+    explode is filtered to the query terms BEFORE any shuffle, so the
+    wide corpus never moves; document frequencies (<= |query| rows) and
+    the corpus stats row are broadcast; one groupBy per (doc, term)
+    carries tf, one per doc folds the score; TakeOrdered cuts to 20.
+    At 100 TB the only full-corpus pass is the map-side scan that both
+    tf and dl/avgdl share."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    tf = (
+        base.select("doc_id", F.explode("t").alias("token"))
+        .where(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * ((F.col("tf") * F.lit(2.2)) / norm)).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+BM25_SQL = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM base)
+  WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id,
+         (ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)))
+           * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl)))) AS s
+  FROM tf t
+  JOIN dfreq f USING (token)
+  JOIN dl d USING (doc_id), stats s
+)
+SELECT doc_id, round({DSUM('s')}, 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per document by tf-idf (idf = ln(N/df)) —
+    the per-document topic profile used for domain filters and
+    corpus-mix audits.
+
+    Scale shape: tf is one (doc, term) groupBy over the exploded
+    tokens; the document-frequency table is a vocabulary-sized groupBy
+    joined back on term (left to AQE — broadcast when the vocabulary
+    fits, shuffle join when it is web-scale); ranking is one window
+    partitioned by doc_id. No driver-side state, no collect. Ranking
+    compares the ROUNDED score (cross-engine stable, module doc) with a
+    token tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id, t.token,
+         round(t.tf * ln(s.n_docs / f.df), 4) AS tfidf
+  FROM tf t JOIN dfreq f USING (token), stats s
+)
+SELECT doc_id, token, tfidf, rnk
+FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+QUERIES = {
+    "search_docs_bm25": QuerySpec(
+        search_docs_bm25, BM25_SQL, "BM25 ranked retrieval (k1=1.2, b=0.75)"
+    ),
+    "tfidf_top_terms": QuerySpec(
+        tfidf_top_terms, TFIDF_SQL, "top-3 tf-idf salient terms per document"
+    ),
+}

@@ -108,7 +108,38 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_user_state_totals(spark, sf_dir):
+    """Batch twin of the CUSTOM stateful streaming operator
+    (streaming/jobs.py:stateful_user_running_totals,
+    applyInPandasWithState): the per-user running (count, value-total)
+    state after the stream has fully drained equals this one-pass
+    groupBy. Parity with the live streaming operator is pinned by
+    tests/test_streaming.py:test_stateful_running_totals; the oracle
+    here checks the terminal semantics. The exact-decimal sum makes the
+    total association-order-free, so the answer is independent of
+    micro-batch arrival order — the property that makes the streaming
+    state mergeable at all."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum_fp("value").alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+USER_STATE_SQL = f"""
+SELECT user_id, count(*) AS n_events, {DSUM('value')} AS total_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "stream_user_state_totals": QuerySpec(
+        stream_user_state_totals,
+        USER_STATE_SQL,
+        "terminal state of the applyInPandasWithState running-totals operator",
+    ),
     "stream_tumbling_hourly": QuerySpec(tumbling_hourly, TUMBLING_SQL, "tumbling windows"),
     "stream_sliding_2h_1h": QuerySpec(sliding_2h_1h, SLIDING_SQL, "sliding windows"),
     "stream_session_30m": QuerySpec(session_30m, SESSION_SQL, "session windows"),
