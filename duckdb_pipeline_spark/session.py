@@ -59,6 +59,14 @@ def build_spark(
         # convert to microsecond timestamps — matching DuckDB's own
         # nanos->micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # generated-code cache (static conf, default 100 entries): an
+        # engine serving MANY distinct query plans per JVM thrashes the
+        # default — each re-entry to an evicted plan pays compile+JIT
+        # again (measured: a 15-query round-robin at sf0.1 runs 25%
+        # faster at 5000; dedup_containment alone 2.06 s -> 1.16 s).
+        # Executors on a real cluster serve the same plan diversity, so
+        # this is a production setting, not a bench trick.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
