@@ -52,7 +52,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical",
     "dedup_semantic_cells",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
-    "text_repetition_stats",
     "corpus_shard_manifest",
     "seq_pack_offsets",
     "vocab_top_tokens",
@@ -60,15 +59,17 @@ PRIORITY: tuple[str, ...] = (
     "ngram_lm_counts",
     "search_docs_keywords",
     "corpus_filter_funnel",
-    # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling)
+    # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling) and
+    # model-based quality filters (unigram-LM xent, logistic keep-prob)
     "search_docs_bm25",
     "tfidf_top_terms",
+    "text_unigram_xent",
+    "quality_logreg_score",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "embedding_quantize_int8",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
     "text_quality_score",
@@ -102,7 +103,8 @@ PRIORITY: tuple[str, ...] = (
     # rotated out in round 6 (driver-green r4 AND r5, unchanged since):
     # text_language_id, text_token_stats, sample_topk_per_group,
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
-    # stream_interval_join, timeseries_gap_fill
+    # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
+    # embedding_quantize_int8
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
@@ -128,6 +130,7 @@ def collect_all() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         relational2,
+        quality,
         relational3,
         relational4,
         retrieval,
@@ -150,6 +153,7 @@ def collect_all() -> dict[str, QuerySpec]:
         timeseries,
         llmtext,
         retrieval,
+        quality,
         streaming_like,
     ):
         for name, spec in mod.QUERIES.items():

@@ -1,0 +1,147 @@
+"""Model-based quality filtering over `documents` — the two signals
+public LLM-corpus pipelines (CCNet / GPT-3-style curation; Wenzek et
+al. 2020) run beyond rule thresholds:
+
+- **unigram-LM cross-entropy** (`text_unigram_xent`): score each doc by
+  the corpus's own unigram language model; verbose boilerplate and
+  gibberish sit at the tails. The distributed perplexity-filter proxy.
+- **logistic quality classifier** (`quality_logreg_score`): a fixed
+  linear model over the engine's quality features, squashed through a
+  sigmoid — the plumbing of a trained classifier-in-the-loop with
+  illustrative public coefficients (swap the literals for trained ones;
+  the plan is identical).
+
+Cross-engine determinism: `ln`/`exp` may differ by 1 ulp between the
+JVM and libm, so every transcendental RESULT is rounded to 6 decimals
+before any further arithmetic (per-term for the LM: a 1-ulp input
+wiggle flips a 6-decimal rounding with probability ~4e-10 per distinct
+token — negligible across the whole vocabulary); sums of the rounded
+terms use the decimal-exact idiom (`common.dsum`), so association
+order cannot reorder ulps. Everything else is single IEEE ops on
+identical operands (see queries/common.py module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import STOPWORDS
+from . import QuerySpec
+from .common import DSUM, dsum, load
+from .llmtext import STOPWORD_SQL_LIST
+
+
+def text_unigram_xent(spark, sf_dir):
+    """Per-document cross-entropy under the corpus unigram LM:
+    H(d) = -(1/n_d) * sum_t tf_dt * ln(cnt_t / T).
+
+    Scale shape: one (doc, token) groupBy for tf; the vocabulary table
+    (token -> corpus count) is a token groupBy REUSED from tf (no
+    second corpus scan in the logical plan); the per-token log-prob is
+    map-side; one final per-doc groupBy folds the exact decimal sum.
+    The vocabulary join is left to AQE — broadcast when the vocab fits,
+    shuffle join at web scale. No windows, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", F.round(F.log(F.col("cnt") / F.col("t")), 6).alias("lp")
+    )
+    agg = (
+        tf.join(q, "token")
+        .groupBy("doc_id")
+        .agg(
+            dsum(F.col("tf") * F.col("lp")).alias("s"),
+            F.sum("tf").alias("n"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(-F.col("s") / F.col("n"), 6).alias("xent"),
+    )
+
+
+UNIGRAM_XENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocab),
+q AS (SELECT token, round(ln(cnt / t), 6) AS lp FROM vocab, tot),
+agg AS (
+  SELECT f.doc_id, {DSUM('f.tf * q.lp')} AS s, CAST(SUM(f.tf) AS BIGINT) AS n
+  FROM tf f JOIN q USING (token) GROUP BY f.doc_id
+)
+SELECT doc_id, n AS n_tokens, round(-(s) / n, 6) AS xent FROM agg
+"""
+
+
+def quality_logreg_score(spark, sf_dir):
+    """Logistic quality classifier: sigmoid(w . features) over the
+    engine's quality features (length score, stopword ratio,
+    type-token ratio). Keep decision at P >= 0.5 on the ROUNDED
+    probability (deterministic cross-engine). One scan, map-only —
+    zero shuffles: classifier-based filtering costs nothing beyond the
+    feature pass at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast(
+        "double"
+    ) / n_tok
+    uniq_r = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_s = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    z = (
+        F.lit(-1.5)
+        + F.lit(2.0) * len_s
+        + F.lit(3.0) * stop_r
+        + F.lit(1.5) * uniq_r
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= F.lit(0.5)).alias("keep"),
+    )
+
+
+QUALITY_LOGREG_SQL = f"""
+WITH f AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+z AS (
+  SELECT doc_id,
+         -1.5
+           + 2.0 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+           + 3.0 * (CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE) / len(toks))
+           + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS z
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(z))), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-(z))), 6) >= 0.5 AS keep
+FROM z
+"""
+
+
+QUERIES = {
+    "text_unigram_xent": QuerySpec(
+        text_unigram_xent,
+        UNIGRAM_XENT_SQL,
+        "per-doc cross-entropy under the corpus unigram LM (perplexity-filter proxy)",
+    ),
+    "quality_logreg_score": QuerySpec(
+        quality_logreg_score,
+        QUALITY_LOGREG_SQL,
+        "logistic quality classifier (fixed weights, sigmoid keep-probability)",
+    ),
+}
