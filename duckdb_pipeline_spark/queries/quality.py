@@ -35,9 +35,11 @@ def text_unigram_xent(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM:
     H(d) = -(1/n_d) * sum_t tf_dt * ln(cnt_t / T).
 
-    Scale shape: one (doc, token) groupBy for tf; the vocabulary table
-    (token -> corpus count) is a token groupBy REUSED from tf (no
-    second corpus scan in the logical plan); the per-token log-prob is
+    Scale shape: one (doc, token) groupBy for tf; tf feeds BOTH the
+    vocabulary groupBy and the scoring join, and Spark does not CSE
+    across plan branches, so tf is persisted (the same idiom
+    operators/dedup.minhash_lsh_dedup uses for its shingle table) —
+    the corpus text is scanned exactly once. Per-token log-probs are
     map-side; one final per-doc groupBy folds the exact decimal sum.
     The vocabulary join is left to AQE — broadcast when the vocab fits,
     shuffle join at web scale. No windows, no collect."""
@@ -45,7 +47,7 @@ def text_unigram_xent(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("t"))
     q = vocab.crossJoin(F.broadcast(tot)).select(

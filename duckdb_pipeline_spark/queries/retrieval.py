@@ -48,11 +48,13 @@ def search_docs_bm25(spark, sf_dir):
     wide corpus never moves; document frequencies (<= |query| rows) and
     the corpus stats row are broadcast; one groupBy per (doc, term)
     carries tf, one per doc folds the score; TakeOrdered cuts to 20.
-    At 100 TB the only full-corpus pass is the map-side scan that both
-    tf and dl/avgdl share."""
+    At 100 TB the corpus text is scanned twice, both passes map-side
+    and column-pruned: the term-filtered token pass (tf) and the
+    doc-length pass — dl itself (a doc_id:length pair) is persisted so
+    its two consumers (corpus stats, score join) don't rescan."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
-    dl = base.select("doc_id", F.size("t").cast("long").alias("dl"))
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist()
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -131,7 +133,9 @@ def tfidf_top_terms(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df groupBy and the scoring join; Spark doesn't
+    # CSE across branches, so persist it — one corpus text scan total
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
