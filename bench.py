@@ -85,6 +85,10 @@ HEADLINE = [
     "window_moving_7d",
     "stream_interval_join",
     "sample_stratified",
+    # round-6 additions
+    "dedup_bloom_probe",
+    "dedup_span_exact",
+    "similarity_adc_topk",
 ]
 
 DUCK_TABLES = [

@@ -38,8 +38,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_prep",
     # dedup (round 3 adds containment decontamination)
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_components_star",
     "graph_pagerank",
@@ -51,6 +49,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_probe",
     "dedup_cluster_canonical",
     "dedup_semantic_cells",
+    # round 6 session 2: NEW Bloom membership gate + exact repeated-
+    # substring spans (Lee et al. shape)
+    "dedup_bloom_probe",
+    "dedup_span_exact",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "corpus_shard_manifest",
     "seq_pack_offsets",
@@ -70,6 +72,8 @@ PRIORITY: tuple[str, ...] = (
     "similarity_neardup_blocked",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    # round 6 session 2: NEW compressed-domain ADC scan
+    "similarity_adc_topk",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
     "text_quality_score",
@@ -104,7 +108,9 @@ PRIORITY: tuple[str, ...] = (
     # text_language_id, text_token_stats, sample_topk_per_group,
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
-    # embedding_quantize_int8
+    # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard
+    # (the last two rotated mid-round-6 to keep the new bloom/span/adc
+    # queries AND the q1 pair inside the ~50-query driver window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

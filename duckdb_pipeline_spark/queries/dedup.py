@@ -829,8 +829,211 @@ GROUP BY a.cell
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe: the cheap "have we ingested this content
+# before?" gate that runs BEFORE any expensive dedup at 100 TB. The filter
+# over the already-ingested corpus is tiny (<= 2^16 distinct bit positions
+# here; a few GB of bits even at 10^11 docs with a larger m) and broadcast
+# to every probe task, so a new batch is classified with ONE map-side
+# broadcast join — the full exact-membership join this avoids is included
+# in the output as the verification column (is_member), which also makes
+# the Bloom false-positive behavior visible (bloom_maybe=1, is_member=0).
+#
+# Hash family: the four leading 16-bit lanes of md5(text), parsed from the
+# hex digest with an instr('0123456789abcdef', ...) nibble lookup — an
+# expression whose TEXT is valid and identical in both Spark SQL and
+# DuckDB SQL, so the oracle recomputes bit positions bit-for-bit.
+# Reference analogue: the reference dedups bronze uploads by remote path
+# presence (data_lake_ingester.py); this is the content-level equivalent
+# an LLM-corpus pipeline needs.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4  # lanes (hash functions); m = 2^16 bit positions per lane value
+
+
+def _bloom_lane_sql(col: str = "text") -> list[str]:
+    """k 16-bit bit positions of md5(col) as engine-portable SQL text:
+    lane j = int(hex chars [8j+1 .. 8j+4]) via nibble lookup (the same
+    string compiles in Spark and DuckDB; both render md5 as lowercase
+    hex)."""
+    lanes = []
+    for j in range(_BLOOM_K):
+        terms = " + ".join(
+            f"(instr('0123456789abcdef', substr(md5({col}), {8 * j + c + 1}, 1)) - 1)"
+            f" * {16 ** (3 - c)}"
+            for c in range(4)
+        )
+        lanes.append(f"CAST({terms} AS BIGINT)")
+    return lanes
+
+
+def dedup_bloom_probe(spark, sf_dir):
+    """Bloom membership gate for an incoming batch: build the bit-position
+    set over the ingested corpus (doc_id % 10 != 0), probe a new batch
+    (doc_id % 3 == 0), and report per probe doc whether the filter says
+    "maybe seen" (all k bits present) alongside exact membership.
+
+    Scale shape: the filter is `distinct pos` (bounded by m = 65536 rows
+    regardless of corpus size) and is explicitly broadcast; the probe side
+    is a map-only explode + broadcast semi-join + per-doc count — the
+    corpus text itself is scanned once to build bits and once for the
+    is_member verification column (which a production gate would skip)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    probe = docs.where(F.col("doc_id") % 3 == 0)
+    pos_arr = "array(" + ", ".join(_bloom_lane_sql()) + ")"
+    bloom = corpus.selectExpr(f"explode({pos_arr}) AS pos").distinct()
+    probe_pos = probe.selectExpr("doc_id", f"explode({pos_arr}) AS pos")
+    hits = (
+        probe_pos.join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    member = (
+        probe.join(corpus.select("text"), "text", "left_semi")
+        .select("doc_id", F.lit(1).alias("m"))
+    )
+    return (
+        probe.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == _BLOOM_K)
+            .cast("int")
+            .alias("bloom_maybe"),
+            F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("is_member"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    lanes = ", ".join(_bloom_lane_sql())
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+bloom AS (
+  SELECT DISTINCT pos FROM (SELECT unnest([{lanes}]) AS pos FROM corpus)
+),
+ppos AS (SELECT doc_id, unnest([{lanes}]) AS pos FROM probe),
+hits AS (
+  SELECT doc_id, count(*) AS nhit FROM ppos
+  WHERE pos IN (SELECT pos FROM bloom) GROUP BY doc_id
+),
+member AS (SELECT doc_id FROM probe WHERE text IN (SELECT text FROM corpus))
+SELECT p.doc_id,
+       CAST(CASE WHEN coalesce(h.nhit, 0) = {_BLOOM_K} THEN 1 ELSE 0 END AS INTEGER) AS bloom_maybe,
+       CAST(CASE WHEN p.doc_id IN (SELECT doc_id FROM member) THEN 1 ELSE 0 END AS INTEGER) AS is_member
+FROM probe p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): find token 10-grams occurring >= 2
+# times across the corpus and report, per document, how many of its n-gram
+# positions are duplicated and how many of its token positions fall inside
+# at least one duplicated span. The suffix-array construction of the paper
+# is replaced by the hash-relational shape that distributes: explode
+# positioned n-grams (JVM-side transform/slice — no Python), count by gram
+# with map-side partial aggregation (hot boilerplate grams compress before
+# the shuffle), semi-join positions against the duplicated-gram set, and
+# union covered token indices per doc.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 10
+
+
+def dedup_span_exact(spark, sf_dir):
+    """Per-doc duplicated-substring statistics: (doc_id, n_tokens,
+    dup_spans, dup_tokens) where dup_spans counts positions whose 10-gram
+    occurs >= 2 times corpus-wide and dup_tokens counts distinct token
+    indices covered by such spans.
+
+    Scale shape: one shuffle on gram (partial-aggregated count, then a
+    semi-join AQE can skew-split), one per-doc shuffle for the coverage
+    distinct; nothing wider than (doc_id, pos) survives the gram stage."""
+    n = _SPAN_N
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    base = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    grams = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> concat_ws(' ', slice(t, i, {n})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    spans = grams.join(dup, "gram", "left_semi")
+    span_cnt = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_spans"))
+    cov = (
+        spans.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("ti")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        base.join(span_cnt, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+DEDUP_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {_SPAN_N} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+spans AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+span_cnt AS (SELECT doc_id, count(*) AS dup_spans FROM spans GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, count(DISTINCT ti) AS dup_tokens
+  FROM spans, UNNEST(range(pos, pos + {_SPAN_N})) AS v(ti)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+       CAST(coalesce(s.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM toks t
+LEFT JOIN span_cnt s USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_bloom_probe": QuerySpec(
+        dedup_bloom_probe,
+        _bloom_sql(),
+        "Bloom-filter membership gate for an incoming batch (broadcast bits)",
+    ),
+    "dedup_span_exact": QuerySpec(
+        dedup_span_exact,
+        DEDUP_SPAN_SQL,
+        "exact repeated-substring span statistics (hash-relational Lee et al.)",
+    ),
     "dedup_cluster_canonical": QuerySpec(
         dedup_cluster_canonical,
         DEDUP_CANONICAL_SQL,

@@ -52,3 +52,67 @@ def test_user_state_totals_one_shuffle(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+# ---- round-6 session-2 additions: bloom probe, span dedup, ADC scan ----
+
+
+def test_bloom_probe_no_false_negatives_and_broadcast(spark, sf_dir):
+    """Bloom soundness: every exact member MUST be flagged maybe (a
+    false negative means the bit-position derivation diverged between
+    build and probe side); plan: the filter joins as a broadcast, never
+    a shuffle-side SortMergeJoin on pos."""
+    spec = collect_all()["dedup_bloom_probe"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows, "probe batch is empty"
+    assert all(r.bloom_maybe == 1 for r in rows if r.is_member == 1)
+    plan = plan_text(spec.fn(spark, sf_dir), "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_exact_counts_on_planted_corpus(spark):
+    """Two docs sharing one exact 10-token substring: each gets 1 dup
+    span covering 10 tokens; the unrelated doc and the short doc get
+    zeros (short docs still emit a row — the left join keeps them)."""
+    from duckdb_pipeline_spark.queries import dedup as dedup_queries
+    from duckdb_pipeline_spark.queries.dedup import dedup_span_exact
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa " + shared + " lam mu nu xi omicron pi rho"),
+            (3, "one two three four five six seven eight nine ten eleven twelve"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dedup_queries.load
+    dedup_queries.load = lambda spark, sf_dir, name: docs
+    try:
+        out = {r.doc_id: r for r in dedup_span_exact(spark, "unused").collect()}
+    finally:
+        dedup_queries.load = orig
+    assert out[1].dup_spans == 1 and out[1].dup_tokens == 10
+    assert out[2].dup_spans == 1 and out[2].dup_tokens == 10
+    assert out[3].dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[4].dup_spans == 0 and out[4].n_tokens == 2
+
+
+def test_adc_codes_bounded_and_self_distance_zero(spark, sf_dir):
+    """ADC sanity: integer distances are non-negative and bounded by
+    dims * 255^2; the scan excludes the query itself; plan: coding is
+    broadcast-only (stats row + query row), top-k is TakeOrdered — no
+    SortMergeJoin, no cartesian beyond the two broadcast-scalar joins."""
+    spec = collect_all()["similarity_adc_topk"]
+    df = spec.fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(0 <= r.adc_dist <= 64 * 255 * 255 for r in rows)
+    assert all(r.vec_id != 0 for r in rows)
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    plan = plan_text(df, "simple")
+    assert "TakeOrdered" in plan
+    assert "SortMergeJoin" not in plan
