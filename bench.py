@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_bloom_probe",
     "dedup_span_exact",
     "similarity_adc_topk",
+    "stream_dedup_events",
 ]
 
 DUCK_TABLES = [

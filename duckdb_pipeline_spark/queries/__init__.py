@@ -70,7 +70,6 @@ PRIORITY: tuple[str, ...] = (
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk",
     "similarity_neardup_blocked",
-    "similarity_topk_lsh",
     "similarity_topk_ivf",
     # round 6 session 2: NEW compressed-domain ADC scan
     "similarity_adc_topk",
@@ -80,9 +79,11 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_phash_groups",
-    # streaming semantics (round 6: NEW applyInPandasWithState batch twin)
+    # streaming semantics (round 6: NEW applyInPandasWithState batch twin
+    # + NEW keyed streaming-dedup batch twin)
     "stream_session_30m",
     "stream_user_state_totals",
+    "stream_dedup_events",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
     # sketches (2 are rows-only by design: estimates are engine-specific)
@@ -108,9 +109,10 @@ PRIORITY: tuple[str, ...] = (
     # text_language_id, text_token_stats, sample_topk_per_group,
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
-    # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard
-    # (the last two rotated mid-round-6 to keep the new bloom/span/adc
-    # queries AND the q1 pair inside the ~50-query driver window)
+    # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
+    # similarity_topk_lsh (the last three rotated mid-round-6 to keep
+    # the new bloom/span/adc/stream-dedup queries AND the q1 pair
+    # inside the ~50-query driver window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

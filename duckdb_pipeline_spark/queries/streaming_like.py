@@ -134,7 +134,50 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_dedup_events(spark, sf_dir):
+    """Batch twin of streaming.jobs.dedup_stream
+    (dropDuplicatesWithinWatermark over (user_id, event_type)): the
+    deterministic first event per key — min ts, ties broken by min
+    event_id via a struct-min argmin (ONE partial-aggregated shuffle,
+    no window sort). The live streaming form keeps the first ARRIVAL;
+    when the replay is ts-ordered (the replay tests' setup) the two
+    agree, which is what tests/test_streaming.py pins on the landing
+    fixture. Watermark eviction bounds the streaming key state; the
+    batch twin is the drained-stream answer."""
+    events = load(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value")).alias("f")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(first)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("f.ts").alias("first_ts"),
+            F.col("f.event_id").alias("first_event_id"),
+            F.col("f.value").alias("first_value"),
+        )
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+       value AS first_value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "stream_dedup_events": QuerySpec(
+        stream_dedup_events,
+        STREAM_DEDUP_SQL,
+        "streaming exact-dedup batch twin (first event per key, argmin)",
+    ),
     "stream_user_state_totals": QuerySpec(
         stream_user_state_totals,
         USER_STATE_SQL,

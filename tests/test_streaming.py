@@ -280,3 +280,23 @@ def test_stream_upsert_gold_table_idempotent(spark, sf_dir, landing, tmp_path):
     drain("ckpt2")  # full replay into the existing table
     got2 = {r.event_type: r.n for r in spark.read.parquet(gold).collect()}
     assert got2 == want
+
+
+def test_keyed_dedup_stream_matches_batch_twin_keys(spark, sf_dir, landing):
+    """Keyed streaming dedup (user_id, event_type) drains to exactly
+    one survivor per key — the same key set (and count) the declared
+    batch twin stream_dedup_events produces. The surviving ROW is
+    arrival-order-dependent in the stream (file discovery order), so
+    parity is asserted on the keyed cardinality, which eviction bugs
+    or key-mangling would break."""
+    from duckdb_pipeline_spark.queries.streaming_like import stream_dedup_events
+
+    stream = dedup_stream(
+        read_event_stream(spark, landing), keys=["user_id", "event_type"]
+    )
+    got = run_available_now(stream, _mem_name(), output_mode="append")
+    twin = stream_dedup_events(spark, sf_dir)
+    assert got.count() == twin.count() > 0
+    g = {(r.user_id, r.event_type) for r in got.select("user_id", "event_type").collect()}
+    t = {(r.user_id, r.event_type) for r in twin.select("user_id", "event_type").collect()}
+    assert g == t
