@@ -98,3 +98,44 @@ def test_write_sorted_parquet_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
     overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if b[0] < a[1])
     # range partitioning makes ranges disjoint up to boundary duplicates
     assert overlaps == 0, f"overlapping ts ranges defeat pruning: {ranges}"
+
+
+def test_write_zorder_parquet_narrows_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering on (user_id, value) must narrow per-file
+    footer ranges in BOTH dimensions (measured, sf0.01: ~0.27/0.22 of
+    the global span at 16 files), where the single-key sorted layout is
+    near-zero on its key and ~full-span on the other. Verified from
+    parquet footers (pyarrow), not from Spark."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from duckdb_pipeline_spark.queries.common import load
+    from duckdb_pipeline_spark.sinks import write_sorted_parquet, write_zorder_parquet
+
+    events = load(spark, "/root/testdata/sf0.01", "events")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_parquet(events, zdir, ("user_id", "value"), num_files=16)
+    write_sorted_parquet(events, sdir, ["user_id"], num_files=16)
+
+    def mean_span(d, col):
+        gmn, gmx, spans = None, None, []
+        for f in _glob.glob(f"{d}/part-*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            ci = next(i for i in range(len(md.schema)) if md.schema.column(i).name == col)
+            mn = min(md.row_group(r).column(ci).statistics.min for r in range(md.num_row_groups))
+            mx = max(md.row_group(r).column(ci).statistics.max for r in range(md.num_row_groups))
+            spans.append((mn, mx))
+            gmn = mn if gmn is None else min(gmn, mn)
+            gmx = mx if gmx is None else max(gmx, mx)
+        return sum((mx - mn) / (gmx - gmn) for mn, mx in spans) / len(spans)
+
+    assert mean_span(zdir, "user_id") < 0.45
+    assert mean_span(zdir, "value") < 0.45
+    # the contrast the layout exists for: one-key sort leaves the second
+    # dimension unprunable
+    assert mean_span(sdir, "value") > 0.5
+    assert mean_span(sdir, "user_id") < 0.1
+
+    # row counts survive the relayout
+    assert spark.read.parquet(zdir).count() == events.count()
