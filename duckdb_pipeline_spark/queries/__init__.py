@@ -38,7 +38,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_prep",
     # dedup (round 3 adds containment decontamination)
     "dedup_minhash_lsh",
-    "dedup_components",
     "dedup_components_star",
     "graph_pagerank",
     "dedup_embedding_cosine",
@@ -86,9 +85,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup_events",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
     "funnel_view_to_purchase",
-    # sketches (2 are rows-only by design: estimates are engine-specific)
+    # sketches (rows-only by design: estimates are engine-specific;
+    # round 6 session 2 adds the per-shard union-merge pattern)
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
+    "sketch_hll_merge",
     # round-3 relational additions
     "stats_trimmed_mean",
     "agg_rollup",
@@ -110,9 +111,9 @@ PRIORITY: tuple[str, ...] = (
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
-    # similarity_topk_lsh (the last three rotated mid-round-6 to keep
-    # the new bloom/span/adc/stream-dedup queries AND the q1 pair
-    # inside the ~50-query driver window)
+    # similarity_topk_lsh, dedup_components (the last four rotated
+    # mid-round-6 to keep the new bloom/span/adc/stream-dedup/hll-merge
+    # queries AND the q1 pair inside the ~50-query driver window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

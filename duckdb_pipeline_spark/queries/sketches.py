@@ -65,9 +65,45 @@ def sketch_approx_quantiles(spark, sf_dir):
     )
 
 
+def sketch_hll_merge(spark, sf_dir):
+    """The INCREMENTAL sketch pattern: one Datasketches HLL sketch per
+    source shard (per event_type here — in production one per ingested
+    batch, PERSISTED as a binary column), then union-merged for the
+    corpus-wide distinct-user estimate without rescanning any shard.
+    The query materializes both paths — per-shard sketches merged vs
+    one direct global sketch — and returns their estimates, which are
+    EQUAL by the sketch's merge semantics (pinned in
+    tests/test_sketches.py along with the error bound vs exact NDV).
+    No oracle: sketch estimates are engine-specific (rows-only check).
+
+    Scale shape: fixed-size state (lgK=12 -> 4 KB registers) per shard,
+    map-side partials, one tiny merge — the 100 TB cardinality answer
+    that exact distinct (full keyspace shuffle) cannot be."""
+    events = load(spark, sf_dir, "events")
+    shards = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "direct_estimate"
+        )
+    )
+    return merged.crossJoin(direct).select(
+        "merged_estimate", "direct_estimate", "n_rows"
+    )
+
+
 QUERIES = {
     "agg_percentiles_exact": QuerySpec(
         agg_percentiles_exact, PCT_SQL, "exact interpolated quantiles"
+    ),
+    "sketch_hll_merge": QuerySpec(
+        sketch_hll_merge, None, "per-shard HLL sketches union-merged (rows-only check)"
     ),
     "sketch_approx_ndv": QuerySpec(
         sketch_approx_ndv, None, "HLL NDV estimate (rows-only check)"

@@ -44,3 +44,19 @@ def test_approx_quantiles_bracket_exact(spark, sf_dir):
     for k in exact:
         assert abs(approx[k][0] - exact[k][0]) / exact[k][0] < 0.05
         assert abs(approx[k][1] - exact[k][1]) / exact[k][1] < 0.05
+
+
+def test_hll_merge_equals_direct_and_bounds_exact(spark, sf_dir):
+    """Mergeability is the property that makes sketches the 100 TB
+    path: union of per-shard sketches must equal the one-pass global
+    sketch exactly (same registers), and both must estimate the true
+    NDV within HLL's relative error at lgK=12 (~1.6%; assert 5%)."""
+    from duckdb_pipeline_spark.queries.common import load
+    from duckdb_pipeline_spark.queries.sketches import sketch_hll_merge
+
+    row = sketch_hll_merge(spark, sf_dir).first()
+    assert row.merged_estimate == row.direct_estimate
+    exact = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(row.merged_estimate - exact) / exact < 0.05
