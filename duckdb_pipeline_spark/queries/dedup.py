@@ -950,9 +950,19 @@ def dedup_span_exact(spark, sf_dir):
     occurs >= 2 times corpus-wide and dup_tokens counts distinct token
     indices covered by such spans.
 
-    Scale shape: one shuffle on gram (partial-aggregated count, then a
-    semi-join AQE can skew-split), one per-doc shuffle for the coverage
-    distinct; nothing wider than (doc_id, pos) survives the gram stage."""
+    Scale shape (two Exchanges total): ONE shuffle of the positioned
+    grams feeds a window count partitioned by gram (the first cut of
+    this plan counted via groupBy + semi-join back — a second full
+    shuffle of the same rows plus a join; the window does it in one),
+    then ONE per-doc aggregation computes both statistics: a plain span
+    count plus the covered-index union built as arrays inside the
+    aggregate (bounded by doc length). The final join with the per-doc
+    base is an AQE broadcast. A gram hotter than one
+    partition (boilerplate at 100 TB) would make the window partition
+    skewed — at that scale pre-filter grams by a frequency sketch or
+    cap per-gram occurrences; noted rather than implemented."""
+    from pyspark.sql import Window
+
     n = _SPAN_N
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
@@ -970,31 +980,31 @@ def dedup_span_exact(spark, sf_dir):
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    spans = (
+        grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .where(F.col("c") >= 2)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    spans = grams.join(dup, "gram", "left_semi")
-    span_cnt = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_spans"))
-    cov = (
-        spans.select(
-            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("ti")
+    # (doc_id, pos) is unique by construction, so dup_spans is a plain
+    # count; coverage unions the per-span index ranges as ARRAYS inside
+    # the same aggregation (bounded by doc length) — measured 0.92 s vs
+    # 1.22 s for the two-countDistinct Expand form and 2.09 s for a
+    # broadcast-semi-join form at sf0.1
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(pos, pos + {n} - 1)")))
+            )
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .cast("long")
+        .alias("dup_tokens"),
     )
-    return (
-        base.join(span_cnt, "doc_id", "left")
-        .join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-        )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
     )
 
 

@@ -364,16 +364,18 @@ def similarity_adc_topk(spark, sf_dir):
     shuffle anywhere. Code grid: c = clamp(floor((x - mn_d) * 255 /
     (mx_d - mn_d)), 0, 255), degenerate dims (mx = mn) code to 0."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    el = emb.select(F.posexplode("embedding").alias("i", "x")).groupBy("i").agg(
-        F.min(F.col("x").cast("double")).alias("mn"),
-        F.max(F.col("x").cast("double")).alias("mx"),
-    )
-    stats = (
-        el.agg(F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("s"))
-        .select(
-            F.expr("transform(s, e -> e.mn)").alias("mns"),
-            F.expr("transform(s, e -> e.mx)").alias("mxs"),
-        )
+    # dim peek at plan build (one-row driver action, like the IVF
+    # centroid bootstrap): per-dim min/max then runs as ONE
+    # partial-aggregated reduce over 2*dim scalar aggregates — no
+    # posexplode row blowup, no groupBy(i) Exchange
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mxs"),
     )
     code = F.expr(
         "transform(embedding, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0 "
