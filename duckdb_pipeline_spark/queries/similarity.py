@@ -358,16 +358,18 @@ def similarity_adc_topk(spark, sf_dir):
     """Top-10 nearest neighbors of vector 0 by asymmetric-distance
     computation over per-dimension 8-bit codes.
 
-    Plan shape: per-dim min/max is ONE partial-aggregated reduce to a
-    single stats row (broadcast back); coding is a map-only array
-    transform; the scan is map-only with a TakeOrdered top-k — no wide
-    shuffle anywhere. Code grid: c = clamp(floor((x - mn_d) * 255 /
-    (mx_d - mn_d)), 0, 255), degenerate dims (mx = mn) code to 0."""
+    Plan shape: ONE partial-aggregated reduce produces a single row
+    carrying per-dim mins, per-dim maxs AND the query vector (first of
+    the vec_id=0 rows — unique, so deterministic); that row broadcasts
+    into a map-only scan that codes each vector and the query inline
+    and folds the integer distance; TakeOrdered finishes — no wide
+    shuffle anywhere, two jobs total. Code grid: c = clamp(floor((x -
+    mn_d) * 255 / (mx_d - mn_d)), 0, 255), degenerate dims (mx = mn)
+    code to 0."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # dim peek at plan build (one-row driver action, like the IVF
-    # centroid bootstrap): per-dim min/max then runs as ONE
-    # partial-aggregated reduce over 2*dim scalar aggregates — no
-    # posexplode row blowup, no groupBy(i) Exchange
+    # centroid bootstrap): per-dim min/max then runs as ONE reduce over
+    # 2*dim scalar aggregates — no posexplode blowup, no groupBy(i)
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     stats = emb.agg(
         F.array(
@@ -376,21 +378,26 @@ def similarity_adc_topk(spark, sf_dir):
         F.array(
             *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
         ).alias("mxs"),
+        F.first(
+            F.when(F.col("vec_id") == 0, F.col("embedding")), ignorenulls=True
+        ).alias("qe"),
     )
-    code = F.expr(
-        "transform(embedding, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0 "
-        "ELSE CAST(least(greatest(floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 "
-        "/ (mxs[i] - mns[i])), 0.0D), 255.0D) AS INT) END)"
-    )
-    coded = emb.crossJoin(F.broadcast(stats)).select("vec_id", code.alias("code"))
-    q = coded.where(F.col("vec_id") == 0).select(F.col("code").alias("qcode"))
+
+    def code(arr: str) -> str:
+        return (
+            f"transform({arr}, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0 "
+            "ELSE CAST(least(greatest(floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 "
+            "/ (mxs[i] - mns[i])), 0.0D), 255.0D) AS INT) END)"
+        )
+
     dist = F.expr(
-        "aggregate(zip_with(code, qcode, (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),"
+        f"aggregate(zip_with({code('embedding')}, {code('qe')},"
+        " (a, b) -> CAST((a - b) * (a - b) AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return (
-        coded.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(stats))
         .select("vec_id", dist.alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(_ADC_K)
