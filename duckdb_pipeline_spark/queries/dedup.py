@@ -967,21 +967,23 @@ def dedup_span_exact(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     base = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    # explode the POSITION sequence first and build each gram per row:
+    # 8x cheaper than transform() materializing the whole per-doc
+    # gram-string array before posexplode (0.43 vs 3.6 s generation at
+    # sf1 — the array holds every gram string live at once)
     grams = (
         toks.where(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {n} + 1),"
-                    f" i -> concat_ws(' ', slice(t, i, {n})))"
-                )
-            ).alias("p0", "gram"),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+        .select("doc_id", "t", F.explode(F.expr(f"sequence(1, size(t) - {n} + 1)")).alias("pos"))
+        .select("doc_id", "pos", F.expr(f"concat_ws(' ', slice(t, pos, {n}))").alias("gram"))
     )
+    # the window key leads with xxhash64(gram) so the partition sort
+    # compares a long before it ever touches the string; gram stays in
+    # the key, so equal-hash different-gram rows (collisions) still
+    # count separately — exactness is unconditional (−11% at sf1)
     spans = (
-        grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("gram"), "gram"))
+        )
         .where(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
