@@ -934,11 +934,11 @@ FROM probe p LEFT JOIN hits h USING (doc_id)
 # times across the corpus and report, per document, how many of its n-gram
 # positions are duplicated and how many of its token positions fall inside
 # at least one duplicated span. The suffix-array construction of the paper
-# is replaced by the hash-relational shape that distributes: explode
-# positioned n-grams (JVM-side transform/slice — no Python), count by gram
-# with map-side partial aggregation (hot boilerplate grams compress before
-# the shuffle), semi-join positions against the duplicated-gram set, and
-# union covered token indices per doc.
+# is replaced by the hash-relational shape that distributes: explode the
+# position sequence and build each positioned n-gram per row (JVM
+# concat_ws/slice — no Python), count duplicates with ONE gram-keyed
+# window (hash-first sort key), and fold both per-doc statistics in one
+# array aggregation.
 # ---------------------------------------------------------------------------
 
 _SPAN_N = 10
