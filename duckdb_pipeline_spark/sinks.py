@@ -152,6 +152,20 @@ def write_sorted_parquet(
     writer.parquet(path)
 
 
+def _morton_spread(c):
+    """Morton bit-doubling: 16-bit cell -> even bit positions of 32."""
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_z(a_cell, b_cell):
+    """Z-value of two 16-bit cell columns: bit i of a -> bit 2i, bit i
+    of b -> bit 2i+1 (per-bit reference pinned by
+    tests/test_sinks_layout.py::test_morton_spread_matches_bit_reference)."""
+    return _morton_spread(a_cell).bitwiseOR(F.shiftleft(_morton_spread(b_cell), 1))
+
+
 def write_zorder_parquet(
     df: DataFrame,
     path: str,
@@ -192,15 +206,7 @@ def write_zorder_parquet(
         )
         return F.least(F.floor(frac * F.lit(float(g + 1))), F.lit(g)).cast("long")
 
-    def spread(c):
-        # Morton bit-doubling: 16-bit cell -> even bit positions of 32
-        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
-            c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
-        return c
-
-    z = spread(cell(a, "_mna", "_mxa")).bitwiseOR(
-        F.shiftleft(spread(cell(b, "_mnb", "_mxb")), 1)
-    )
+    z = morton_z(cell(a, "_mna", "_mxa"), cell(b, "_mnb", "_mxb"))
     zdf = df.crossJoin(F.broadcast(stats)).withColumn("_z", z).drop(
         "_mna", "_mxa", "_mnb", "_mxb"
     )

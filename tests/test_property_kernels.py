@@ -171,3 +171,30 @@ def test_limb_finish_exact_and_regroupable(xs, cuts):
     i = floor(d)
     expected = float(i) + float(d - i)
     assert got == expected
+
+
+# ---- round-6 session-2 kernels: bloom lane math, morton interleave ----
+
+
+@settings(max_examples=40, deadline=None)
+@given(text=st.text(st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=200))
+def test_bloom_lane_sql_matches_hashlib_reference(text):
+    """The engine-portable instr-nibble SQL that derives the k=4 16-bit
+    Bloom positions must agree with a direct hashlib computation (big-
+    endian 16-bit prefix of each 8-hex-char md5 lane) on arbitrary
+    printable text — evaluated through DuckDB, the same way the oracle
+    runs it (Spark-side agreement is covered by the no-false-negative
+    operator test, which would break on any divergence)."""
+    import duckdb
+
+    from duckdb_pipeline_spark.queries.dedup import _bloom_lane_sql
+
+    con = duckdb.connect()
+    lanes = ", ".join(_bloom_lane_sql("t"))
+    got = con.execute(
+        f"SELECT {lanes} FROM (SELECT ? AS t)", [text]
+    ).fetchone()
+    hexd = hashlib.md5(text.encode()).hexdigest()
+    want = tuple(int(hexd[8 * j : 8 * j + 4], 16) for j in range(4))
+    assert tuple(got) == want
+

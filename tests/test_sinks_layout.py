@@ -139,3 +139,33 @@ def test_write_zorder_parquet_narrows_both_dims(spark, sf_dir, tmp_path):
 
     # row counts survive the relayout
     assert spark.read.parquet(zdir).count() == events.count()
+
+
+def test_morton_spread_matches_bit_reference(spark):
+    """The mask-shift Morton interleave inside write_zorder_parquet
+    must equal a per-bit reference on random 16-bit cell pairs. The
+    z-expression is exercised through the same code path (a write to a
+    temp dir is unnecessary — the helper is exercised structurally by
+    the layout test; here the arithmetic itself faces 400 random
+    pairs via an equivalent inline expression)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(400)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+
+    from duckdb_pipeline_spark.sinks import morton_z
+
+    z = morton_z(F.col("a"), F.col("b"))
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", z.alias("z")).collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == ref(a, b)
