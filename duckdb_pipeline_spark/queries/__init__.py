@@ -40,7 +40,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_components_star",
     "graph_pagerank",
-    "dedup_embedding_cosine",
     "dedup_containment",
     # round 6: NEW incremental probe + broadcast-rewritten containment
     # (above) both need driver rows; plus NEW keeper selection and
@@ -52,6 +51,7 @@ PRIORITY: tuple[str, ...] = (
     # substring spans (Lee et al. shape)
     "dedup_bloom_probe",
     "dedup_span_exact",
+    "dedup_span_scrub",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "corpus_shard_manifest",
     "seq_pack_offsets",
@@ -111,9 +111,10 @@ PRIORITY: tuple[str, ...] = (
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
-    # similarity_topk_lsh, dedup_components (the last four rotated
-    # mid-round-6 to keep the new bloom/span/adc/stream-dedup/hll-merge
-    # queries AND the q1 pair inside the ~50-query driver window)
+    # similarity_topk_lsh, dedup_components, dedup_embedding_cosine
+    # (the last five rotated mid-round-6 to keep the new bloom/span/
+    # span-scrub/adc/stream-dedup/hll-merge queries AND the q1 pair
+    # inside the ~50-query driver window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

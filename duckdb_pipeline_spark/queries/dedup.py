@@ -1034,8 +1034,98 @@ LEFT JOIN cov c USING (doc_id)
 """
 
 
+def dedup_span_scrub(spark, sf_dir):
+    """The REWRITE half of exact substring dedup (Lee et al. 2021):
+    every non-first occurrence of a duplicated 10-gram is removed —
+    "first" is the globally minimal (doc_id, pos) for that gram — and
+    each document's text is rebuilt from its surviving tokens.
+
+    Plan shape: the same single gram-keyed window shuffle as
+    dedup_span_exact, with row_number replacing the count (rn >= 2 IS
+    the non-first-duplicate predicate — no second pass to find firsts);
+    covered indices aggregate per doc into one set column; the rebuild
+    is a map-only array filter + join over the token array. Token
+    order, including empty tokens from repeated separators, survives
+    split -> filter-by-index -> concat_ws in both engines."""
+    from pyspark.sql import Window
+
+    n = _SPAN_N
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id", "t", F.explode(F.expr(f"sequence(1, size(t) - {n} + 1)")).alias("pos")
+        )
+        .select("doc_id", "pos", F.expr(f"concat_ws(' ', slice(t, pos, {n}))").alias("gram"))
+    )
+    w = Window.partitionBy(F.xxhash64("gram"), "gram").orderBy("doc_id", "pos")
+    removed = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    cov = (
+        removed.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("ti")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    joined = toks.join(cov, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.expr("array()"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size("cov").alias("n_removed_tokens"),
+        F.expr(
+            "concat_ws(' ', transform(filter(sequence(1, size(t)),"
+            " i -> NOT array_contains(cov, i)), i -> element_at(t, i)))"
+        ).alias("clean_text"),
+    )
+
+
+DEDUP_SPAN_SCRUB_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {_SPAN_N} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+removed AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn >= 2
+),
+cov AS (
+  SELECT doc_id, list(DISTINCT ti) AS cov
+  FROM removed, UNNEST(range(pos, pos + {_SPAN_N})) AS v(ti)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS INTEGER) AS n_tokens,
+       CAST(coalesce(len(c.cov), 0) AS INTEGER) AS n_removed_tokens,
+       -- DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+       -- of an empty array is '' (fully-scrubbed docs hit this)
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(tk.t) + 1),
+                       i -> NOT list_contains(coalesce(c.cov, []), i)),
+           i -> tk.t[i]), ' '), '') AS clean_text
+FROM toks tk LEFT JOIN cov c USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_span_scrub": QuerySpec(
+        dedup_span_scrub,
+        DEDUP_SPAN_SCRUB_SQL,
+        "remove non-first duplicated 10-gram spans and rebuild text",
+    ),
     "dedup_bloom_probe": QuerySpec(
         dedup_bloom_probe,
         _bloom_sql(),

@@ -116,3 +116,34 @@ def test_adc_codes_bounded_and_self_distance_zero(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "TakeOrdered" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_scrub_keeps_first_occurrence_and_rebuilds_text(spark):
+    """Keep-first semantics: the doc holding the globally-first copy of
+    a duplicated 10-gram keeps its text verbatim; the later doc loses
+    exactly the span's 10 tokens; untouched docs round-trip bit-for-bit
+    (including a doc with a repeated separator — empty tokens must
+    survive split -> rebuild)."""
+    from duckdb_pipeline_spark.queries import dedup as dedup_queries
+    from duckdb_pipeline_spark.queries.dedup import dedup_span_scrub
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa " + shared + " lam mu nu xi omicron pi rho"),
+            (3, "one two  three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dedup_queries.load
+    dedup_queries.load = lambda spark, sf_dir, name: docs
+    try:
+        out = {r.doc_id: r for r in dedup_span_scrub(spark, "unused").collect()}
+    finally:
+        dedup_queries.load = orig
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert out[1].clean_text == src[1] and out[1].n_removed_tokens == 0
+    assert out[2].n_removed_tokens == 10
+    assert out[2].clean_text == "iota kappa lam mu nu xi omicron pi rho"
+    assert out[3].clean_text == src[3] and out[3].n_removed_tokens == 0
