@@ -147,3 +147,83 @@ def test_span_scrub_keeps_first_occurrence_and_rebuilds_text(spark):
     assert out[2].n_removed_tokens == 10
     assert out[2].clean_text == "iota kappa lam mu nu xi omicron pi rho"
     assert out[3].clean_text == src[3] and out[3].n_removed_tokens == 0
+
+
+def test_span_stats_and_scrub_match_python_reference(spark):
+    """Randomized equivalence: a seeded 40-doc corpus over a 12-token
+    vocabulary (dense in duplicated 10-grams) must produce exactly the
+    counts and rebuilt texts of a direct pure-Python implementation of
+    the declared semantics — count >= 2 for stats, keep-globally-first
+    (min doc_id, pos) for scrub."""
+    import random
+    from collections import Counter
+
+    from duckdb_pipeline_spark.queries import dedup as dedup_queries
+    from duckdb_pipeline_spark.queries.dedup import dedup_span_exact, dedup_span_scrub
+
+    n = 10
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    # boilerplate chunks longer than n recur across docs (the shape the
+    # operator exists for); random filler between them stays unique
+    chunks = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(n, n + 6)))
+        for _ in range(5)
+    ]
+    rows = []
+    for i in range(40):
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            parts.append(rng.choice(chunks))
+            parts.append(" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 6))))
+        rows.append((i, " ".join(p for p in parts if p)))
+
+    occs = []  # (doc_id, pos, gram) in (doc_id, pos) order
+    cnt = Counter()
+    for did, text in rows:
+        toks = text.split(" ")
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p : p + n])
+            occs.append((did, p + 1, g))
+            cnt[g] += 1
+
+    exp_stats, exp_clean = {}, {}
+    seen_first = set()
+    removed_by_doc = {}
+    for did, pos, g in occs:  # already (doc_id, pos)-ordered
+        if g in seen_first:
+            removed_by_doc.setdefault(did, []).append(pos)
+        else:
+            seen_first.add(g)
+    for did, text in rows:
+        toks = text.split(" ")
+        spans = [p for (d, p, g) in occs if d == did and cnt[g] >= 2]
+        cov = set()
+        for p in spans:
+            cov.update(range(p, p + n))
+        exp_stats[did] = (len(toks), len(spans), len(cov))
+        rcov = set()
+        for p in removed_by_doc.get(did, []):
+            rcov.update(range(p, p + n))
+        kept = [t for i, t in enumerate(toks, start=1) if i not in rcov]
+        exp_clean[did] = (len(rcov), " ".join(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dedup_queries.load
+    dedup_queries.load = lambda spark, sf_dir, name: docs
+    try:
+        got_stats = {
+            r.doc_id: (r.n_tokens, r.dup_spans, r.dup_tokens)
+            for r in dedup_span_exact(spark, "unused").collect()
+        }
+        got_clean = {
+            r.doc_id: (r.n_removed_tokens, r.clean_text)
+            for r in dedup_span_scrub(spark, "unused").collect()
+        }
+    finally:
+        dedup_queries.load = orig
+    assert got_stats == exp_stats
+    assert got_clean == exp_clean
+    # the corpus must actually exercise the machinery
+    assert sum(s[1] for s in exp_stats.values()) > 50
+    assert any(c[0] > 0 for c in exp_clean.values())
