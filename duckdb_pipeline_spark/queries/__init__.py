@@ -53,7 +53,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_span_exact",
     "dedup_span_scrub",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
-    "corpus_shard_manifest",
     "seq_pack_offsets",
     "vocab_top_tokens",
     "corpus_mix_allocation",
@@ -83,8 +82,10 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_30m",
     "stream_user_state_totals",
     "stream_dedup_events",
-    # timeseries / sampling (round 3 adds stratified sampling, EWMA, OHLC)
+    # timeseries / sampling (round 3 adds stratified sampling, EWMA,
+    # OHLC; round 6 session 2 adds trigram path analysis)
     "funnel_view_to_purchase",
+    "funnel_top_paths",
     # sketches (rows-only by design: estimates are engine-specific;
     # round 6 session 2 adds the per-shard union-merge pattern)
     "sketch_approx_ndv",
@@ -111,10 +112,10 @@ PRIORITY: tuple[str, ...] = (
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
-    # similarity_topk_lsh, dedup_components, dedup_embedding_cosine
-    # (the last five rotated mid-round-6 to keep the new bloom/span/
-    # span-scrub/adc/stream-dedup/hll-merge queries AND the q1 pair
-    # inside the ~50-query driver window)
+    # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
+    # corpus_shard_manifest (the last six rotated mid-round-6 to keep
+    # the new bloom/span/span-scrub/adc/stream-dedup/hll-merge/
+    # top-paths queries AND the q1 pair inside the ~50-query window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

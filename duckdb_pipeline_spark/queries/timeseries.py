@@ -299,9 +299,59 @@ FROM o GROUP BY event_type, h
 """
 
 
+def funnel_top_paths(spark, sf_dir):
+    """Top-10 three-step user journeys: per user in event order, each
+    consecutive event-type trigram (path) counted corpus-wide — the
+    path-analysis query behind funnel design. ONE user-keyed window
+    shuffle builds the trigrams with two lags (no self-joins), a
+    partial-aggregated count reduces them, TakeOrdered finishes. At
+    100 TB the window partitions by user (bounded per-user history);
+    path cardinality is |event_types|^3 — tiny — so the count shuffle
+    is map-side-compressed to almost nothing."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # both lags must evaluate over the SAME unfiltered window — filter
+    # first and the lags re-run over the filtered rows, shifting every
+    # journey at the partition head
+    steps = (
+        ev.withColumn("a", F.lag("event_type", 2).over(w))
+        .withColumn("b", F.lag("event_type", 1).over(w))
+        .where(F.col("a").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "event_type").alias("path"))
+    )
+    return (
+        steps.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH s AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS path, count(*) AS n_journeys
+FROM s WHERE a IS NOT NULL
+GROUP BY path
+ORDER BY n_journeys DESC, path ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "funnel_view_to_purchase": QuerySpec(
         funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"
+    ),
+    "funnel_top_paths": QuerySpec(
+        funnel_top_paths, TOP_PATHS_SQL, "top event-type trigram journeys"
     ),
     "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_SQL, "exact-sum Pearson corr"),
