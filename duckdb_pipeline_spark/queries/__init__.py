@@ -69,8 +69,9 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "similarity_neardup_blocked",
     "similarity_topk_ivf",
-    # round 6 session 2: NEW compressed-domain ADC scan
+    # round 6 session 2: NEW compressed-domain ADC scan + numpy twin
     "similarity_adc_topk",
+    "similarity_adc_topk_np",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
     "text_quality_score",
@@ -79,7 +80,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_phash_groups",
     # streaming semantics (round 6: NEW applyInPandasWithState batch twin
     # + NEW keyed streaming-dedup batch twin)
-    "stream_session_30m",
     "stream_user_state_totals",
     "stream_dedup_events",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA,
@@ -113,9 +113,10 @@ PRIORITY: tuple[str, ...] = (
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
     # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
-    # corpus_shard_manifest (the last six rotated mid-round-6 to keep
-    # the new bloom/span/span-scrub/adc/stream-dedup/hll-merge/
-    # top-paths queries AND the q1 pair inside the ~50-query window)
+    # corpus_shard_manifest, stream_session_30m (the last seven rotated
+    # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
+    # stream-dedup/hll-merge/top-paths queries AND the q1 pair inside
+    # the ~50-query window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

@@ -404,6 +404,73 @@ def similarity_adc_topk(spark, sf_dir):
     )
 
 
+def similarity_adc_topk_np(spark, sf_dir):
+    """Numpy-kernel twin of ``similarity_adc_topk`` (same oracle,
+    bitwise-identical output): the per-row higher-order fold evaluates
+    interpreted per element in Spark (measured 2.3x DuckDB at sf10);
+    here each Arrow batch codes and scores as three C matrix ops — the
+    ``cosine_topk_vectorized`` precedent. The stats row (per-dim
+    min/max + query vector) is fetched once at plan build (one bounded
+    1-row job, closure-captured) — which is why the exact in-plan twin
+    stays the BENCH headline entry: its stats reduce runs inside the
+    timed region, keeping the DuckDB comparison symmetric."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    srow = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mxs"),
+        F.first(
+            F.when(F.col("vec_id") == 0, F.col("embedding")), ignorenulls=True
+        ).alias("qe"),
+    ).first()
+    mns = np.asarray(srow["mns"], dtype="float64")
+    mxs = np.asarray(srow["mxs"], dtype="float64")
+    span = mxs - mns
+    deg = span == 0.0
+
+    def code(V: "np.ndarray") -> "np.ndarray":
+        # identical op order to the SQL: (x - mn) * 255.0 / (mx - mn),
+        # floor, clamp [0, 255]; degenerate dims code to 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.floor((V - mns[None, :]) * 255.0 / span[None, :])
+        C = np.clip(C, 0.0, 255.0)
+        C[:, deg] = 0.0
+        return C.astype("int64")
+
+    qcode = code(np.asarray(srow["qe"], dtype="float64")[None, :])[0]
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["embedding"])
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "adc_dist": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d = code(V) - qcode[None, :]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "adc_dist": (d * d).sum(axis=1)}
+            )
+
+    scored = emb.mapInPandas(score, "vec_id long, adc_dist long")
+    return (
+        scored.where(F.col("vec_id") != 0)
+        .orderBy("adc_dist", "vec_id")
+        .limit(_ADC_K)
+    )
+
+
 ADC_TOPK_SQL = f"""
 WITH el AS (
   SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
@@ -434,6 +501,11 @@ QUERIES = {
         similarity_adc_topk,
         ADC_TOPK_SQL,
         "compressed-domain ADC top-k over per-dim 8-bit codes",
+    ),
+    "similarity_adc_topk_np": QuerySpec(
+        similarity_adc_topk_np,
+        ADC_TOPK_SQL,
+        "numpy-kernel ADC twin (same oracle, Arrow-batched coding)",
     ),
     "similarity_neardup_blocked": QuerySpec(
         similarity_neardup_blocked, NEARDUP_SQL, "blocked cosine near-dup pairs"
