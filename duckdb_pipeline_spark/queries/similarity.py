@@ -399,6 +399,10 @@ def similarity_adc_topk(spark, sf_dir):
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(stats))
         .select("vec_id", dist.alias("adc_dist"))
+        # a corpus without the query vector yields NULL distances
+        # (zip_with against a NULL qe); the oracle's join produces the
+        # EMPTY set there — match it
+        .where(F.col("adc_dist").isNotNull())
         .orderBy("adc_dist", "vec_id")
         .limit(_ADC_K)
     )
@@ -430,6 +434,10 @@ def similarity_adc_topk_np(spark, sf_dir):
             F.when(F.col("vec_id") == 0, F.col("embedding")), ignorenulls=True
         ).alias("qe"),
     ).first()
+    if srow["qe"] is None:  # no query vector -> empty, like the oracle
+        return (
+            emb.select("vec_id", F.lit(0).cast("long").alias("adc_dist")).where(F.lit(False))
+        )
     mns = np.asarray(srow["mns"], dtype="float64")
     mxs = np.asarray(srow["mxs"], dtype="float64")
     span = mxs - mns

@@ -227,3 +227,26 @@ def test_span_stats_and_scrub_match_python_reference(spark):
     # the corpus must actually exercise the machinery
     assert sum(s[1] for s in exp_stats.values()) > 50
     assert any(c[0] > 0 for c in exp_clean.values())
+
+
+def test_adc_absent_query_vector_yields_empty(spark):
+    """A corpus without vec_id 0 must return the EMPTY set from both
+    ADC twins (the oracle's join against the missing query row is
+    empty) — not k rows of NULL distance."""
+    from duckdb_pipeline_spark.queries import similarity as sim_queries
+    from duckdb_pipeline_spark.queries.similarity import (
+        similarity_adc_topk,
+        similarity_adc_topk_np,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(1, 30)],
+        "vec_id long, embedding array<float>",
+    )
+    orig = sim_queries.load
+    sim_queries.load = lambda spark, sf_dir, name: emb
+    try:
+        assert similarity_adc_topk(spark, "unused").count() == 0
+        assert similarity_adc_topk_np(spark, "unused").count() == 0
+    finally:
+        sim_queries.load = orig
