@@ -75,7 +75,6 @@ PRIORITY: tuple[str, ...] = (
     # LLM text + multimodal (round 3 adds perceptual image dedup)
     "text_scrub_pii",
     "text_quality_score",
-    "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_phash_groups",
     # streaming semantics (round 6: NEW applyInPandasWithState batch twin
@@ -91,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_ndv",
     "sketch_approx_quantiles",
     "sketch_hll_merge",
+    "sketch_cms_user_counts",
     # round-3 relational additions
     "stats_trimmed_mean",
     "agg_rollup",
@@ -113,10 +113,11 @@ PRIORITY: tuple[str, ...] = (
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
     # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
-    # corpus_shard_manifest, stream_session_30m (the last seven rotated
+    # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta
+    # (the last eight rotated
     # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
-    # stream-dedup/hll-merge/top-paths queries AND the q1 pair inside
-    # the ~50-query window)
+    # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
+    # inside the ~50-query window)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

@@ -98,9 +98,84 @@ def sketch_hll_merge(spark, sf_dir):
     )
 
 
+_CMS_W = 1024  # buckets per row
+_CMS_D = 4  # rows (independent md5 lanes)
+
+
+def sketch_cms_user_counts(spark, sf_dir):
+    """Count-Min sketch as a RELATIONAL, oracle-checkable operator
+    (unlike the opaque binary of Spark's count_min_sketch aggregate):
+    d=4 independent buckets per event from the md5 lanes of the user id
+    (the engine-portable instr-nibble derivation shared with
+    dedup_bloom_probe, mod w=1024), one partial-aggregated groupBy
+    builds the 4x1024-cell sketch, and the point estimate for a probe
+    user is the min over its 4 cells. Output: the 5 heaviest users'
+    exact counts beside their CMS estimates — the overcount property
+    (cms_n >= exact_n, within eps*N w.h.p.) is visible in the result
+    and pinned by pytest.
+
+    Scale shape: the sketch is bounded at d*w cells no matter how many
+    events stream through (map-side combine compresses per partition),
+    and broadcast-joins against any probe set — the mergeable
+    fixed-size state that exact per-key counting cannot be."""
+    from .dedup import _bloom_lane_sql
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("uk")
+    )
+    lanes = _bloom_lane_sql("uk")
+    buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
+    cms = (
+        ev.selectExpr(f"posexplode(array({buckets})) AS (row, bucket)")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id", "uk").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(5)
+    pb = probes.selectExpr(
+        "user_id", "exact_n", f"posexplode(array({buckets})) AS (row, bucket)"
+    )
+    est = (
+        pb.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select("user_id", "exact_n", "cms_n")
+
+
+def _cms_sql() -> str:
+    from .dedup import _bloom_lane_sql
+
+    lanes = _bloom_lane_sql("uk")
+    buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
+    return f"""
+WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS uk FROM events),
+cells AS (
+  SELECT row, bucket, count(*) AS c FROM (
+    SELECT unnest(range(0, {_CMS_D})) AS row, unnest([{buckets}]) AS bucket FROM ev
+  ) GROUP BY row, bucket
+),
+exact AS (SELECT user_id, uk, count(*) AS exact_n FROM ev GROUP BY user_id, uk),
+probes AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 5),
+pb AS (
+  SELECT user_id, exact_n, unnest(range(0, {_CMS_D})) AS row,
+         unnest([{buckets}]) AS bucket
+  FROM probes
+)
+SELECT pb.user_id, pb.exact_n, CAST(min(cells.c) AS BIGINT) AS cms_n
+FROM pb JOIN cells USING (row, bucket)
+GROUP BY pb.user_id, pb.exact_n
+"""
+
+
 QUERIES = {
     "agg_percentiles_exact": QuerySpec(
         agg_percentiles_exact, PCT_SQL, "exact interpolated quantiles"
+    ),
+    "sketch_cms_user_counts": QuerySpec(
+        sketch_cms_user_counts,
+        _cms_sql(),
+        "relational Count-Min sketch with md5-lane buckets (oracle-checked)",
     ),
     "sketch_hll_merge": QuerySpec(
         sketch_hll_merge, None, "per-shard HLL sketches union-merged (rows-only check)"

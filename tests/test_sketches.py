@@ -60,3 +60,20 @@ def test_hll_merge_equals_direct_and_bounds_exact(spark, sf_dir):
         load(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert abs(row.merged_estimate - exact) / exact < 0.05
+
+
+def test_cms_overcount_property_and_bound(spark, sf_dir):
+    """CMS point estimates can only OVERcount (min over hashed cells
+    that all contain the key's true count plus collisions), and with
+    w=1024 cells per row the expected collision mass per cell is N/w —
+    assert the loose 4*N/w bound that only breaks if the lane math or
+    the min-fold is wrong."""
+    from duckdb_pipeline_spark.queries.common import load
+    from duckdb_pipeline_spark.queries.sketches import sketch_cms_user_counts
+
+    rows = sketch_cms_user_counts(spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_events = load(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.cms_n >= r.exact_n
+        assert r.cms_n - r.exact_n <= 4 * n_events / 1024
