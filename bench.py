@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_bloom_probe",
     "dedup_span_exact",
     "similarity_adc_topk",
+    "similarity_adc_topk_np",
     "stream_dedup_events",
 ]
 
@@ -103,6 +104,7 @@ R6_ADDITIONS = {
     "dedup_bloom_probe",
     "dedup_span_exact",
     "similarity_adc_topk",
+    "similarity_adc_topk_np",
     "stream_dedup_events",
 }
 

@@ -318,7 +318,14 @@ def funnel_top_paths(spark, sf_dir):
     steps = (
         ev.withColumn("a", F.lag("event_type", 2).over(w))
         .withColumn("b", F.lag("event_type", 1).over(w))
-        .where(F.col("a").isNotNull())
+        # all three legs non-null: concat_ws SKIPS nulls (Spark) where
+        # || propagates them (DuckDB) — a null event_type would
+        # otherwise form different paths per engine
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(F.concat_ws(">", "a", "b", "event_type").alias("path"))
     )
     return (
@@ -339,7 +346,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT a || '>' || b || '>' || c AS path, count(*) AS n_journeys
-FROM s WHERE a IS NOT NULL
+FROM s WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
 GROUP BY path
 ORDER BY n_journeys DESC, path ASC
 LIMIT 10

@@ -77,3 +77,37 @@ def test_cms_overcount_property_and_bound(spark, sf_dir):
     for r in rows:
         assert r.cms_n >= r.exact_n
         assert r.cms_n - r.exact_n <= 4 * n_events / 1024
+
+
+def test_cms_cells_merge_across_batches(spark, sf_dir):
+    """Mergeability — the property that makes CMS the incremental
+    100 TB shape: the sketch of the full stream equals the CELLWISE SUM
+    of per-batch sketches (counts add; no rescan of old batches)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pipeline_spark.queries.common import load
+    from duckdb_pipeline_spark.queries.dedup import _bloom_lane_sql
+    from duckdb_pipeline_spark.queries.sketches import _CMS_W
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uk")
+    )
+    lanes = _bloom_lane_sql("uk")
+    buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
+
+    def cells(df):
+        return {
+            (r.row, r.bucket): r.c
+            for r in df.selectExpr(f"posexplode(array({buckets})) AS (row, bucket)")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    full = cells(ev)
+    b1 = cells(ev.where(F.col("event_id") % 2 == 0))
+    b2 = cells(ev.where(F.col("event_id") % 2 == 1))
+    merged = dict(b1)
+    for k, v in b2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
