@@ -39,6 +39,7 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 
 DECODE_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_decode_features.parquet")
 PHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_phash_groups.parquet")
+WAV_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_wav_frames.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -116,6 +117,32 @@ def _expected_phash_groups(docs: pd.DataFrame) -> pd.DataFrame:
     )[["ahash", "n_copies", "keeper_id"]]
 
 
+def _expected_wav_frames(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_wav_frames: odd
+    doc_id < 500 -> synthesize WAV -> decode -> frame(400, 160) ->
+    integer-quantized energies (floor(mean|x| * 1e9))."""
+    from .operators.multimodal import decode_wav, sample_frames, synth_payload
+
+    rows = []
+    sel = docs[(docs["doc_id"] < 500) & (docs["doc_id"] % 2 == 1)].sort_values("doc_id")
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        _, payload = synth_payload(did, nchars)
+        samples, _ = decode_wav(payload)
+        fr = sample_frames(samples, 400, 160)
+        rows.append(
+            (
+                int(did),
+                int(len(samples)),
+                int(fr.shape[0]),
+                int(np.floor(np.abs(samples).mean() * 1e9)),
+                int(np.floor(np.abs(fr[0]).mean() * 1e9)) if fr.shape[0] else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_samples", "n_frames", "energy_q", "f0_energy_q"]
+    ).astype("int64")
+
+
 def corpus_key(docs: pd.DataFrame) -> int:
     """Content-sensitive dispatch scalar; the SQL twin is
     ``count(*) + sum(doc_id * n_chars)`` over the documents view."""
@@ -139,7 +166,11 @@ def ensure_fixtures(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     src = os.path.join(sf_dir, "documents.parquet")
     stamp_key = os.path.abspath(sf_dir)
-    dig = _digest(src)
+    # the fixture-set version rides in the stamp: adding a NEW fixture
+    # file must invalidate per-sf stamps written before it existed
+    # (the file-exists check alone passes once any sf dir built it,
+    # leaving other sf dirs' corpus_key partitions missing)
+    dig = _digest(src) + ":fxv2"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -151,12 +182,14 @@ def ensure_fixtures(sf_dir: str) -> None:
         stamps.get(stamp_key) == dig
         and os.path.exists(DECODE_FIXTURE)
         and os.path.exists(PHASH_FIXTURE)
+        and os.path.exists(WAV_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
     key = corpus_key(docs)
     _merge_partition(DECODE_FIXTURE, key, _expected_decode_features(docs))
     _merge_partition(PHASH_FIXTURE, key, _expected_phash_groups(docs))
+    _merge_partition(WAV_FIXTURE, key, _expected_wav_frames(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -171,5 +204,11 @@ WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 PHASH_ORACLE_SQL = f"""
 SELECT ahash, n_copies, keeper_id
 FROM read_parquet('{PHASH_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+WAV_ORACLE_SQL = f"""
+SELECT media_id, n_samples, n_frames, energy_q, f0_energy_q
+FROM read_parquet('{WAV_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 """

@@ -299,6 +299,49 @@ def ahash_pixels(img: np.ndarray) -> int:
     return int(bits.astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
 
+def wav_frame_stats(
+    df: DataFrame, payload_col: str = "payload", frame: int = 400, hop: int = 160
+) -> DataFrame:
+    """Per-audio-file frame statistics over the opaque binary column:
+    decode 16-bit PCM WAV, fixed-hop frame sampling
+    (:func:`sample_frames`), and two energy features quantized to
+    integers (floor(mean|x| * 1e9)) so the value surface is hash-exact
+    cross-engine. Arrow-batched mapInPandas — the same distributed
+    shape a real feature extractor (fbank/MFCC) plugs into; those
+    kernels are the marked extension point (codec libs absent here).
+
+    Output: (media_id, n_samples, n_frames, energy_q, f0_energy_q)."""
+    import pandas as pd
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nf, eq, f0 = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, _ = decode_wav(bytes(payload))
+                fr = sample_frames(samples, frame, hop)
+                ids.append(int(mid))
+                ns.append(int(len(samples)))
+                nf.append(int(fr.shape[0]))
+                eq.append(int(np.floor(np.abs(samples).mean() * 1e9)))
+                f0.append(
+                    int(np.floor(np.abs(fr[0]).mean() * 1e9)) if fr.shape[0] else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "energy_q": pd.Series(eq, dtype="int64"),
+                    "f0_energy_q": pd.Series(f0, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        _stats,
+        "media_id long, n_samples long, n_frames long, energy_q long, f0_energy_q long",
+    )
+
+
 def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(media_id, ahash) for every decodable image payload in a media
     frame — one Arrow-batched map pass, non-image rows dropped. The

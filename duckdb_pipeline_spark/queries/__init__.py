@@ -34,7 +34,6 @@ PRIORITY: tuple[str, ...] = (
     # medallion pipeline (the reference's own surface)
     "pipeline_clean_events",
     "pipeline_gold_daily_agg",
-    "pipeline_hourly_type_counts",
     "pipeline_corpus_prep",
     # dedup (round 3 adds containment decontamination)
     "dedup_minhash_lsh",
@@ -77,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "multimodal_decode_features",
     "multimodal_phash_groups",
+    "multimodal_wav_frames",
     # streaming semantics (round 6: NEW applyInPandasWithState batch twin
     # + NEW keyed streaming-dedup batch twin)
     "stream_user_state_totals",
@@ -113,8 +113,8 @@ PRIORITY: tuple[str, ...] = (
     # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
     # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
-    # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta
-    # (the last eight rotated
+    # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta,
+    # pipeline_hourly_type_counts (the last nine rotated
     # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
     # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
     # inside the ~50-query window)

@@ -165,6 +165,24 @@ def multimodal_decode(spark, sf_dir):
     return extract_features(synthesize_media(docs), decode_stub=False)
 
 
+def multimodal_wav_frames(spark, sf_dir):
+    """Audio frame statistics end-to-end: synthesize real WAV payloads
+    for the odd-id documents, decode + frame (400-sample frames,
+    160-sample hop) per Arrow batch, and emit integer-quantized energy
+    features — the distributed shape an fbank/MFCC extractor plugs
+    into. Oracle: DuckDB scan of the independently-built pandas fixture
+    (fixtures_mm.py), corpus_key-dispatched like the other two decode
+    queries."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import synthesize_media, wav_frame_stats
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 500) & (F.col("doc_id") % 2 == 1)
+    )
+    return wav_frame_stats(synthesize_media(docs))
+
+
 def text_udtf_sentences(spark, sf_dir):
     """Python UDTF (table function) — the one UDF shape the rest of
     the engine doesn't exercise (scalar pandas UDFs and grouped/map
@@ -812,6 +830,11 @@ QUERIES = {
         multimodal_phash_groups,
         _fixtures_mm.PHASH_ORACLE_SQL,
         "perceptual image-hash dedup (fixture oracle: decode is not SQL-expressible)",
+    ),
+    "multimodal_wav_frames": QuerySpec(
+        multimodal_wav_frames,
+        _fixtures_mm.WAV_ORACLE_SQL,
+        "WAV decode + fixed-hop frame energies (fixture oracle)",
     ),
     "text_repetition_stats": QuerySpec(
         text_repetition_stats, REPETITION_SQL, "Gopher-style repetition filters"

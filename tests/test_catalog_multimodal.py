@@ -218,3 +218,37 @@ def test_mm_fixture_stamp_and_dispatch(sf_dir, tmp_path, monkeypatch):
         fx = pd.read_parquet(fm.DECODE_FIXTURE)
         # both corpora coexist in one fixture file, partitioned by key
         assert set(fx["corpus_key"].unique()) == {k1, k2}
+
+
+def test_wav_frame_stats_matches_direct_decode(spark, sf_dir):
+    """The distributed frame-stats op must agree with a direct local
+    decode of the same synthesized payloads (frame count formula and
+    quantized energies), and sine payloads of amplitude 0.5 must land
+    near mean|x| = 0.5 * 2/pi."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        sample_frames,
+        synth_payload,
+        synthesize_media,
+        wav_frame_stats,
+    )
+    from duckdb_pipeline_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & (F.col("doc_id") % 2 == 1)
+    )
+    got = {r.media_id: r for r in wav_frame_stats(synthesize_media(docs)).collect()}
+    src = {int(r.doc_id): int(r.n_chars) for r in docs.select("doc_id", "n_chars").collect()}
+    assert got and set(got) == set(src)
+    for did, nchars in src.items():
+        _, payload = synth_payload(did, nchars)
+        samples, _ = decode_wav(payload)
+        fr = sample_frames(samples, 400, 160)
+        r = got[did]
+        assert r.n_samples == len(samples)
+        assert r.n_frames == fr.shape[0] == 1 + (len(samples) - 400) // 160
+        assert r.energy_q == int(np.floor(np.abs(samples).mean() * 1e9))
+        assert abs(r.energy_q / 1e9 - 0.5 * 2 / np.pi) < 0.02
