@@ -64,3 +64,22 @@ def test_load_memoized_per_session(spark, sf_dir):
     assert a is b
     c = load(spark, sf_dir, "nation")
     assert c is not a
+
+
+def test_oracle_compare_catches_mismatches():
+    """The differential gate's compare() must flag row-count, column,
+    and value mismatches — a harness that passes everything would make
+    every green row meaningless (meta-test of the gate itself)."""
+    import pandas as pd
+
+    from tests.oracle_check import compare
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["p", "q"]})
+    assert compare("t", a, a.copy()) == []
+    assert compare("t", a, a.head(1))  # row count
+    assert compare("t", a, a.rename(columns={"y": "z"}))  # columns
+    b = a.copy()
+    b.loc[0, "x"] = 99
+    assert compare("t", a, b)  # values
+    # order-insensitive: permuted rows are NOT a mismatch
+    assert compare("t", a, a.iloc[::-1].reset_index(drop=True)) == []
