@@ -250,3 +250,25 @@ def test_adc_absent_query_vector_yields_empty(spark):
         assert similarity_adc_topk_np(spark, "unused").count() == 0
     finally:
         sim_queries.load = orig
+
+
+def test_adc_twins_agree_bitwise(spark, sf_dir):
+    """The in-plan exact ADC and the numpy-kernel twin must return the
+    identical top-k (same codes, same integer distances) — the numpy
+    rewrite is only admissible because it is bitwise-equal."""
+    qs = collect_all()
+    a = [(r.vec_id, r.adc_dist) for r in qs["similarity_adc_topk"].fn(spark, sf_dir).collect()]
+    b = [(r.vec_id, r.adc_dist) for r in qs["similarity_adc_topk_np"].fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_cms_sketch_is_bounded_and_broadcast(spark, sf_dir):
+    """The CMS estimate join must broadcast the bounded cell table
+    (d*w rows regardless of event volume) — a shuffled join here would
+    mean the sketch table was treated as data-sized."""
+    df = collect_all()["sketch_cms_user_counts"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5
+    plan = plan_text(df, "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
