@@ -851,15 +851,18 @@ GROUP BY a.cell
 _BLOOM_K = 4  # lanes (hash functions); m = 2^16 bit positions per lane value
 
 
-def _bloom_lane_sql(col: str = "text") -> list[str]:
-    """k 16-bit bit positions of md5(col) as engine-portable SQL text:
-    lane j = int(hex chars [8j+1 .. 8j+4]) via nibble lookup (the same
-    string compiles in Spark and DuckDB; both render md5 as lowercase
-    hex)."""
+def _bloom_lane_sql(hex_col: str = "h") -> list[str]:
+    """k 16-bit bit positions from an md5-HEX column as engine-portable
+    SQL text: lane j = int(hex chars [8j+1 .. 8j+4]) via nibble lookup
+    (the same string compiles in Spark and DuckDB; both render md5 as
+    lowercase hex). Callers project ``md5(col) AS <hex_col>`` FIRST and
+    pass the projected column: inlining md5 into each of the 16 nibble
+    terms is NOT common-subexpression-eliminated by Spark codegen —
+    measured 2x slower on the CMS build at sf10 (3.19 vs 1.59 s)."""
     lanes = []
     for j in range(_BLOOM_K):
         terms = " + ".join(
-            f"(instr('0123456789abcdef', substr(md5({col}), {8 * j + c + 1}, 1)) - 1)"
+            f"(instr('0123456789abcdef', substr({hex_col}, {8 * j + c + 1}, 1)) - 1)"
             f" * {16 ** (3 - c)}"
             for c in range(4)
         )
@@ -881,9 +884,15 @@ def dedup_bloom_probe(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     probe = docs.where(F.col("doc_id") % 3 == 0)
-    pos_arr = "array(" + ", ".join(_bloom_lane_sql()) + ")"
-    bloom = corpus.selectExpr(f"explode({pos_arr}) AS pos").distinct()
-    probe_pos = probe.selectExpr("doc_id", f"explode({pos_arr}) AS pos")
+    pos_arr = "array(" + ", ".join(_bloom_lane_sql("h")) + ")"
+    bloom = (
+        corpus.selectExpr("md5(text) AS h")
+        .selectExpr(f"explode({pos_arr}) AS pos")
+        .distinct()
+    )
+    probe_pos = probe.selectExpr("doc_id", "md5(text) AS h").selectExpr(
+        "doc_id", f"explode({pos_arr}) AS pos"
+    )
     hits = (
         probe_pos.join(F.broadcast(bloom), "pos", "left_semi")
         .groupBy("doc_id")
@@ -908,10 +917,10 @@ def dedup_bloom_probe(spark, sf_dir):
 
 
 def _bloom_sql() -> str:
-    lanes = ", ".join(_bloom_lane_sql())
+    lanes = ", ".join(_bloom_lane_sql("h"))
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+WITH corpus AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+probe AS (SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
 bloom AS (
   SELECT DISTINCT pos FROM (SELECT unnest([{lanes}]) AS pos FROM corpus)
 ),

@@ -121,16 +121,17 @@ def sketch_cms_user_counts(spark, sf_dir):
     from .dedup import _bloom_lane_sql
 
     ev = load(spark, sf_dir, "events").select(
-        F.col("user_id"), F.col("user_id").cast("string").alias("uk")
+        F.col("user_id"),
+        F.expr("md5(CAST(user_id AS STRING))").alias("h"),
     )
-    lanes = _bloom_lane_sql("uk")
+    lanes = _bloom_lane_sql("h")
     buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
     cms = (
         ev.selectExpr(f"posexplode(array({buckets})) AS (row, bucket)")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    exact = ev.groupBy("user_id", "uk").agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = ev.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(5)
     pb = probes.selectExpr(
         "user_id", "exact_n", f"posexplode(array({buckets})) AS (row, bucket)"
@@ -146,16 +147,16 @@ def sketch_cms_user_counts(spark, sf_dir):
 def _cms_sql() -> str:
     from .dedup import _bloom_lane_sql
 
-    lanes = _bloom_lane_sql("uk")
+    lanes = _bloom_lane_sql("h")
     buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
     return f"""
-WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS uk FROM events),
+WITH ev AS (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
 cells AS (
   SELECT row, bucket, count(*) AS c FROM (
     SELECT unnest(range(0, {_CMS_D})) AS row, unnest([{buckets}]) AS bucket FROM ev
   ) GROUP BY row, bucket
 ),
-exact AS (SELECT user_id, uk, count(*) AS exact_n FROM ev GROUP BY user_id, uk),
+exact AS (SELECT user_id, h, count(*) AS exact_n FROM ev GROUP BY user_id, h),
 probes AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT 5),
 pb AS (
   SELECT user_id, exact_n, unnest(range(0, {_CMS_D})) AS row,

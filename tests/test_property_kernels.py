@@ -190,9 +190,9 @@ def test_bloom_lane_sql_matches_hashlib_reference(text):
     from duckdb_pipeline_spark.queries.dedup import _bloom_lane_sql
 
     con = duckdb.connect()
-    lanes = ", ".join(_bloom_lane_sql("t"))
+    lanes = ", ".join(_bloom_lane_sql("h"))
     got = con.execute(
-        f"SELECT {lanes} FROM (SELECT ? AS t)", [text]
+        f"SELECT {lanes} FROM (SELECT md5(?) AS h)", [text]
     ).fetchone()
     hexd = hashlib.md5(text.encode()).hexdigest()
     want = tuple(int(hexd[8 * j : 8 * j + 4], 16) for j in range(4))

@@ -89,10 +89,10 @@ def test_cms_cells_merge_across_batches(spark, sf_dir):
     from duckdb_pipeline_spark.queries.dedup import _bloom_lane_sql
     from duckdb_pipeline_spark.queries.sketches import _CMS_W
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("uk")
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_id", "md5(CAST(user_id AS STRING)) AS h"
     )
-    lanes = _bloom_lane_sql("uk")
+    lanes = _bloom_lane_sql("h")
     buckets = ", ".join(f"({lane}) % {_CMS_W}" for lane in lanes)
 
     def cells(df):
