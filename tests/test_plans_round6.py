@@ -272,3 +272,31 @@ def test_cms_sketch_is_bounded_and_broadcast(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_exact_survives_hot_gram_skew(spark):
+    """Boilerplate skew: ONE gram repeated across 2000 docs (every
+    occurrence lands in one window partition — the worst case the
+    docstring warns about). The query must complete and count exactly:
+    every doc's single spans all duplicated, coverage = 10 tokens each
+    plus filler overlap zero."""
+    from duckdb_pipeline_spark.queries import dedup as dedup_queries
+    from duckdb_pipeline_spark.queries.dedup import dedup_span_exact
+
+    hot = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b " + hot + f" u{i}c") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    orig = dedup_queries.load
+    dedup_queries.load = lambda spark, sf_dir, name: docs
+    try:
+        out = dedup_span_exact(spark, "unused")
+        agg = out.agg(
+            {"dup_spans": "sum", "dup_tokens": "sum", "doc_id": "count"}
+        ).first()
+    finally:
+        dedup_queries.load = orig
+    assert agg["count(doc_id)"] == 2000
+    assert agg["sum(dup_spans)"] == 2000  # exactly the hot-gram position per doc
+    assert agg["sum(dup_tokens)"] == 2000 * 10
