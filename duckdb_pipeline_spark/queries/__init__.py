@@ -32,7 +32,6 @@ class QuerySpec:
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
     # medallion pipeline (the reference's own surface)
-    "pipeline_clean_events",
     "pipeline_gold_daily_agg",
     "pipeline_corpus_prep",
     # dedup (round 3 adds containment decontamination)
@@ -72,7 +71,6 @@ PRIORITY: tuple[str, ...] = (
     "similarity_adc_topk",
     "similarity_adc_topk_np",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
-    "text_scrub_pii",
     "text_quality_score",
     "multimodal_decode_features",
     "multimodal_phash_groups",
@@ -85,6 +83,8 @@ PRIORITY: tuple[str, ...] = (
     # OHLC; round 6 session 2 adds trigram path analysis)
     "funnel_view_to_purchase",
     "funnel_top_paths",
+    "user_sessions_gap30",
+    "retention_cohorts",
     # sketches (rows-only by design: estimates are engine-specific;
     # round 6 session 2 adds the per-shard union-merge pattern)
     "sketch_approx_ndv",
@@ -114,7 +114,8 @@ PRIORITY: tuple[str, ...] = (
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
     # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
     # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta,
-    # pipeline_hourly_type_counts (the last nine rotated
+    # pipeline_hourly_type_counts, pipeline_clean_events, text_scrub_pii
+    # (the last eleven rotated
     # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
     # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
     # inside the ~50-query window)

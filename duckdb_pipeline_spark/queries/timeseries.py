@@ -353,12 +353,105 @@ LIMIT 10
 """
 
 
+def user_sessions_gap30(spark, sf_dir):
+    """Gap-based sessionization as a batch query (the classic lag +
+    conditional cumsum): a new session starts when a user's inter-event
+    gap exceeds 30 minutes; per user report session count, total
+    events, and the LONGEST session's event count. ONE user-keyed
+    window shuffle carries both the lag and the running session-id
+    cumsum; the per-(user, session) and per-user rollups are map-side
+    partial aggregations on the already-shuffled partitioning.
+    Complements stream_session_30m (engine session_window) with the
+    relational formulation every warehouse runs."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("longest_session_events"),
+    )
+
+
+SESSIONS_GAP_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+       max(n) AS longest_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+def retention_cohorts(spark, sf_dir):
+    """Daily-cohort retention matrix: users grouped by their FIRST
+    active day; for each (cohort_day, day_offset) count distinct users
+    active that many days later. Two shuffles at corpus scale: the
+    per-user min-day aggregation (partial, tiny output) broadcast back
+    onto the per-(user, day) activity set, then the cohort-cell
+    distinct count."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = ev.distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id", "cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f USING (user_id)
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, d.d)
+"""
+
+
 QUERIES = {
     "funnel_view_to_purchase": QuerySpec(
         funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"
     ),
     "funnel_top_paths": QuerySpec(
         funnel_top_paths, TOP_PATHS_SQL, "top event-type trigram journeys"
+    ),
+    "user_sessions_gap30": QuerySpec(
+        user_sessions_gap30,
+        SESSIONS_GAP_SQL,
+        "lag-gap sessionization (batch twin of session windows)",
+    ),
+    "retention_cohorts": QuerySpec(
+        retention_cohorts, RETENTION_SQL, "daily-cohort retention matrix"
     ),
     "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_SQL, "exact-sum Pearson corr"),
