@@ -408,23 +408,28 @@ FROM per_sess GROUP BY user_id
 
 def retention_cohorts(spark, sf_dir):
     """Daily-cohort retention matrix: users grouped by their FIRST
-    active day; for each (cohort_day, day_offset) count distinct users
-    active that many days later. Two shuffles at corpus scale: the
-    per-user min-day aggregation (partial, tiny output) broadcast back
-    onto the per-(user, day) activity set, then the cohort-cell
-    distinct count."""
+    active day; for each (cohort_day, day_offset) count the users
+    active that many days later. ONE user-keyed shuffle does all the
+    per-user work — groupBy(user) with min(day) + collect_set(day)
+    fuses the day-dedup, the cohort assignment, and the join the
+    textbook three-step (distinct -> min -> join back) pays two extra
+    10M-row passes for (measured 1.44 -> 0.90 s at sf10); the per-user
+    day set is bounded by the calendar span. The exploded (cohort,
+    offset) cells then reduce in a tiny second shuffle; plain count is
+    the distinct-user count because a user's day is determined by the
+    cell — no user occupies a cell twice."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    days = ev.distinct()
-    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
-        days.join(F.broadcast(first), "user_id")
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"), F.collect_set("d").alias("ds"))
+        .select("cohort_day", F.explode("ds").alias("d"))
         .select(
-            "user_id", "cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset")
+            "cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset")
         )
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -432,7 +437,7 @@ RETENTION_SQL = """
 WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
 first AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id)
 SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
-       count(DISTINCT d.user_id) AS n_users
+       count(*) AS n_users
 FROM days d JOIN first f USING (user_id)
 GROUP BY f.cohort_day, datediff('day', f.cohort_day, d.d)
 """
