@@ -300,3 +300,41 @@ def test_span_exact_survives_hot_gram_skew(spark):
     assert agg["count(doc_id)"] == 2000
     assert agg["sum(dup_spans)"] == 2000  # exactly the hot-gram position per doc
     assert agg["sum(dup_tokens)"] == 2000 * 10
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (the engine-native
+    version of the probe-side gate dedup_bloom_probe hand-builds) must
+    inject a might_contain filter on the fact side of a selective
+    dim-filtered join once the size thresholds admit it — at 100 TB the
+    default thresholds (10 MB creation side) admit exactly this shape.
+    Thresholds are lowered for the test corpus and restored after."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pipeline_spark.queries.common import load
+
+    creation = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    application = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_c, old_a = spark.conf.get(creation), spark.conf.get(application)
+    old_b = spark.conf.get(bcast)
+    spark.conf.set(creation, "100MB")
+    spark.conf.set(application, "0")
+    # the rule only fires for probable SHUFFLE joins — at the test
+    # corpus size the dim would broadcast and no filter is needed; at
+    # 100 TB both sides shuffle and the thresholds admit the injection
+    spark.conf.set(bcast, "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        spark.conf.set(creation, old_c)
+        spark.conf.set(application, old_a)
+        spark.conf.set(bcast, old_b)
