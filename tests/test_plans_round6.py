@@ -338,3 +338,26 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         spark.conf.set(creation, old_c)
         spark.conf.set(application, old_a)
         spark.conf.set(bcast, old_b)
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    """user_sessions_gap30 runs on ONE Exchange: the window's
+    hashpartitioning(user_id) satisfies both downstream aggregations
+    (ClusteredDistribution on (user_id, ...) accepts a subset
+    partitioning), so the lag, the cumsum, the per-session rollup and
+    the per-user rollup all share the same shuffle."""
+    df = collect_all()["user_sessions_gap30"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_two_exchanges_no_expand(spark, sf_dir):
+    """retention_cohorts is the fused two-shuffle shape: one user-keyed
+    aggregation (min + collect_set), one cell-keyed count — no distinct
+    Expand pass, no join."""
+    df = collect_all()["retention_cohorts"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange") == 2
+    assert "Expand" not in plan
+    assert "Join" not in plan
