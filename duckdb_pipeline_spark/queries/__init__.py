@@ -51,7 +51,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_span_exact",
     "dedup_span_scrub",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
-    "seq_pack_offsets",
     "vocab_top_tokens",
     "corpus_mix_allocation",
     "ngram_lm_counts",
@@ -91,9 +90,10 @@ PRIORITY: tuple[str, ...] = (
     "sketch_approx_quantiles",
     "sketch_hll_merge",
     "sketch_cms_user_counts",
-    # round-3 relational additions
+    # round-3 relational additions (+ round-6 fuzzy entity resolution)
     "stats_trimmed_mean",
     "agg_rollup",
+    "fuzzy_match_names",
     # round 5: the 5 queries that had never received a driver row
     # (rotated in per VERDICT r4 #2; each is green in the local oracle
     # harness at sf0.01 — this gives every declared query at least one
@@ -114,8 +114,8 @@ PRIORITY: tuple[str, ...] = (
     # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
     # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
     # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta,
-    # pipeline_hourly_type_counts, pipeline_clean_events, text_scrub_pii
-    # (the last eleven rotated
+    # pipeline_hourly_type_counts, pipeline_clean_events, text_scrub_pii,
+    # seq_pack_offsets (the last twelve rotated
     # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
     # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
     # inside the ~50-query window)

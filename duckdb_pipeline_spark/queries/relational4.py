@@ -284,7 +284,74 @@ FROM kept GROUP BY source
 """
 
 
+def fuzzy_match_names(spark, sf_dir):
+    """Entity resolution with planted ground truth: every customer name
+    is deterministically corrupted (5th character dropped), then each
+    corrupted record is matched back against the clean table — BLOCKED
+    on the stable name suffix (right 3 chars, which the corruption
+    preserves), verified with integer Levenshtein distance (bitwise
+    cross-engine), resolved by per-probe argmin (min struct(dist, id)).
+    Output: (probe_id, matched_id, dist) — the planted pairs resolve at
+    dist=1 with matched_id == probe_id.
+
+    Scale shape: blocking bounds the pair space (suffix blocks, never
+    all-pairs — the same discipline as the LSH/IVF/shingle families);
+    the match is one shuffle join on the block key plus a per-probe
+    partial-aggregated argmin."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.expr("right(c_name, 3)").alias("blk")
+    )
+    probe = base.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr("substr(c_name, 1, 4) || substr(c_name, 6)").alias("corrupted"),
+        "blk",
+    )
+    cand = probe.join(base, "blk").select(
+        "probe_id",
+        "c_custkey",
+        F.levenshtein("corrupted", "c_name").alias("dist"),
+    )
+    best = (
+        cand.groupBy("probe_id")
+        .agg(F.min(F.struct("dist", "c_custkey")).alias("b"))
+        .select(
+            "probe_id",
+            F.col("b.c_custkey").alias("matched_id"),
+            F.col("b.dist").alias("dist"),
+        )
+    )
+    return best
+
+
+FUZZY_MATCH_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer
+),
+probe AS (
+  SELECT c_custkey AS probe_id,
+         substr(c_name, 1, 4) || substr(c_name, 6) AS corrupted,
+         right(c_name, 3) AS blk
+  FROM customer
+),
+cand AS (
+  SELECT p.probe_id, b.c_custkey, levenshtein(p.corrupted, b.c_name) AS dist
+  FROM probe p JOIN base b USING (blk)
+),
+rk AS (
+  SELECT probe_id, c_custkey, dist,
+         row_number() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn
+  FROM cand
+)
+SELECT probe_id, c_custkey AS matched_id, dist FROM rk WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "fuzzy_match_names": QuerySpec(
+        fuzzy_match_names,
+        FUZZY_MATCH_SQL,
+        "blocked Levenshtein entity resolution with planted corruption",
+    ),
     "q2_min_cost_supplier": QuerySpec(
         q2_min_cost_supplier, Q2_SQL, "TPC-H Q2 correlated-min supplier"
     ),

@@ -361,3 +361,14 @@ def test_retention_two_exchanges_no_expand(spark, sf_dir):
     assert plan.count("Exchange") == 2
     assert "Expand" not in plan
     assert "Join" not in plan
+
+
+def test_fuzzy_match_resolves_planted_corruption(spark, sf_dir):
+    """Every corrupted probe must resolve back to its own source row at
+    distance exactly 1 (the dropped character) — a wrong blocking key
+    or a broken argmin surfaces as mismatched ids or higher distance."""
+    df = collect_all()["fuzzy_match_names"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(r.matched_id == r.probe_id for r in rows)
+    assert all(r.dist == 1 for r in rows)
