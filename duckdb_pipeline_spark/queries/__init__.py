@@ -62,15 +62,16 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "text_unigram_xent",
     "quality_logreg_score",
+    # round-6 session-3 additions (curation layer)
+    "dsir_importance",
+    "bpe_train_merges",
+    "corpus_overlap_matrix",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
-    "similarity_topk",
-    "similarity_neardup_blocked",
     "similarity_topk_ivf",
     # round 6 session 2: NEW compressed-domain ADC scan + numpy twin
     "similarity_adc_topk",
     "similarity_adc_topk_np",
     # LLM text + multimodal (round 3 adds perceptual image dedup)
-    "text_quality_score",
     "multimodal_decode_features",
     "multimodal_phash_groups",
     "multimodal_wav_frames",
@@ -119,6 +120,9 @@ PRIORITY: tuple[str, ...] = (
     # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
     # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
     # inside the ~50-query window)
+    # rotated out round-6 session-3 (driver-green r4 AND r5, unchanged)
+    # to admit the curation trio (dsir/bpe/overlap-matrix):
+    # similarity_topk, similarity_neardup_blocked, text_quality_score
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,
@@ -139,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
 
 def collect_all() -> dict[str, QuerySpec]:
     from . import (
+        curation,
         dedup,
         llmtext,
         pipeline,
@@ -168,6 +173,7 @@ def collect_all() -> dict[str, QuerySpec]:
         llmtext,
         retrieval,
         quality,
+        curation,
         streaming_like,
     ):
         for name, spec in mod.QUERIES.items():

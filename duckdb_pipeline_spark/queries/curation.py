@@ -1,0 +1,399 @@
+"""Corpus-curation operators a large-scale pretraining pipeline runs
+between raw ingestion and tokenization — the selection/audit layer the
+reference's medallion flow (data_lake_transformer.py:9-242) would grow
+once its silver tables feed model training:
+
+- **DSIR importance weighting** (`dsir_importance`): score every
+  document by how target-like its hashed-bigram distribution is
+  (log p_target(f) - log p_raw(f) summed over features) — the public
+  Data Selection via Importance Resampling recipe (Xie et al., 2023).
+- **BPE merge induction** (`bpe_train_merges`): the first R rounds of
+  byte-pair-encoding vocabulary training over whitespace symbols —
+  count adjacent pairs, take the global argmax, rewrite, repeat. The
+  iterative-algorithm pattern (like graph_pagerank) applied to
+  tokenizer training.
+- **Cross-source overlap matrix** (`corpus_overlap_matrix`): distinct
+  5-gram overlap between every pair of sources — the contamination /
+  provenance audit that decides which sources double-count.
+
+Cross-engine determinism follows the repo conventions: every
+transcendental RESULT is rounded to 6 decimals before further
+arithmetic, sums of rounded terms use the decimal-exact idiom
+(queries/common.dsum), and all counts/argmaxes are integer with total
+tie-break orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import DSUM, dsum, load
+
+# ------------------------------------------------------------------ DSIR
+
+# hashed-bigram feature space: first 3 hex chars of md5 = 4096 buckets.
+# Hashing bounds the weight table at 4096 rows AT ANY CORPUS SIZE, which
+# is what makes the scoring join a provably safe broadcast.
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weight per document: sum over hashed-bigram
+    features of tf * (ln p_target(b) - ln p_raw(b)), add-one smoothed.
+    Target distribution = the `lang = 'en'` slice; raw = whole corpus.
+    Documents that resample well into the target domain score high.
+
+    Scale shape: bigrams form map-side (zip_with against the shifted
+    array — no positional explode/join); ONE (doc, bucket) groupBy
+    builds tf, which is persisted because it feeds three plan branches
+    (raw counts, target counts, scoring join — Spark does not CSE
+    across branches, same idiom as quality.text_unigram_xent). Both
+    count tables collapse to <= 4096 rows — the log-ratio table is
+    broadcast BY CONSTRUCTION, so per-doc scoring is a map-side join +
+    one exact-decimal fold. Nothing document-sized ever shuffles twice.
+    """
+    return dsir_importance_from(load(spark, sf_dir, "documents"))
+
+
+def dsir_importance_from(docs):
+    """DataFrame-level core of `dsir_importance` (docs: doc_id, lang,
+    text) — split out so tests can drive planted corpora."""
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    bg = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+    )
+    bi = (
+        toks.select("doc_id", "lang", F.explode(bg).alias("bg"))
+        .where(F.col("bg").isNotNull())
+        .select("doc_id", "lang", F.substring(F.md5("bg"), 1, 3).alias("bucket"))
+    )
+    tf = (
+        bi.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    tgt = (
+        tf.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    tot_r = raw.agg(F.sum("cr").cast("double").alias("tr"))
+    tot_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
+    B = F.lit(float(_DSIR_BUCKETS))
+    lw = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + B)
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B)), 6
+                )
+            ).alias("lw"),
+        )
+    )
+    agg = (
+        tf.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            dsum(F.col("tf") * F.col("lw")).alias("s"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_bigrams", F.round("s", 6).alias("log_importance")
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, lang, substr(md5(t[u.i] || ' ' || t[u.i + 1]), 1, 3) AS bucket
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+tf AS (
+  SELECT doc_id, lang, bucket, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY 1),
+tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr FROM raw),
+tgt AS (
+  SELECT bucket, CAST(SUM(tf) AS BIGINT) AS ct
+  FROM tf WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1
+),
+tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS tt FROM tgt),
+lw AS (
+  SELECT r.bucket,
+         round(ln(CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) / (tt.tt + {_DSIR_BUCKETS})), 6)
+           - round(ln(CAST(r.cr + 1 AS DOUBLE) / (tr.tr + {_DSIR_BUCKETS})), 6) AS lw
+  FROM raw r LEFT JOIN tgt g USING (bucket), tr, tt
+),
+agg AS (
+  SELECT f.doc_id,
+         {DSUM('f.tf * l.lw')} AS s,
+         CAST(SUM(f.tf) AS BIGINT) AS n_bigrams
+  FROM tf f JOIN lw l USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id, n_bigrams, round(s, 6) AS log_importance FROM agg
+"""
+
+
+# ------------------------------------------------------------------ BPE
+
+_BPE_ROUNDS = 3
+
+
+def _adjacent_pairs(scol):
+    """array<struct<lhs,rhs>> of adjacent DISTINCT symbol pairs, built
+    map-side (zip against the 1-shifted slice; zip_with null-pads the
+    shorter side, which marks — and filters — the final position)."""
+    shifted = F.slice(scol, 2, F.greatest(F.size(scol) - 1, F.lit(1)))
+    z = F.zip_with(
+        scol, shifted, lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs"))
+    )
+    return F.filter(
+        z, lambda s: s["rhs"].isNotNull() & (s["lhs"] != s["rhs"])
+    )
+
+
+def _apply_merge(df, x: str, y: str):
+    """Rewrite the symbol array replacing every adjacent (x, y) with
+    the merged symbol 'x y' — map-only (no shuffle at any scale).
+    Because training only ever selects pairs with lhs != rhs, matches
+    cannot overlap (a match at i+1 would need sym[i+1] = x = y), so
+    greedy leftmost-merge == independent per-position rewrite:
+    position i merges iff it matches; position i drops iff i-1
+    matched."""
+    s = F.col("s")
+    shifted = F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(1)))
+    m = F.zip_with(
+        s, shifted, lambda a, b: (a == F.lit(x)) & b.eqNullSafe(F.lit(y))
+    )
+    df = df.withColumn("m", m)
+    tagged = F.transform(s, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+    kept = F.filter(
+        tagged,
+        lambda st: ~F.when(st["i"] == 0, F.lit(False)).otherwise(
+            F.element_at(F.col("m"), st["i"])  # 1-based: m[i-1] = prev matched
+        ),
+    )
+    rewritten = F.transform(
+        kept,
+        lambda st: F.when(
+            F.element_at(F.col("m"), st["i"] + 1), F.lit(f"{x} {y}")
+        ).otherwise(st["v"]),
+    )
+    return df.withColumn("s", rewritten).drop("m")
+
+
+def bpe_train_merges(spark, sf_dir):
+    """First R=3 byte-pair-encoding merge rounds over whitespace
+    symbols: per round, count adjacent symbol pairs corpus-wide, adopt
+    the most frequent (ties: count DESC, lhs ASC, rhs ASC), rewrite
+    every occurrence, recount. Output: (round, lhs, rhs,
+    n_occurrences) — the learned merge table.
+
+    Iterative-algorithm shape (the graph_pagerank discipline): each
+    round is ONE partial-aggregated groupBy over map-side pair arrays —
+    the shuffle carries (pair, count) partials, never positions — plus
+    a 1-row driver collect of the argmax (bounded per round, like the
+    IVF centroid collect; the merge must become a literal for the next
+    round's map-only rewrite to stay in codegen). Restricting
+    candidates to lhs != rhs keeps the rewrite overlap-free and
+    positionally independent (see _apply_merge); standard BPE permits
+    self-pairs, a documented divergence that changes which merge wins
+    only on corpora dominated by immediate word repetition."""
+    spark_df = load(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        bpe_merges_from(spark_df, _BPE_ROUNDS),
+        "round int, lhs string, rhs string, n_occurrences long",
+    )
+
+
+def bpe_merges_from(docs, rounds: int) -> list:
+    """DataFrame-level core of `bpe_train_merges`: the learned merge
+    list [(round, lhs, rhs, n)] for a docs(text) DataFrame."""
+    syms = docs.select(F.split("text", " ").alias("s"))
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = (
+            syms.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = counts.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()
+        if not top:
+            break
+        x, y, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
+        merges.append((rnd, x, y, n))
+        syms = _apply_merge(syms, x, y)
+    return merges
+
+
+def _bpe_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled BPE round: count -> argmax -> positional rewrite.
+    The rewrite is two window levels (lead to see the next symbol, lag
+    of the match flag to drop consumed positions); `pos` keeps original
+    order across rounds (gaps are fine — only relative order matters).
+    """
+    return f"""
+c{rnd} AS (
+  SELECT sym AS lhs, nx AS rhs, count(*) AS n FROM (
+    SELECT sym, lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nx
+    FROM {prev}
+  ) WHERE nx IS NOT NULL AND sym <> nx GROUP BY 1, 2
+),
+m{rnd} AS (SELECT lhs, rhs, n FROM c{rnd} ORDER BY n DESC, lhs, rhs LIMIT 1),
+s{rnd} AS (
+  SELECT doc_id, pos,
+         CASE WHEN mtch THEN sym || ' ' || nx ELSE sym END AS sym
+  FROM (
+    SELECT doc_id, pos, sym, nx, mtch,
+           lag(mtch) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_mtch
+    FROM (
+      SELECT t.doc_id, t.pos, t.sym,
+             lead(t.sym) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS nx,
+             (t.sym = m{rnd}.lhs
+              AND lead(t.sym) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = m{rnd}.rhs) AS mtch
+      FROM {prev} t, m{rnd}
+    )
+  ) WHERE NOT COALESCE(prev_mtch, FALSE)
+)"""
+
+
+BPE_SQL = (
+    """
+WITH s0 AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS sym
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+),"""
+    + ",".join(_bpe_round_sql(f"s{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, lhs, rhs, CAST(n AS BIGINT) AS n_occurrences FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+# ------------------------------------------------- cross-source overlap
+
+
+def corpus_overlap_matrix(spark, sf_dir):
+    """Distinct 5-gram overlap between every pair of sources:
+    (source_a, source_b, n_common, n_a, n_b, jaccard) for a < b with
+    at least one shared shingle — the provenance/contamination audit
+    that tells a corpus curator which feeds are re-crawls of each
+    other before mixing weights are chosen.
+
+    Scale shape: the inverted-index pattern (same as
+    dedup_containment) — NEVER a shingle-keyed self-join, which at
+    100 TB re-shuffles the corpus against itself. One distinct pass
+    builds (source, shingle); one groupBy inverts it to per-shingle
+    source lists — bounded by n_sources per shingle — and pair
+    expansion happens inside that bounded array (n_sources^2 worst
+    case per shingle, independent of corpus size); one final pair
+    groupBy counts commons. Source sizes (n_sources rows) broadcast.
+    All-integer until one final rounded division."""
+    return overlap_matrix_from(load(spark, sf_dir, "documents"))
+
+
+def overlap_matrix_from(docs):
+    """DataFrame-level core of `corpus_overlap_matrix` (docs: source,
+    text)."""
+    from ..operators.dedup import word_shingles
+
+    sh = word_shingles(
+        docs, id_col="source", text_col="text", n=5, distinct=True
+    ).persist()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inv = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    common = (
+        inv.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    zb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        common.join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+OVERLAP_MATRIX_SQL = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+       round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes za ON za.source = common.source_a
+JOIN sizes zb ON zb.source = common.source_b
+"""
+
+
+QUERIES = {
+    "dsir_importance": QuerySpec(
+        dsir_importance,
+        DSIR_SQL,
+        "DSIR hashed-bigram importance weight vs the en-slice target distribution",
+    ),
+    "bpe_train_merges": QuerySpec(
+        bpe_train_merges,
+        BPE_SQL,
+        "first 3 BPE merge rounds (global pair argmax + map-only rewrite per round)",
+    ),
+    "corpus_overlap_matrix": QuerySpec(
+        corpus_overlap_matrix,
+        OVERLAP_MATRIX_SQL,
+        "pairwise distinct-5-gram overlap between sources (inverted index, no self-join)",
+    ),
+}
