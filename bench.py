@@ -91,6 +91,7 @@ HEADLINE = [
     "similarity_adc_topk",
     "similarity_adc_topk_np",
     "stream_dedup_events",
+    "corpus_overlap_matrix",
 ]
 
 # The headline GROWS as operators land, which moves the total-ratio
@@ -106,6 +107,7 @@ R6_ADDITIONS = {
     "similarity_adc_topk",
     "similarity_adc_topk_np",
     "stream_dedup_events",
+    "corpus_overlap_matrix",
 }
 
 DUCK_TABLES = [

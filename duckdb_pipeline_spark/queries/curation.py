@@ -70,47 +70,45 @@ def dsir_importance_from(docs):
         toks.select("doc_id", "lang", F.explode(bg).alias("bg"))
         .where(F.col("bg").isNotNull())
         .select("doc_id", "lang", F.substring(F.md5("bg"), 1, 3).alias("bucket"))
-    )
-    tf = (
-        bi.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cr"))
-    tgt = (
-        tf.where(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("ct"))
+    # PER-OCCURRENCE scoring: a (doc, bucket) tf intermediate adds a
+    # third full shuffle and (on bigram features, where per-doc buckets
+    # rarely repeat) compresses almost nothing — so both the bucket
+    # counts and the per-doc fold run straight off the occurrence rows.
+    # Raw and target counts come from ONE conditional aggregation, the
+    # totals from one 1-row aggregate over its <= 4096-row output.
+    # Numerically, summing cast(lw as dec) per occurrence equals the
+    # tf-weighted formulation exactly: round(lw, 6) casts to
+    # decimal(18,9) with zero error (a 6-decimal value), so either
+    # grouping folds to the identical tf * k/1e6.
+    is_t = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+    counts = bi.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(is_t).alias("ct"),
     )
-    tot_r = raw.agg(F.sum("cr").cast("double").alias("tr"))
-    tot_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
+    tot = counts.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
     B = F.lit(float(_DSIR_BUCKETS))
-    lw = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
-        .select(
-            "bucket",
-            (
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        / (F.col("tt") + B)
-                    ),
-                    6,
-                )
-                - F.round(
-                    F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B)), 6
-                )
-            ).alias("lw"),
-        )
+    lw = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.round(
+                F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + B)), 6
+            )
+            - F.round(
+                F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B)), 6
+            )
+        ).alias("lw"),
     )
     agg = (
-        tf.join(F.broadcast(lw), "bucket")
+        bi.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            dsum(F.col("tf") * F.col("lw")).alias("s"),
-            F.sum("tf").alias("n_bigrams"),
+            dsum(F.col("lw")).alias("s"),
+            F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
     return agg.select(
@@ -124,29 +122,25 @@ bi AS (
   SELECT doc_id, lang, substr(md5(t[u.i] || ' ' || t[u.i + 1]), 1, 3) AS bucket
   FROM toks, UNNEST(range(1, len(t))) AS u(i)
 ),
-tf AS (
-  SELECT doc_id, lang, bucket, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+counts AS (
+  SELECT bucket, count(*) AS cr,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM bi GROUP BY 1
 ),
-raw AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY 1),
-tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr FROM raw),
-tgt AS (
-  SELECT bucket, CAST(SUM(tf) AS BIGINT) AS ct
-  FROM tf WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1
-),
-tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS tt FROM tgt),
+tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr, CAST(SUM(ct) AS DOUBLE) AS tt FROM counts),
 lw AS (
-  SELECT r.bucket,
-         round(ln(CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) / (tt.tt + {_DSIR_BUCKETS})), 6)
-           - round(ln(CAST(r.cr + 1 AS DOUBLE) / (tr.tr + {_DSIR_BUCKETS})), 6) AS lw
-  FROM raw r LEFT JOIN tgt g USING (bucket), tr, tt
+  SELECT bucket,
+         round(ln(CAST(ct + 1 AS DOUBLE) / (tt + {_DSIR_BUCKETS})), 6)
+           - round(ln(CAST(cr + 1 AS DOUBLE) / (tr + {_DSIR_BUCKETS})), 6) AS lw
+  FROM counts, tot
 ),
 agg AS (
-  SELECT f.doc_id,
-         {DSUM('f.tf * l.lw')} AS s,
-         CAST(SUM(f.tf) AS BIGINT) AS n_bigrams
-  FROM tf f JOIN lw l USING (bucket) GROUP BY f.doc_id
+  SELECT b.doc_id,
+         {DSUM('l.lw')} AS s,
+         count(*) AS n_bigrams
+  FROM bi b JOIN lw l USING (bucket) GROUP BY b.doc_id
 )
-SELECT doc_id, n_bigrams, round(s, 6) AS log_importance FROM agg
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(s, 6) AS log_importance FROM agg
 """
 
 
