@@ -372,3 +372,47 @@ def test_fuzzy_match_resolves_planted_corruption(spark, sf_dir):
     assert rows
     assert all(r.matched_id == r.probe_id for r in rows)
     assert all(r.dist == 1 for r in rows)
+
+
+# ---- round-6 session-3 additions: curation layer + minhash verify ----
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_dir):
+    """The per-doc scoring join must broadcast the <=4096-row weight
+    table (bounded by the hashed feature space at ANY corpus size),
+    never sort-merge the occurrence rows against it; and the whole
+    query needs exactly its two designed shuffles (bucket counts +
+    per-doc fold)."""
+    df = collect_all()["dsir_importance"].fn(spark, sf_dir)
+    plan = plan_text(df, "formatted")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_matrix_no_shingle_self_join(spark, sf_dir):
+    """The pair space must come from exploding the bounded per-shingle
+    source list (inverted index), NOT from joining the shingle table
+    to itself — a self-join re-shuffles the corpus against itself at
+    100 TB. Detectable in the plan: no join of any kind is needed
+    before the final (tiny) size joins, and those must be broadcast."""
+    df = collect_all()["corpus_overlap_matrix"].fn(spark, sf_dir)
+    plan = plan_text(df, "formatted")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # one scan feeds both branches through the persisted shingle table:
+    # the documents parquet appears exactly once
+    assert plan.count("documents.parquet") <= 1 or "InMemory" in plan
+
+
+def test_minhash_verify_no_pair_keyed_exchange(spark, sf_dir):
+    """The round-6 verify rewrite: both member texts ride joins into
+    the pair row and Jaccard computes in one map pass — the shingle
+    arrays of the old groupBy-reassembly formulation must never cross
+    an Exchange. Detectable: no HashAggregate between the final
+    mapInPandas and the output, and no min_by/max_by aggregation."""
+    df = collect_all()["dedup_minhash_lsh"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "min_by" not in plan and "max_by" not in plan
+    assert "MapInPandas" in plan
