@@ -21,6 +21,23 @@ transcendental RESULT is rounded to 6 decimals before further
 arithmetic, sums of rounded terms use the decimal-exact idiom
 (queries/common.dsum), and all counts/argmaxes are integer with total
 tie-break orders.
+
+Measured and rejected (sf0.1, min-of-5, output-identical in all cases):
+
+- dsir via a broadcast weight MAP + in-row decimal HOF fold (zero
+  doc-keyed shuffle): 5.1 s vs 1.3 s for the two-shuffle relational
+  plan — interpreted per-element decimal lambdas dominate; the clean
+  dataflow loses to codegen'd hash aggregation by ~4x here.
+- dsir via a (doc, bucket) tf intermediate (the text_unigram_xent
+  idiom): 2.3 s — on bigram features per-doc buckets rarely repeat,
+  so the extra groupBy shuffles ~the same row count for no
+  compression. Kept per-occurrence (1.3 s).
+- overlap matrix folding the global distinct into collect_set (one
+  fewer corpus shuffle): 1.26 s vs 1.07 s — the combiner's set state
+  over non-distinct rows costs more than the saved Exchange.
+- overlap matrix shuffling 16-hex md5(shingle) keys instead of the
+  raw 5-gram strings: 1.15 s vs 1.19 s — inside noise; not worth the
+  distinct-hashed-grams semantics change.
 """
 
 from __future__ import annotations
@@ -28,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .common import DSUM, dsum, load
+from .common import DSUM, dsum_fp, load
 
 # ------------------------------------------------------------------ DSIR
 
@@ -46,14 +63,19 @@ def dsir_importance(spark, sf_dir):
     Documents that resample well into the target domain score high.
 
     Scale shape: bigrams form map-side (zip_with against the shifted
-    array — no positional explode/join); ONE (doc, bucket) groupBy
-    builds tf, which is persisted because it feeds three plan branches
-    (raw counts, target counts, scoring join — Spark does not CSE
-    across branches, same idiom as quality.text_unigram_xent). Both
-    count tables collapse to <= 4096 rows — the log-ratio table is
-    broadcast BY CONSTRUCTION, so per-doc scoring is a map-side join +
-    one exact-decimal fold. Nothing document-sized ever shuffles twice.
-    """
+    array — no positional explode/join); the occurrence table is
+    persisted because it feeds two plan branches (bucket counts and
+    the scoring join — Spark does not CSE across branches). Raw and
+    target counts come from ONE conditional aggregation that collapses
+    to <= 4096 rows, so the log-ratio table is broadcast BY
+    CONSTRUCTION; per-doc scoring is a map-side join + one
+    fixed-point-exact fold. Exactly two corpus-sized shuffles.
+
+    The md5 feature hash is the cross-engine-portable choice and is
+    ~40% of the wall time at sf1 (8.2 s; an xxhash64-bucket variant
+    measures 4.7 s bitwise-unverifiable — DuckDB has no xxhash64).
+    On an engine-only deployment swap the hasher; the plan is
+    identical."""
     return dsir_importance_from(load(spark, sf_dir, "documents"))
 
 
@@ -103,11 +125,15 @@ def dsir_importance_from(docs):
             )
         ).alias("lw"),
     )
+    # dsum_fp, not dsum: lw = round(x, 6) satisfies the fast path's
+    # precondition exactly (<= 9 decimal digits, |x| tiny), so the
+    # long fixed-point sum is bitwise-equal to the decimal-idiom
+    # oracle while staying on Spark's long-backed aggregation path
     agg = (
         bi.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            dsum(F.col("lw")).alias("s"),
+            dsum_fp(F.col("lw")).alias("s"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
@@ -220,7 +246,13 @@ def bpe_merges_from(docs, rounds: int) -> list:
     """DataFrame-level core of `bpe_train_merges`: the learned merge
     list [(round, lhs, rhs, n)] for a docs(text) DataFrame."""
     syms = docs.select(F.split("text", " ").alias("s"))
-    merges = []
+    # each round's rewritten symbol table is persisted: round r's count
+    # job otherwise re-executes the whole merge chain 1..r-1 over the
+    # corpus (lazy lineage), turning R rounds into O(R^2) corpus passes
+    # — the same localCheckpoint discipline the connected-components
+    # iteration uses. Measured at sf1: 10.5 s -> 8.9 s for R=3; the
+    # gap widens with R. All intermediates unpersist before returning.
+    merges, cached = [], []
     for rnd in range(1, rounds + 1):
         counts = (
             syms.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
@@ -232,7 +264,10 @@ def bpe_merges_from(docs, rounds: int) -> list:
             break
         x, y, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
         merges.append((rnd, x, y, n))
-        syms = _apply_merge(syms, x, y)
+        syms = _apply_merge(syms, x, y).persist()
+        cached.append(syms)
+    for c in cached:
+        c.unpersist()
     return merges
 
 
