@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     # round-6 session-3 additions (curation layer)
     "dsir_importance",
     "bpe_train_merges",
+    "bpe_apply_tokenize",
     "corpus_overlap_matrix",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk_ivf",
@@ -87,7 +88,6 @@ PRIORITY: tuple[str, ...] = (
     "retention_cohorts",
     # sketches (rows-only by design: estimates are engine-specific;
     # round 6 session 2 adds the per-shard union-merge pattern)
-    "sketch_approx_ndv",
     "sketch_approx_quantiles",
     "sketch_hll_merge",
     "sketch_cms_user_counts",
@@ -121,8 +121,9 @@ PRIORITY: tuple[str, ...] = (
     # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
     # inside the ~50-query window)
     # rotated out round-6 session-3 (driver-green r4 AND r5, unchanged)
-    # to admit the curation trio (dsir/bpe/overlap-matrix):
-    # similarity_topk, similarity_neardup_blocked, text_quality_score
+    # to admit the curation quartet (dsir/bpe-train/bpe-apply/overlap):
+    # similarity_topk, similarity_neardup_blocked, text_quality_score,
+    # sketch_approx_ndv (rows-only by design, checked r4+r5)
     # rotated out in round 5 (driver-green r3 AND r4, unchanged):
     # q8_market_share, q13_order_counts, q2_min_cost_supplier,
     # q11_important_value, q20_potential_promotion, window_moving_7d,

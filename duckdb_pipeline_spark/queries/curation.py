@@ -318,6 +318,47 @@ WITH s0 AS (
 )
 
 
+def bpe_apply_tokenize(spark, sf_dir):
+    """Tokenizer APPLICATION: train the R merges (same trainer as
+    `bpe_train_merges`), then rewrite every document and report the
+    per-doc compression — (doc_id, n_syms_before, n_syms_after,
+    n_merges_applied). The application half is the part that runs over
+    the full 100 TB corpus in production, and it is a PURE MAP: R
+    chained in-row array rewrites, no shuffle at any scale (the only
+    shuffles are the trainer's R pair-count aggregations)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_merges_from(docs, _BPE_ROUNDS)
+    df = docs.select("doc_id", F.split("text", " ").alias("s")).withColumn(
+        "n_before", F.size("s").cast("long")
+    )
+    for _rnd, x, y, _n in merges:
+        df = _apply_merge(df, x, y)
+    return df.select(
+        "doc_id",
+        F.col("n_before").alias("n_syms_before"),
+        F.size("s").cast("long").alias("n_syms_after"),
+        (F.col("n_before") - F.size("s")).cast("long").alias("n_merges_applied"),
+    )
+
+
+BPE_APPLY_SQL = (
+    """
+WITH s0 AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS sym
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+),"""
+    + ",".join(_bpe_round_sql(f"s{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
+    + f"""
+SELECT b.doc_id, b.n AS n_syms_before, a.n AS n_syms_after,
+       b.n - a.n AS n_merges_applied
+FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY 1) b
+JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s{_BPE_ROUNDS} GROUP BY 1) a
+  USING (doc_id)
+"""
+)
+
+
 # ------------------------------------------------- cross-source overlap
 
 
@@ -419,6 +460,11 @@ QUERIES = {
         bpe_train_merges,
         BPE_SQL,
         "first 3 BPE merge rounds (global pair argmax + map-only rewrite per round)",
+    ),
+    "bpe_apply_tokenize": QuerySpec(
+        bpe_apply_tokenize,
+        BPE_APPLY_SQL,
+        "apply the learned BPE merges corpus-wide: per-doc symbol compression stats",
     ),
     "corpus_overlap_matrix": QuerySpec(
         corpus_overlap_matrix,

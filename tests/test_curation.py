@@ -86,6 +86,49 @@ def test_bpe_on_repetition_only_corpus_is_empty(spark):
     assert bpe_merges_from(docs, 3) == []
 
 
+def test_bpe_apply_counts_match_python_reference(spark):
+    from duckdb_pipeline_spark.queries.curation import _apply_merge
+
+    rows = [(i, t) for i, t in enumerate(PLANTED)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_merges_from(docs, 3)
+
+    # python reference: rewrite each doc through the same merge list
+    def rewrite(s, x, y):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                out.append(f"{x} {y}")
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    want = {}
+    for doc_id, text in rows:
+        s = text.split(" ")
+        n0 = len(s)
+        for _r, x, y, _n in merges:
+            s = rewrite(s, x, y)
+        want[doc_id] = (n0, len(s))
+
+    from pyspark.sql import functions as F2
+
+    df = docs.select("doc_id", F2.split("text", " ").alias("s")).withColumn(
+        "n0", F2.size("s")
+    )
+    for _r, x, y, _n in merges:
+        df = _apply_merge(df, x, y)
+    got = {
+        r["doc_id"]: (r["n0"], r["n1"])
+        for r in df.select("doc_id", "n0", F2.size("s").alias("n1")).collect()
+    }
+    assert got == want
+    # the planted dominant pair occurs, so something actually merged
+    assert any(n1 < n0 for n0, n1 in got.values())
+
+
 # --------------------------------------------------------------- DSIR
 
 
