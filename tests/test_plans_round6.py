@@ -416,3 +416,14 @@ def test_minhash_verify_no_pair_keyed_exchange(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "min_by" not in plan and "max_by" not in plan
     assert "MapInPandas" in plan
+
+
+def test_bpe_apply_is_pure_map(spark, sf_dir):
+    """The application half must be a zero-Exchange plan: scan +
+    chained in-row rewrites (the trainer's shuffles happen in its own
+    jobs at build time; the corpus-wide rewrite itself never
+    shuffles)."""
+    df = collect_all()["bpe_apply_tokenize"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
