@@ -1128,7 +1128,74 @@ FROM toks tk LEFT JOIN cov c USING (doc_id)
 """
 
 
+
+def dedup_recall_report(spark, sf_dir):
+    """Dedup-quality AUDIT: recall of the MinHash-LSH pipeline against
+    the planted ground truth (_dup_corpus plants an identical twin for
+    every doc_id % 10 == 0, so every shingle-able planted doc MUST be
+    found — its twin pair has Jaccard 1.0, far above the 0.5 gate).
+    One summary row: (n_planted, n_found_total, n_planted_found,
+    recall_pct). n_found_total > n_planted_found is not error — those
+    are genuine near-dups inside the base corpus.
+
+    This is the acceptance gate a production dedup deployment runs on
+    every config change (bands x rows trade recall for candidate
+    volume); planted-twin auditing catches a broken banding the same
+    run that deploys it. Cost: the dedup run itself + a broadcast-sized
+    join of the planted list; aggregates to one row."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.size(F.split("text", " ")) >= 3)
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + ID_SHIFT).alias("doc_b"),
+    )
+    found = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    joined = F.broadcast(planted).join(found, ["doc_a", "doc_b"], "left")
+    n_planted = F.count(F.lit(1))
+    n_planted_found = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    report = joined.agg(
+        n_planted.cast("long").alias("n_planted"),
+        n_planted_found.cast("long").alias("n_planted_found"),
+    )
+    totals = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_total"))
+    return report.crossJoin(F.broadcast(totals)).select(
+        "n_planted",
+        "n_found_total",
+        "n_planted_found",
+        F.round(
+            100.0 * F.col("n_planted_found") / F.col("n_planted"), 6
+        ).alias("recall_pct"),
+    )
+
+
+DEDUP_RECALL_SQL = f"""
+WITH found AS ({DEDUP_MINHASH_SQL}),
+planted AS (
+  SELECT doc_id AS doc_a, doc_id + {ID_SHIFT} AS doc_b
+  FROM documents
+  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3
+),
+hits AS (
+  SELECT p.doc_a, CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM planted p LEFT JOIN found f USING (doc_a, doc_b)
+)
+SELECT CAST((SELECT count(*) FROM planted) AS BIGINT) AS n_planted,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found_total,
+       CAST(SUM(hit) AS BIGINT) AS n_planted_found,
+       round(100.0 * SUM(hit) / count(*), 6) AS recall_pct
+FROM hits
+"""
+
+
 QUERIES = {
+    "dedup_recall_report": QuerySpec(
+        dedup_recall_report,
+        DEDUP_RECALL_SQL,
+        "planted-twin recall audit of the MinHash-LSH dedup pipeline",
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
     "dedup_span_scrub": QuerySpec(
         dedup_span_scrub,

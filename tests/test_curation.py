@@ -225,3 +225,19 @@ def test_overlap_matrix_symmetric_pair_order(spark):
     assert len(out) == 1
     assert (out[0]["source_a"], out[0]["source_b"]) == ("aa", "zz")
     assert out[0]["jaccard"] == 1.0
+
+
+# ------------------------------------------------ dedup recall audit
+
+
+def test_dedup_recall_is_total_on_identical_twins(spark, sf_dir):
+    """Identical planted twins share every shingle, so every band
+    signature collides and exact-Jaccard verification passes at 1.0:
+    recall below 100% means the banding or the verify gate broke."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    r = collect_all()["dedup_recall_report"].fn(spark, sf_dir).collect()[0]
+    assert r.n_planted > 0
+    assert r.n_planted_found == r.n_planted
+    assert r.recall_pct == 100.0
+    assert r.n_found_total >= r.n_planted
