@@ -1149,19 +1149,24 @@ def dedup_recall_report(spark, sf_dir):
     ).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + ID_SHIFT).alias("doc_b"),
+        F.lit(1).alias("p"),
     )
     found = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir)).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
-    joined = F.broadcast(planted).join(found, ["doc_a", "doc_b"], "left")
-    n_planted = F.count(F.lit(1))
-    n_planted_found = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-    report = joined.agg(
-        n_planted.cast("long").alias("n_planted"),
-        n_planted_found.cast("long").alias("n_planted_found"),
-    )
-    totals = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_total"))
-    return report.crossJoin(F.broadcast(totals)).select(
+    # ONE full-outer pass: planted-only rows count toward n_planted,
+    # found-only rows toward n_found_total, matches toward both — the
+    # dedup pipeline (the expensive side) executes exactly once; a
+    # left-join + separate totals branch would run it twice (Spark
+    # does not CSE across plan branches)
+    joined = planted.join(found, ["doc_a", "doc_b"], "full")
+    return joined.agg(
+        F.sum(F.coalesce(F.col("p"), F.lit(0))).cast("long").alias("n_planted"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found_total"),
+        F.sum(F.coalesce(F.col("p") * F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_planted_found"),
+    ).select(
         "n_planted",
         "n_found_total",
         "n_planted_found",
@@ -1174,19 +1179,19 @@ def dedup_recall_report(spark, sf_dir):
 DEDUP_RECALL_SQL = f"""
 WITH found AS ({DEDUP_MINHASH_SQL}),
 planted AS (
-  SELECT doc_id AS doc_a, doc_id + {ID_SHIFT} AS doc_b
+  SELECT doc_id AS doc_a, doc_id + {ID_SHIFT} AS doc_b, 1 AS p
   FROM documents
   WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3
 ),
-hits AS (
-  SELECT p.doc_a, CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-  FROM planted p LEFT JOIN found f USING (doc_a, doc_b)
+joined AS (
+  SELECT p.p, CASE WHEN f.doc_a IS NOT NULL THEN 1 END AS hit
+  FROM planted p FULL OUTER JOIN found f USING (doc_a, doc_b)
 )
-SELECT CAST((SELECT count(*) FROM planted) AS BIGINT) AS n_planted,
-       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found_total,
-       CAST(SUM(hit) AS BIGINT) AS n_planted_found,
-       round(100.0 * SUM(hit) / count(*), 6) AS recall_pct
-FROM hits
+SELECT CAST(SUM(COALESCE(p, 0)) AS BIGINT) AS n_planted,
+       CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_found_total,
+       CAST(SUM(COALESCE(p * hit, 0)) AS BIGINT) AS n_planted_found,
+       round(100.0 * SUM(COALESCE(p * hit, 0)) / SUM(COALESCE(p, 0)), 6) AS recall_pct
+FROM joined
 """
 
 
