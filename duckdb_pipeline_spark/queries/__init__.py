@@ -50,6 +50,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_bloom_probe",
     "dedup_span_exact",
     "dedup_span_scrub",
+    # round 7: the LSH recall audit landed after the round-6 session-3
+    # rotation and was the ONLY declared query with zero driver rows
+    # (VERDICT r6 #1) — it is an acceptance gate, so its own
+    # correctness must be externally checked
+    "dedup_recall_report",
     # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
     "vocab_top_tokens",
     "corpus_mix_allocation",
@@ -82,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup_events",
     # timeseries / sampling (round 3 adds stratified sampling, EWMA,
     # OHLC; round 6 session 2 adds trigram path analysis)
-    "funnel_view_to_purchase",
     "funnel_top_paths",
     "user_sessions_gap30",
     "retention_cohorts",
@@ -92,22 +96,17 @@ PRIORITY: tuple[str, ...] = (
     "sketch_hll_merge",
     "sketch_cms_user_counts",
     # round-3 relational additions (+ round-6 fuzzy entity resolution)
-    "stats_trimmed_mean",
     "agg_rollup",
     "fuzzy_match_names",
-    # round 5: the 5 queries that had never received a driver row
-    # (rotated in per VERDICT r4 #2; each is green in the local oracle
-    # harness at sf0.01 — this gives every declared query at least one
-    # driver verification)
-    "histogram_prices",
-    "join_salted_skew",
-    "text_rolling_fingerprint",
-    "text_udtf_sentences",
-    "unnest_tokens",
     # representative of the twice-green relational families; round 6
     # adds the plain-IEEE-sum q1 variant (new: needs a driver row)
     "q1_pricing_summary",
     "q1_pricing_summary_fast",
+    # rotated out in round 7 (driver-green r5 AND r6, unchanged since)
+    # to admit dedup_recall_report and the round-7 bucketed-at-rest
+    # twins + ANN recall audit: histogram_prices, join_salted_skew,
+    # text_rolling_fingerprint, text_udtf_sentences, unnest_tokens,
+    # stats_trimmed_mean, funnel_view_to_purchase
     # rotated out in round 6 (driver-green r4 AND r5, unchanged since):
     # text_language_id, text_token_stats, sample_topk_per_group,
     # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
