@@ -479,6 +479,49 @@ def similarity_adc_topk_np(spark, sf_dir):
     )
 
 
+# Bench-twin amortized ADC (round 7, VERDICT r6): the np twin's per-dim
+# min/max + query-vector stats row is fetched ONCE at plan build (a
+# bounded 1-row job, closure-captured) — outside the timed region. The
+# correctness oracle must recompute everything from base tables, but
+# using it unchanged as the bench twin made DuckDB rebuild the per-dim
+# stats inside every timed pass while Spark amortized them — an
+# asymmetry. These statements give the twin the SAME amortization
+# (the IVF_BENCH_SETUP_SQL precedent): the stats table materializes
+# once untimed, and the timed probe codes + scores the corpus against
+# it — exactly what the np twin's timed region does. bench.py guards
+# the substitution on probe==full-oracle result equality.
+ADC_BENCH_SETUP_SQL = [
+    "DROP TABLE IF EXISTS adc_bench_st",
+    """CREATE TABLE adc_bench_st AS
+WITH el AS (
+  SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY i""",
+]
+
+ADC_BENCH_PROBE_SQL = f"""
+WITH el AS (
+  SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+codes AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(least(greatest(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)), 0.0), 255.0) AS INT)
+         END AS c
+  FROM el e JOIN adc_bench_st s ON s.i = e.i
+),
+d AS (
+  SELECT a.vec_id, SUM(CAST((a.c - q.c) * (a.c - q.c) AS BIGINT)) AS adc_dist
+  FROM codes a JOIN codes q ON q.vec_id = 0 AND q.i = a.i
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+)
+SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+FROM d ORDER BY adc_dist, vec_id LIMIT {_ADC_K}
+"""
+
 ADC_TOPK_SQL = f"""
 WITH el AS (
   SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
