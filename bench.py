@@ -54,6 +54,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q1_pricing_summary_fast",
     "q3_top_orders",
+    "q3_top_orders_bucketed",
     "q5_regional_revenue",
     "q10_returned_revenue",
     "join_left_zero_counts",
@@ -114,6 +115,11 @@ R6_ADDITIONS = {
     "similarity_adc_topk_np",
     "stream_dedup_events",
     "corpus_overlap_matrix",
+    # round-7 addition, same exclusion from the r5-comparable basis:
+    # the bucketed q3 twin (its DuckDB twin reads the plain layout —
+    # the layout win is Spark-side by design, a declared at-rest
+    # deployment choice like the IVF index)
+    "q3_top_orders_bucketed",
 }
 
 DUCK_TABLES = [

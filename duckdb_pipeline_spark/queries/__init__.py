@@ -90,6 +90,13 @@ PRIORITY: tuple[str, ...] = (
     "funnel_top_paths",
     "user_sessions_gap30",
     "retention_cohorts",
+    # round 7: bucketed-at-rest twins (VERDICT r6 #4/#5) — same oracle
+    # as their plain queries, read the bucketed layout, plan-pinned
+    # Exchange-free
+    "q3_top_orders_bucketed",
+    "user_sessions_gap30_bucketed",
+    "retention_cohorts_bucketed",
+    "funnel_top_paths_bucketed",
     # sketches (rows-only by design: estimates are engine-specific;
     # round 6 session 2 adds the per-shard union-merge pattern)
     "sketch_approx_quantiles",
@@ -143,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
 
 def collect_all() -> dict[str, QuerySpec]:
     from . import (
+        bucketed,
         curation,
         dedup,
         llmtext,
@@ -162,6 +170,7 @@ def collect_all() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         pipeline,
+        bucketed,
         relational,
         relational2,
         relational3,

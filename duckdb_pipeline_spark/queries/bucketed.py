@@ -1,0 +1,259 @@
+"""Bucketed-at-rest twins of the shuffle-heavy analytics queries.
+
+The round-6 scale evidence (BASELINE.md round-6 addendum) measured the
+payoff of a bucketed at-rest layout at sf10: lineitem+orders written
+``bucketBy(orderkey) sortBy(orderkey)`` runs the join+agg with ONE
+Exchange in 1.93 s vs 3.06 s plain (-37%). That existed only as a
+script experiment; these queries make the layout a STANDING,
+oracle-checked, plan-pinned artifact (VERDICT r6 #4/#5) — each bucketed
+twin shares its oracle with the plain query (identical semantics,
+different at-rest layout), the q1/q1_fast precedent.
+
+Why this is THE 100 TB answer for the join/window weak entries: the
+plain plans' cost is one fact-table Exchange (join shuffle for q3,
+user-keyed window/agg shuffle for the events trio). A bucketed layout
+moves that Exchange from EVERY query to ONE ingest-time write —
+exactly what a production lake does for its fact tables (the
+reference's medallion silver layer is the natural place: the
+transformer that writes silver parquet would write it bucketed;
+cf. /root/reference/data_lake_transformer.py:9-242, which delegates
+layout to DuckDB's COPY). Spark then proves the join/window
+distribution requirement from the table's bucket spec and plans NO
+Exchange — pinned by tests/test_plans_round7.py.
+
+Layout build caching follows the IVF-index pattern
+(queries/similarity.py:_ensure_ivf_index): content-stamped scratch
+directory per (absolute sf_dir, spec), rebuilt only when the source
+parquet's bytes change; the catalog entry is re-registered per session
+(external table over the stamped location).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .common import dsum_fp, load
+from .relational import Q3_SQL
+from .timeseries import RETENTION_SQL, SESSIONS_GAP_SQL, TOP_PATHS_SQL
+
+_N_BUCKETS = 8  # right-sized for the test scales; production picks
+# ~(table bytes / target partition bytes) — the plan shape (zero
+# fact-side Exchange) is bucket-count-independent, which is what the
+# plan tests pin.
+
+# (table, bucket key, sort cols) — sort cols make the window's
+# per-partition sort start from near-sorted runs and give parquet
+# footer min/max locality on the sort key
+_SPECS = {
+    "orders": ("o_orderkey", ["o_orderkey"]),
+    "lineitem": ("l_orderkey", ["l_orderkey"]),
+    "events": ("user_id", ["user_id", "ts", "event_id"]),
+}
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ddl(schema) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def _ensure_bucketed(spark, sf_dir: str, table: str) -> str:
+    """Write (once per corpus version) the bucketed layout for
+    ``table`` and register it in this session's catalog; returns the
+    catalog table name. Staleness is keyed on the source parquet's
+    CONTENT (size + sha256) — same contract as the IVF/band-index
+    caches."""
+    key, sort_cols = _SPECS[table]
+    absd = os.path.abspath(sf_dir)
+    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
+    tname = f"bkt_{table}_{label}"
+    path = os.path.join(_repo_root(), ".scratch", "bucketed", label, table)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {
+        "size": os.path.getsize(src),
+        "sha256": h.hexdigest(),
+        "n_buckets": _N_BUCKETS,
+        "key": key,
+        "sort": sort_cols,
+    }
+    marker = os.path.join(path, "_SRC.json")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = json.load(fh) == stamp
+    except (OSError, ValueError):
+        pass
+
+    if not fresh:
+        df = load(spark, sf_dir, table)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        # repartition by the bucket key into n_buckets tasks: Spark's
+        # repartition hash IS the bucket-id hash (Murmur3 pmod n), so
+        # each task writes exactly its one bucket file — one file per
+        # bucket, the layout a window can consume with a near-no-op
+        # per-partition sort
+        (
+            df.repartition(_N_BUCKETS, F.col(key))
+            .write.bucketBy(_N_BUCKETS, key)
+            .sortBy(*sort_cols)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        with open(marker, "w") as fh:
+            json.dump(stamp, fh)
+        return tname
+
+    if not spark.catalog.tableExists(tname):
+        # new session over an existing layout: re-register the external
+        # bucketed table (schema from the files; bucket spec from the
+        # stamp we wrote them with)
+        schema = spark.read.parquet(path).schema
+        sort_ddl = ", ".join(sort_cols)
+        spark.sql(
+            f"CREATE TABLE {tname} ({_ddl(schema)}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({sort_ddl}) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return tname
+
+
+def _bucketed_table(spark, sf_dir: str, table: str):
+    return spark.table(_ensure_bucketed(spark, sf_dir, table))
+
+
+# ------------------------------------------------------------------ q3
+
+
+def q3_top_orders_bucketed(spark, sf_dir):
+    """TPC-H Q3 over the bucketed-at-rest layout: lineitem and orders
+    both bucketed+sorted by orderkey, so the l⋈o sort-merge join needs
+    NO Exchange on either side (bucket spec satisfies the join
+    distribution), and the (l_orderkey, ...) aggregation reuses the
+    same distribution (partitioning cols ⊂ grouping cols) — the only
+    remaining exchanges are the customer broadcast and TakeOrdered.
+    Same filters/agg/oracle as q3_top_orders."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _bucketed_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------- events trio
+
+
+def user_sessions_gap30_bucketed(spark, sf_dir):
+    """Gap-30min sessionization over events bucketed+sorted by
+    (user_id, ts, event_id): the user-keyed window consumes the bucket
+    distribution directly — NO Exchange anywhere before the window (the
+    r6 weak-register shuffle is paid once at layout-write time); the
+    session and per-user rollups reuse the same distribution. Same
+    semantics/oracle as user_sessions_gap30."""
+    from pyspark.sql import Window
+
+    ev = _bucketed_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("longest_session_events"),
+    )
+
+
+def retention_cohorts_bucketed(spark, sf_dir):
+    """Daily-cohort retention over user-bucketed events: the fused
+    groupBy(user) (min day + day set) — the ONE 10M-row shuffle of the
+    plain plan — runs Exchange-free on the bucket distribution; only
+    the tiny (cohort, offset) reduce shuffles. Same semantics/oracle
+    as retention_cohorts."""
+    ev = _bucketed_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"), F.collect_set("d").alias("ds"))
+        .select("cohort_day", F.explode("ds").alias("d"))
+        .select("cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_top_paths_bucketed(spark, sf_dir):
+    """Top event-type trigram journeys over user-bucketed events: the
+    user-keyed trigram window runs Exchange-free; only the tiny path
+    count shuffles. Same semantics/oracle as funnel_top_paths."""
+    from pyspark.sql import Window
+
+    ev = _bucketed_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        ev.withColumn("a", F.lag("event_type", 2).over(w))
+        .withColumn("b", F.lag("event_type", 1).over(w))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(F.concat_ws(">", "a", "b", "event_type").alias("path"))
+    )
+    return (
+        steps.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "q3_top_orders_bucketed": QuerySpec(
+        q3_top_orders_bucketed,
+        Q3_SQL,
+        "TPC-H Q3 over orderkey-bucketed lineitem+orders (zero join-side Exchange)",
+    ),
+    "user_sessions_gap30_bucketed": QuerySpec(
+        user_sessions_gap30_bucketed,
+        SESSIONS_GAP_SQL,
+        "gap sessionization over user-bucketed events (Exchange-free window)",
+    ),
+    "retention_cohorts_bucketed": QuerySpec(
+        retention_cohorts_bucketed,
+        RETENTION_SQL,
+        "retention matrix over user-bucketed events (Exchange-free user rollup)",
+    ),
+    "funnel_top_paths_bucketed": QuerySpec(
+        funnel_top_paths_bucketed,
+        TOP_PATHS_SQL,
+        "trigram journeys over user-bucketed events (Exchange-free window)",
+    ),
+}
