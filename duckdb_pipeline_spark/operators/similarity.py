@@ -677,3 +677,152 @@ def ivf_topk_pruned(
         scored.orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN acceptance audit: recall@k of the IVF probe against the
+    brute-force ground truth for a bounded, deterministic query sample
+    — the vector-side mirror of the planted-twin LSH audit
+    (queries/dedup.dedup_recall_report). One row per query:
+    (query_id, n_true, n_hit, recall_pct).
+
+    Scale shape — ONE corpus pass for BOTH sides: the centroid matrix
+    and the sampled query vectors are fetched in one bounded driver job
+    (audit sample + n_cells rows) and closure-captured; a single
+    mapInPandas pass then scores every Arrow batch against all queries
+    at once (one C matmul per batch), assigns each row its IVF cell,
+    and emits only PER-BATCH PARTIAL top-k rows per (query, side) —
+    'bf' (all rows) and 'ivf' (rows whose cell is in that query's probe
+    set). The global exact top-k per (query, side) is then a window
+    over <= |queries| * 2 * k * n_partitions rows — the classic
+    distributed top-k: corpus never shuffles, partials do. Everything
+    downstream of the window is counting on <= |queries| * 2 * k rows.
+
+    All scoring uses the exact fixed-point integer sums of the other
+    similarity operators (floor per term, int64 sums; the only float op
+    is the final cosine division on identical integers) with total
+    order (cosine DESC, id) — bitwise-reproducible and oracle-portable.
+    Recall is n_hit / n_true where n_true = |bf top-k| (== k except in
+    degenerate tiny corpora)."""
+    import numpy as np
+    import pandas as pd
+
+    qset = sorted(set(query_ids))
+    rows = (
+        embeddings.where(
+            (F.col(id_col) < n_cells) | F.col(id_col).isin([int(q) for q in qset])
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[0]: np.asarray(r[1], dtype="float64") for r in rows}
+    C = np.stack([by_id[i] for i in sorted(i for i in by_id if i < n_cells)])
+    live_q = [q for q in qset if q in by_id]
+    if not live_q:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, n_true long, n_hit long, recall_pct double"
+        )
+    Qm = np.stack([by_id[q] for q in live_q])  # (Q, dim)
+    nq_i = np.floor(Qm * Qm * SCALE).astype("int64").sum(axis=1)  # (Q,)
+    # per-query probe cells: integer IP score vs centroids, top n_probe
+    # by (score DESC, cell_id ASC)
+    qcs = np.floor(Qm[:, None, :] * C[None, :, :] * SCALE).astype("int64").sum(axis=2)
+    probes = []
+    for j in range(len(live_q)):
+        order = np.lexsort((np.arange(qcs.shape[1]), -qcs[j]))
+        probes.append(set(order[:n_probe].tolist()))
+    qids = np.asarray(live_q, dtype="int64")
+
+    def partials(batches):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="object"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                yield empty
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy().astype("int64")
+            cells = (
+                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+                .argmax(axis=1)  # first max == smallest cell id
+            )
+            na_i = np.floor(V * V * SCALE).astype("int64").sum(axis=1)
+            D = np.floor(V[:, None, :] * Qm[None, :, :] * SCALE).astype("int64").sum(
+                axis=2
+            )  # (rows, Q)
+            cos = D.astype("float64") / (
+                np.sqrt(na_i.astype("float64"))[:, None]
+                * np.sqrt(nq_i.astype("float64"))[None, :]
+            )
+            out_q, out_i, out_s, out_c = [], [], [], []
+            for j, q in enumerate(qids):
+                keep = ids != q
+                for side, mask in (
+                    ("bf", keep),
+                    ("ivf", keep & np.isin(cells, list(probes[j]))),
+                ):
+                    if not mask.any():
+                        continue
+                    mi = np.nonzero(mask)[0]
+                    # partial top-k by (cosine DESC, id ASC): a stable
+                    # lexsort on identical doubles reproduces the
+                    # global order's per-batch prefix exactly
+                    order = np.lexsort((ids[mi], -cos[mi, j]))[:k]
+                    sel = mi[order]
+                    out_q.extend([q] * len(sel))
+                    out_i.extend(ids[sel].tolist())
+                    out_s.extend([side] * len(sel))
+                    out_c.extend(cos[sel, j].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    id_col: pd.Series(out_i, dtype="int64"),
+                    "side": pd.Series(out_s, dtype="object"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    part = embeddings.select(id_col, vec_col).mapInPandas(
+        partials, f"query_id long, {id_col} long, side string, cosine double"
+    )
+    w = Window.partitionBy("query_id", "side").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    topk = part.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    flags = topk.groupBy("query_id", id_col).agg(
+        F.max((F.col("side") == "bf").cast("int")).alias("in_bf"),
+        F.max((F.col("side") == "ivf").cast("int")).alias("in_ivf"),
+    )
+    return (
+        flags.groupBy("query_id")
+        .agg(
+            F.sum("in_bf").cast("long").alias("n_true"),
+            F.sum(F.col("in_bf") * F.col("in_ivf")).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            F.round(100.0 * F.col("n_hit") / F.col("n_true"), 6).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )

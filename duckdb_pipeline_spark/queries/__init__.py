@@ -74,6 +74,10 @@ PRIORITY: tuple[str, ...] = (
     "corpus_overlap_matrix",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)
     "similarity_topk_ivf",
+    # round 7: ANN recall audit (VERDICT r6 #8) — the vector-side
+    # mirror of dedup_recall_report, same IVF config as
+    # similarity_topk_ivf so its row is that query's acceptance gate
+    "ann_recall_report",
     # round 6 session 2: NEW compressed-domain ADC scan + numpy twin
     "similarity_adc_topk",
     "similarity_adc_topk_np",

@@ -11,6 +11,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ann_recall_audit,
     cosine_pairs_blocked_vectorized,
     cosine_topk_vectorized,
     ivf_topk_pruned,
@@ -546,8 +547,115 @@ FROM d ORDER BY adc_dist, vec_id LIMIT {_ADC_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN recall audit (round 7, VERDICT r6 #8): the vector-side mirror of
+# dedup_recall_report — recall@k of the IVF probe vs brute-force ground
+# truth over a deterministic query sample, as a driver-verifiable
+# declared query. Queries = vec_id 8..17 (skipping the n_cells centroid
+# stand-ins), k=10, 8 cells, 2 probes — same config as
+# similarity_topk_ivf, so this row IS the acceptance evidence for that
+# query's banding. Ground truth here is computed (exact brute force),
+# which makes the audit fully deterministic and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_AUDIT_QUERIES = list(range(8, 18))
+_AUDIT_K = 10
+
+
+def ann_recall_report(spark, sf_dir):
+    """IVF recall@10 per sampled query vs exact brute force — one
+    corpus pass scores both sides (operators.similarity.
+    ann_recall_audit); see that docstring for the distributed
+    partial-top-k shape."""
+    return ann_recall_audit(
+        load(spark, sf_dir, "embeddings"),
+        query_ids=_AUDIT_QUERIES,
+        k=_AUDIT_K,
+        n_cells=8,
+        n_probe=2,
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id >= {_AUDIT_QUERIES[0]} AND vec_id <= {_AUDIT_QUERIES[-1]}
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+ranked AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+  FROM ascore
+),
+cells AS (SELECT vec_id, cell_id AS cell FROM ranked WHERE rn = 1),
+probe AS (
+  SELECT q.query_id, r.cell_id
+  FROM qs q JOIN ranked r ON r.vec_id = q.query_id
+  WHERE r.rn <= 2
+),
+terms AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) AS et,
+         CAST(floor(CAST(q.qe[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {S}) AS BIGINT) AS qt
+  FROM embeddings e, qs q, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  WHERE e.vec_id <> q.query_id
+),
+cosv AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(et) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qt) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM terms GROUP BY query_id, vec_id
+),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM cosv) WHERE rn <= {_AUDIT_K}
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY c.cosine DESC, c.vec_id) AS rn
+    FROM cosv c
+    JOIN cells cl ON cl.vec_id = c.vec_id
+    JOIN probe p ON p.query_id = c.query_id AND p.cell_id = cl.cell
+  ) WHERE rn <= {_AUDIT_K}
+),
+flags AS (
+  SELECT query_id, vec_id,
+         max(CASE WHEN side = 'bf' THEN 1 ELSE 0 END) AS in_bf,
+         max(CASE WHEN side = 'ivf' THEN 1 ELSE 0 END) AS in_ivf
+  FROM (
+    SELECT query_id, vec_id, 'bf' AS side FROM bf
+    UNION ALL
+    SELECT query_id, vec_id, 'ivf' AS side FROM ivf
+  ) GROUP BY query_id, vec_id
+)
+SELECT query_id, CAST(SUM(in_bf) AS BIGINT) AS n_true,
+       CAST(SUM(in_bf * in_ivf) AS BIGINT) AS n_hit,
+       round(100.0 * SUM(in_bf * in_ivf) / SUM(in_bf), 6) AS recall_pct
+FROM flags GROUP BY query_id ORDER BY query_id
+"""
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
+    "ann_recall_report": QuerySpec(
+        ann_recall_report,
+        ANN_RECALL_SQL,
+        "IVF recall@10 vs brute-force ground truth over a sampled query set",
+    ),
     "similarity_adc_topk": QuerySpec(
         similarity_adc_topk,
         ADC_TOPK_SQL,
