@@ -67,9 +67,11 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "text_unigram_xent",
     "quality_logreg_score",
-    # round-6 session-3 additions (curation layer)
+    # round-6 session-3 additions (curation layer); round 7 adds the
+    # non-toy-depth trainer (R=20, VERDICT r6 #7)
     "dsir_importance",
     "bpe_train_merges",
+    "bpe_train_merges_deep",
     "bpe_apply_tokenize",
     "corpus_overlap_matrix",
     # similarity / ANN / embedding ops (round 3 adds int8 quantization)

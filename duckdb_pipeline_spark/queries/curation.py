@@ -276,7 +276,12 @@ def _bpe_round_sql(prev: str, rnd: int) -> str:
     The rewrite is two window levels (lead to see the next symbol, lag
     of the match flag to drop consumed positions); `pos` keeps original
     order across rounds (gaps are fine — only relative order matters).
-    """
+
+    s{r}/m{r} are MATERIALIZED: each round references its predecessor
+    twice (the count and the rewrite), so inlined CTEs expand the plan
+    2^R-fold — at R=20 that exhausted file handles before it exhausted
+    time. Materialization makes the oracle's execution R linear passes,
+    the same shape as the Spark trainer's persist chain."""
     return f"""
 c{rnd} AS (
   SELECT sym AS lhs, nx AS rhs, count(*) AS n FROM (
@@ -284,8 +289,8 @@ c{rnd} AS (
     FROM {prev}
   ) WHERE nx IS NOT NULL AND sym <> nx GROUP BY 1, 2
 ),
-m{rnd} AS (SELECT lhs, rhs, n FROM c{rnd} ORDER BY n DESC, lhs, rhs LIMIT 1),
-s{rnd} AS (
+m{rnd} AS MATERIALIZED (SELECT lhs, rhs, n FROM c{rnd} ORDER BY n DESC, lhs, rhs LIMIT 1),
+s{rnd} AS MATERIALIZED (
   SELECT doc_id, pos,
          CASE WHEN mtch THEN sym || ' ' || nx ELSE sym END AS sym
   FROM (
@@ -302,20 +307,50 @@ s{rnd} AS (
 )"""
 
 
-BPE_SQL = (
-    """
-WITH s0 AS (
+def _bpe_sql(rounds: int) -> str:
+    return (
+        """
+WITH s0 AS MATERIALIZED (
   SELECT doc_id, u.i AS pos, t[u.i] AS sym
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        UNNEST(range(1, len(t) + 1)) AS u(i)
 ),"""
-    + ",".join(_bpe_round_sql(f"s{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))
-    + "\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, lhs, rhs, CAST(n AS BIGINT) AS n_occurrences FROM m{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
+        + ",".join(_bpe_round_sql(f"s{r - 1}", r) for r in range(1, rounds + 1))
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {r} AS round, lhs, rhs, CAST(n AS BIGINT) AS n_occurrences FROM m{r}"
+            for r in range(1, rounds + 1)
+        )
     )
-)
+
+
+BPE_SQL = _bpe_sql(_BPE_ROUNDS)
+
+# Non-toy trainer depth (round 7, VERDICT r6 #7). R=20 exercises what
+# the R=3 toy cannot: merged symbols joining follow-on merges (chained
+# growth), the persist chain's depth behavior, and count decay across
+# rounds. The oracle stays the fully-unrolled SQL — at the driver's
+# sf0.01 gate DuckDB evaluates all 20 window rounds in a few seconds,
+# so no depth cap is needed yet; the Python-reference equivalence test
+# (tests/test_curation.py) independently checks the trainer at full
+# depth, the fallback pattern if a future depth outgrows the oracle.
+_BPE_DEEP_ROUNDS = 20
+
+
+def bpe_train_merges_deep(spark, sf_dir):
+    """`bpe_train_merges` at production-shaped depth R=20 — same
+    per-round plan (ONE partial-aggregated pair-count shuffle + a 1-row
+    argmax collect + a map-only rewrite), so cost is R linear corpus
+    passes with the persist chain pinning lineage flat (without it
+    round r re-runs merges 1..r-1: O(R^2) passes)."""
+    spark_df = load(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        bpe_merges_from(spark_df, _BPE_DEEP_ROUNDS),
+        "round int, lhs string, rhs string, n_occurrences long",
+    )
+
+
+BPE_DEEP_SQL = _bpe_sql(_BPE_DEEP_ROUNDS)
 
 
 def bpe_apply_tokenize(spark, sf_dir):
@@ -460,6 +495,11 @@ QUERIES = {
         bpe_train_merges,
         BPE_SQL,
         "first 3 BPE merge rounds (global pair argmax + map-only rewrite per round)",
+    ),
+    "bpe_train_merges_deep": QuerySpec(
+        bpe_train_merges_deep,
+        BPE_DEEP_SQL,
+        "BPE trainer at depth R=20 (chained merges; persist chain keeps lineage flat)",
     ),
     "bpe_apply_tokenize": QuerySpec(
         bpe_apply_tokenize,

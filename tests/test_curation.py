@@ -81,6 +81,28 @@ def test_bpe_merged_symbol_participates_in_later_rounds(spark):
     assert got[1][1:3] == ("a", "b c")
 
 
+def test_bpe_deep_depth_matches_python_reference(spark, sf_dir):
+    """Full-depth (R=20, the bpe_train_merges_deep config) equivalence
+    against the Python reference trainer over real driver documents —
+    the fallback verification pattern for depths where the unrolled
+    SQL oracle would be the bottleneck (VERDICT r6 #7). 100 docs keeps
+    the 20 rounds x (count + rewrite) loop fast under local[4]."""
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("text")
+        .collect()
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_merges_from(docs, 20)
+    want = _py_bpe(texts, 20)
+    assert got == want
+    assert len(got) == 20  # corpus is rich enough to sustain full depth
+    # (merged-symbol chaining itself is pinned by
+    # test_bpe_merged_symbol_participates_in_later_rounds)
+
+
 def test_bpe_on_repetition_only_corpus_is_empty(spark):
     docs = spark.createDataFrame([("x x x x",), ("y y",)], "text string")
     assert bpe_merges_from(docs, 3) == []
