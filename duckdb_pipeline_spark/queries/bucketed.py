@@ -41,10 +41,14 @@ from .common import dsum_fp, load
 from .relational import Q3_SQL
 from .timeseries import RETENTION_SQL, SESSIONS_GAP_SQL, TOP_PATHS_SQL
 
-_N_BUCKETS = 8  # right-sized for the test scales; production picks
-# ~(table bytes / target partition bytes) — the plan shape (zero
-# fact-side Exchange) is bucket-count-independent, which is what the
-# plan tests pin.
+_N_BUCKETS = 32  # = the local core count. A bucketed scan runs ONE
+# task per bucket, so n_buckets is the parallelism ceiling for every
+# downstream stage that reuses the distribution: the first cut used 8
+# and at sf10 the saved Exchange was exactly cancelled by 8-way sorts
+# on 32 cores (sessions twin measured 1.41 s == plain). Production
+# picks ~(table bytes / target partition bytes), core-count aligned;
+# the plan shape (zero fact-side Exchange) is bucket-count-independent,
+# which is what the plan tests pin.
 
 # (table, bucket key, sort cols) — sort cols make the window's
 # per-partition sort start from near-sorted runs and give parquet

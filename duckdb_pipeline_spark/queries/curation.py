@@ -252,7 +252,21 @@ def bpe_merges_from(docs, rounds: int) -> list:
     # — the same localCheckpoint discipline the connected-components
     # iteration uses. Measured at sf1: 10.5 s -> 8.9 s for R=3; the
     # gap widens with R. All intermediates unpersist before returning.
-    merges, cached = [], []
+    # Only TWO generations live in the cache at any time. Generation
+    # g is read by two jobs — round g+1's count, and the first action
+    # that materializes generation g+1 (round g+2's count) — so it can
+    # be unpersisted exactly when generation g+1 is known-cached:
+    # right after round g+2's collect. The round-6 version kept all R
+    # generations cached until the end — at R=20 that is 20 corpus
+    # copies of storage pressure for zero reuse. The chain level is a
+    # documented decision (scripts/exp_persist_levels_r7.py numbers in
+    # BASELINE.md r7 addendum): each generation is written once and
+    # read at most twice, so the level trades memory pressure against
+    # one cheap re-read; MEMORY_AND_DISK is kept (the two-generation
+    # window already bounds footprint — at 100 TB set
+    # spark.memory.storageFraction low or switch the chain to
+    # DISK_ONLY, same plan).
+    merges, prev, grand = [], None, None
     for rnd in range(1, rounds + 1):
         counts = (
             syms.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
@@ -260,14 +274,20 @@ def bpe_merges_from(docs, rounds: int) -> list:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         top = counts.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()
+        # the collect materialized syms (= generation rnd-1), so the
+        # generation BEFORE it can no longer be re-read: release it
+        if grand is not None:
+            grand.unpersist()
+            grand = None
         if not top:
             break
         x, y, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
         merges.append((rnd, x, y, n))
         syms = _apply_merge(syms, x, y).persist()
-        cached.append(syms)
-    for c in cached:
-        c.unpersist()
+        grand, prev = prev, syms
+    for c in (grand, prev):
+        if c is not None:
+            c.unpersist()
     return merges
 
 
