@@ -424,21 +424,118 @@ def corpus_overlap_matrix(spark, sf_dir):
     that tells a corpus curator which feeds are re-crawls of each
     other before mixing weights are chosen.
 
-    Scale shape: the inverted-index pattern (same as
-    dedup_containment) — NEVER a shingle-keyed self-join, which at
-    100 TB re-shuffles the corpus against itself. One distinct pass
-    builds (source, shingle); one groupBy inverts it to per-shingle
-    source lists — bounded by n_sources per shingle — and pair
-    expansion happens inside that bounded array (n_sources^2 worst
-    case per shingle, independent of corpus size); one final pair
-    groupBy counts commons. Source sizes (n_sources rows) broadcast.
-    All-integer until one final rounded division."""
+    Scale shape (round-7 bitmask rewrite): NEVER a shingle-keyed
+    self-join, which at 100 TB re-shuffles the corpus against itself.
+    Sources are a bounded DIMENSION (like nation/region), so the
+    per-shingle source set is a 64-bit BITMASK: ONE corpus shuffle
+    (groupBy(shingle) with a codegen'd bit_or — in-doc/in-source
+    repeats just re-OR the same bit, so no distinct pass is needed)
+    collapses the corpus to distinct shingles; a second,
+    partial-aggregated-to-almost-nothing shuffle rolls masks up to
+    (mask, n_shingles) — bounded by observed source COMBINATIONS — and
+    every downstream op (pair expansion inside the mask, diagonal
+    sizes, jaccard assembly) runs on that tiny table. The previous
+    collect_set formulation paid an object-aggregation buffer per
+    shingle: 7.4 s vs 3.4 s cold at sf1, 0.94 vs 0.57 at sf0.1
+    (min-of-3, cache dropped between passes), identical output.
+
+    The source list itself is fetched once at plan build (a bounded
+    driver job — in production it is catalog metadata, the IVF
+    centroid precedent); >64 sources falls back to
+    `overlap_matrix_from_sets`, the collect_set shape with no
+    cardinality bound."""
     return overlap_matrix_from(load(spark, sf_dir, "documents"))
+
+
+def _overlap_assemble(common, za, zb):
+    """Final jaccard assembly from (source_a, source_b, n_common) plus
+    the two broadcast diagonal slices."""
+    return (
+        common.join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def overlap_matrix_from(docs):
     """DataFrame-level core of `corpus_overlap_matrix` (docs: source,
-    text)."""
+    text): bitmask fast path when the source dimension fits 64 bits,
+    else the unbounded set-based shape."""
+    from ..operators.dedup import word_shingles
+
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    if len(srcs) > 64:
+        return overlap_matrix_from_sets(docs)
+    m = F.create_map(*[x for i, s in enumerate(srcs) for x in (F.lit(s), F.lit(i))])
+    sh = word_shingles(docs, id_col="source", text_col="text", n=5, distinct=False)
+    masks = (
+        sh.select(m[F.col("source")].alias("idx"), "shingle")
+        .select(F.expr("shiftleft(1L, idx)").alias("bit"), "shingle")
+        .groupBy("shingle")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    mcnt = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    idxs = F.expr(f"filter(sequence(0, {len(srcs) - 1}), b -> ((mask >> b) & 1) = 1)")
+    # each mask row explodes to its source pairs (a < b) PLUS per-source
+    # diagonal structs (a, a): one tiny groupBy then carries both the
+    # pair commons and the per-source sizes — no separate sizes branch
+    # over corpus-sized data
+    pairs_and_diag = F.flatten(
+        F.transform(
+            idxs,
+            lambda a, i: F.concat(
+                F.array(F.struct(a.alias("a"), a.alias("b"))),
+                F.transform(
+                    F.slice(idxs, i + 2, F.size(idxs)),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ),
+        )
+    )
+    agg = (
+        mcnt.select(F.explode(pairs_and_diag).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+        .persist()  # tiny: <= n_sources^2 rows feed three consumers
+    )
+    names = F.array(*[F.lit(s) for s in srcs])
+    diag = agg.where(F.col("a") == F.col("b"))
+    za = F.broadcast(
+        diag.select(
+            F.element_at(names, F.col("a") + 1).alias("source_a"),
+            F.col("n").alias("n_a"),
+        )
+    )
+    zb = F.broadcast(
+        diag.select(
+            F.element_at(names, F.col("b") + 1).alias("source_b"),
+            F.col("n").alias("n_b"),
+        )
+    )
+    common = agg.where(F.col("a") != F.col("b")).select(
+        F.element_at(names, F.col("a") + 1).alias("source_a"),
+        F.element_at(names, F.col("b") + 1).alias("source_b"),
+        F.col("n").alias("n_common"),
+    )
+    return _overlap_assemble(common, za, zb)
+
+
+def overlap_matrix_from_sets(docs):
+    """Unbounded-cardinality fallback: per-shingle source SETS via
+    collect_set (object aggregation — measured 2.2x the bitmask path;
+    see corpus_overlap_matrix docstring), pair expansion inside the
+    bounded per-shingle array."""
     from ..operators.dedup import word_shingles
 
     sh = word_shingles(
@@ -466,22 +563,7 @@ def overlap_matrix_from(docs):
     )
     za = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
     zb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
-    return (
-        common.join(za, "source_a")
-        .join(zb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_common",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    return _overlap_assemble(common, za, zb)
 
 
 OVERLAP_MATRIX_SQL = """

@@ -95,6 +95,14 @@ def main() -> None:
             if build > 5.0:
                 print(f"{name}: layout/plan build {build:.2f}s (one-time)")
             df.write.mode("overwrite").format("noop").save()  # warmup
+            # CRITICAL: drop the warmup's persisted intermediates
+            # BEFORE the first timed pass — without this, queries with
+            # an in-plan persist() ride the warmup's cache through
+            # timed pass 1 and min-of-3 reports a warm-cache number
+            # (the DuckDB twin re-executes cold every pass). Found in
+            # round 7; the r6-era scale scripts had the same bias for
+            # persisting queries (official bench.py always cleared).
+            spark.catalog.clearCache()
             best_s, tag = 1e9, "spark"
             for _ in range(3):
                 t0 = time.time()

@@ -263,3 +263,29 @@ def test_dedup_recall_is_total_on_identical_twins(spark, sf_dir):
     assert r.n_planted_found == r.n_planted
     assert r.recall_pct == 100.0
     assert r.n_found_total >= r.n_planted
+
+
+def test_overlap_bitmask_and_set_paths_agree(spark, sf_dir):
+    """The 64-bit-mask fast path and the unbounded collect_set
+    fallback must produce the identical matrix (round-7 rewrite)."""
+    from duckdb_pipeline_spark.queries.curation import overlap_matrix_from_sets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, overlap_matrix_from(docs).collect()))
+    b = sorted(map(tuple, overlap_matrix_from_sets(docs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_overlap_falls_back_beyond_64_sources(spark):
+    """> 64 sources must route to the set path and still be exact."""
+    from duckdb_pipeline_spark.queries.curation import overlap_matrix_from_sets
+
+    rows = []
+    for i in range(70):
+        # chain overlap: source i shares the 5-gram "w{i} a b c d"
+        # with source i+1
+        rows.append((f"s{i:03d}", f"w{i} a b c d w{i + 1} a b c d"))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = sorted(map(tuple, overlap_matrix_from(docs).collect()))
+    want = sorted(map(tuple, overlap_matrix_from_sets(docs).collect()))
+    assert got == want and len(got) > 0
