@@ -236,7 +236,15 @@ def _spread(df: DataFrame, id_col: str, text_col: str, parallelism) -> DataFrame
     the input already has many splits, e.g. a real 100 TB scan)."""
     out = df.select(id_col, text_col)
     if parallelism == "auto":
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        # follow the session's shuffle-partition sizing, not the raw
+        # core count: shuffle.partitions is the data-proportional knob
+        # (bench sizes it to ~16 MB of input per partition), and a
+        # Python map stage fanned wider than that pays per-worker
+        # startup/Arrow overhead for sub-batch slices (measured, bands
+        # kernel at sf0.1: 32 ways 0.42 s, 8 ways 0.41 s, one split
+        # 0.63 s — flat past the data-sized width, worse under it)
+        spark = df.sparkSession
+        parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return out.repartition(parallelism) if parallelism else out
 
 

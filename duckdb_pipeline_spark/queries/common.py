@@ -120,6 +120,14 @@ def davg_fp(col: str | Column) -> Column:
     return dsum_fp(col) / F.count(F.lit(1))
 
 
+# Measured and rejected (round 7): a dsum_fp_over(col, window) variant
+# — the 3-limb idiom over a running window frame, bitwise-equal to the
+# decimal running sum. A/B at sf0.1 on window_running_total: 0.45 s vs
+# 0.45 s (min-of-5, same session) — a window's cost is its partition
+# sort, not the aggregation buffer, so the limb fast path only pays in
+# GROUPED aggregations (where it is 4x; see dsum_fp docstring).
+
+
 def fixed_point_agg(
     df: DataFrame,
     keys: list[str],

@@ -416,7 +416,14 @@ GROUP BY p.event_id
 
 
 def window_running_total(spark, sf_dir):
-    """Cumulative spend per customer (exact decimal running sum)."""
+    """Cumulative spend per customer (exact decimal running sum).
+
+    Measured and rejected (round 7): a 3-limb long fixed-point window
+    variant (the dsum_fp idiom over the window frame) — bitwise-equal,
+    0.45 s vs 0.45 s at sf0.1 (min-of-5 A/B, same session). Unlike the
+    grouped aggregations, the window's cost is the partition sort, not
+    the per-row decimal buffer, so the limb machinery buys nothing
+    here; the simpler decimal form stays."""
     orders = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
