@@ -28,6 +28,7 @@ few-large-group shapes (see similarity.cosine_pairs_blocked_vectorized).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 
@@ -210,7 +211,9 @@ def minhash_lsh_dedup(
     verification: (doc_a, doc_b, jaccard >= threshold)."""
     # the shingle table feeds four plan branches (minhash + pair sides
     # + sizes); Spark doesn't CSE across branches, so persist it once
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.DISK_ONLY  # corpus-sized shingle cache; see queries/curation.py dsir note
+    )
     mh = minhash_signatures(sh, id_col, num_hashes)
     bands = lsh_bands(mh, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)

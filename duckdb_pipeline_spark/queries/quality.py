@@ -23,6 +23,7 @@ identical operands (see queries/common.py module doc).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from ..operators.text import STOPWORDS
@@ -47,7 +48,15 @@ def text_unigram_xent(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # DISK_ONLY: corpus-sized cache — deserialized memory caching
+        # melts under eviction+GC once it outgrows the heap (round-7
+        # sf10 A/B, see queries/curation.py dsir note: 81.7 vs 29.4 s;
+        # tf-shaped table 7.7 vs 6.7 s)
+        .persist(StorageLevel.DISK_ONLY)
+    )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("t"))
     q = vocab.crossJoin(F.broadcast(tot)).select(

@@ -22,6 +22,7 @@ association order cannot reorder ulps either.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -54,7 +55,9 @@ def search_docs_bm25(spark, sf_dir):
     its two consumers (corpus stats, score join) don't rescan."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
-    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist()
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist(
+        StorageLevel.DISK_ONLY  # corpus-rows cache; see curation.py dsir note
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -135,7 +138,11 @@ def tfidf_top_terms(spark, sf_dir):
     ).where(F.col("token") != "")
     # tf feeds both the df groupBy and the scoring join; Spark doesn't
     # CSE across branches, so persist it — one corpus text scan total
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)  # corpus-sized; see curation.py dsir note
+    )
     stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
