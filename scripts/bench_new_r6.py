@@ -63,6 +63,10 @@ def main() -> None:
         spec = qs[name]
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # warmup
+        # drop warmup's persisted intermediates before timing (round-7
+        # protocol fix — see scripts/bench_r7_scale.py; none of this
+        # script's round-6 queries persist, so its published rows stand)
+        spark.catalog.clearCache()
         best_s = 1e9
         for _ in range(3):
             t0 = time.time()
