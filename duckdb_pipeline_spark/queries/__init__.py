@@ -55,8 +55,9 @@ PRIORITY: tuple[str, ...] = (
     # (VERDICT r6 #1) — it is an acceptance gate, so its own
     # correctness must be externally checked
     "dedup_recall_report",
-    # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment)
-    "vocab_top_tokens",
+    # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment;
+    # vocab_top_tokens rotated out round 7 — green r5+r6, unchanged —
+    # to admit dsir_select_topk)
     "corpus_mix_allocation",
     "ngram_lm_counts",
     "search_docs_keywords",
@@ -70,6 +71,8 @@ PRIORITY: tuple[str, ...] = (
     # round-6 session-3 additions (curation layer); round 7 adds the
     # non-toy-depth trainer (R=20, VERDICT r6 #7)
     "dsir_importance",
+    # round 7: the selection half of DSIR (Gumbel-top-k resampling)
+    "dsir_select_topk",
     "bpe_train_merges",
     "bpe_train_merges_deep",
     "bpe_apply_tokenize",

@@ -598,6 +598,98 @@ JOIN sizes zb ON zb.source = common.source_b
 """
 
 
+# ----------------------------------------- DSIR selection (resampling)
+
+# DSIR's second half: having SCORED every document, SELECT the k to
+# keep. Sampling without replacement with probability ∝ exp(weight) is
+# exactly Gumbel-top-k (add an independent Gumbel noise term to each
+# weight, take the k largest) — and a DETERMINISTIC Gumbel comes from
+# the same engine-portable md5 derivation the Bloom/CMS lanes use:
+# u = (48-bit md5 lane + 0.5) / 2^48 is a uniform in (0,1) exactly
+# representable in a double, g = -ln(-ln(u)) its Gumbel transform
+# (rounded to 6 decimals per the repo's transcendental convention).
+# Seeded reruns are reproducible and auditable — the property a
+# production data-selection job needs for dataset lineage.
+
+_SELECT_K = 100
+_SELECT_SEED = "sel1"
+
+
+def _u48_sql(hex_col: str) -> str:
+    """Uniform-(0,1) SQL text from the leading 48 bits (12 hex chars)
+    of an md5-hex column — nibble-lookup text valid and identical in
+    Spark SQL and DuckDB (the _bloom_lane_sql idiom); 48 bits keep the
+    integer exactly representable in the double division."""
+    # each nibble CAST to BIGINT before the scale multiply: Spark under
+    # ANSI keeps sub-2^31 literals INT and int*int overflows at scale
+    # 16^7 and up
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({hex_col}, {c + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (11 - c)}"
+        for c in range(12)
+    )
+    return f"((({terms}) + 0.5) / {float(1 << 48)})"
+
+
+def dsir_select_topk(spark, sf_dir):
+    """Importance RESAMPLING: the k=100 documents selected by
+    Gumbel-top-k over the DSIR log-importance weights (sampling
+    without replacement ∝ exp(weight), derandomized via the md5
+    uniform). Output: (rank, doc_id, log_importance, gumbel,
+    sample_key).
+
+    Scale shape: the dsir scoring plan (two corpus shuffles) + a
+    map-side Gumbel column + TakeOrdered(k) — selection itself adds no
+    wide shuffle at any corpus size; the final rank window runs on k
+    rows."""
+    from pyspark.sql import Window
+
+    w = dsir_importance_from(load(spark, sf_dir, "documents"))
+    scored = w.selectExpr(
+        "doc_id",
+        "log_importance",
+        f"md5(concat('{_SELECT_SEED}:', cast(doc_id as string))) AS h",
+    ).selectExpr(
+        "doc_id",
+        "log_importance",
+        f"round(-ln(-ln({_u48_sql('h')})), 6) AS gumbel",
+    )
+    sel = (
+        scored.withColumn(
+            "sample_key", F.col("log_importance") + F.col("gumbel")
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_SELECT_K)
+    )
+    rk = Window.orderBy(F.desc("sample_key"), "doc_id")
+    return sel.withColumn("rank", F.row_number().over(rk)).select(
+        "rank", "doc_id", "log_importance", "gumbel", "sample_key"
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH w AS ({DSIR_SQL}),
+scored AS (
+  SELECT doc_id, log_importance,
+         md5('{_SELECT_SEED}:' || cast(doc_id AS VARCHAR)) AS h
+  FROM w
+),
+g AS (
+  SELECT doc_id, log_importance,
+         round(-ln(-ln({_u48_sql('h')})), 6) AS gumbel
+  FROM scored
+),
+sel AS (
+  SELECT doc_id, log_importance, gumbel,
+         log_importance + gumbel AS sample_key
+  FROM g ORDER BY sample_key DESC, doc_id LIMIT {_SELECT_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, log_importance, gumbel, sample_key
+FROM sel
+"""
+
+
 QUERIES = {
     "dsir_importance": QuerySpec(
         dsir_importance,
@@ -623,5 +715,10 @@ QUERIES = {
         corpus_overlap_matrix,
         OVERLAP_MATRIX_SQL,
         "pairwise distinct-5-gram overlap between sources (inverted index, no self-join)",
+    ),
+    "dsir_select_topk": QuerySpec(
+        dsir_select_topk,
+        DSIR_SELECT_SQL,
+        "Gumbel-top-k importance resampling over the DSIR weights (deterministic seed)",
     ),
 }

@@ -289,3 +289,24 @@ def test_overlap_falls_back_beyond_64_sources(spark):
     got = sorted(map(tuple, overlap_matrix_from(docs).collect()))
     want = sorted(map(tuple, overlap_matrix_from_sets(docs).collect()))
     assert got == want and len(got) > 0
+
+
+def test_dsir_selection_is_deterministic_and_weight_biased(spark, sf_dir):
+    """Gumbel-top-k selection: two builds produce the identical ranked
+    list (seeded md5 noise), and selection is biased toward high
+    weights — the selected docs' mean log-importance must exceed the
+    corpus mean (with weights spanning several units, Gumbel noise
+    cannot wash that out)."""
+    from duckdb_pipeline_spark.queries.curation import (
+        dsir_importance,
+        dsir_select_topk,
+    )
+
+    a = dsir_select_topk(spark, sf_dir).collect()
+    b = dsir_select_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["rank"] for r in a] == list(range(1, len(a) + 1))
+    sel_mean = sum(r["log_importance"] for r in a) / len(a)
+    w = dsir_importance(spark, sf_dir).collect()
+    corpus_mean = sum(r["log_importance"] for r in w) / len(w)
+    assert sel_mean > corpus_mean
