@@ -59,7 +59,6 @@ PRIORITY: tuple[str, ...] = (
     # vocab_top_tokens rotated out round 7 — green r5+r6, unchanged —
     # to admit dsir_select_topk)
     "corpus_mix_allocation",
-    "ngram_lm_counts",
     "search_docs_keywords",
     "corpus_filter_funnel",
     # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling) and
@@ -114,6 +113,10 @@ PRIORITY: tuple[str, ...] = (
     # round-3 relational additions (+ round-6 fuzzy entity resolution)
     "agg_rollup",
     "fuzzy_match_names",
+    # round 7: range join REWRITTEN as a range-frame window (one
+    # user-keyed shuffle, no two-sided join) — changed queries re-enter
+    # the window; ngram_lm_counts (green r5+r6, unchanged) rotated out
+    "range_join_next_10m",
     # representative of the twice-green relational families; round 6
     # adds the plain-IEEE-sum q1 variant (new: needs a driver row)
     "q1_pricing_summary",

@@ -383,24 +383,34 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 def range_join_next_10m(spark, sf_dir):
-    """Range join: per purchase, count same-user events in the next 10
-    minutes (equi user key keeps it co-partitioned, range predicate is
-    a post-join filter)."""
+    """Range 'join': per purchase, count same-user events in the next
+    10 minutes — expressed as a RANGE-frame window, not a join
+    (round-7 rewrite): one user-keyed shuffle, per-partition sort,
+    then `count over (order by unix_micros(ts) range between 1 and
+    6e8 following)` — the frame bounds are monotonic so the window
+    evaluates as a sliding two-pointer pass; purchases filter AFTER
+    the window. The previous equi-join+range-filter formulation
+    shuffled BOTH sides and re-aggregated the join blowup: measured
+    0.59-0.91 s vs 0.30-0.33 s at sf0.1 (identical output, min-of-4
+    A/B), and at 100 TB the window shape shuffles the events table
+    once instead of twice with no join-explosion intermediate. DuckDB
+    keeps the join formulation (its IEJoin evaluates it natively)."""
+    from pyspark.sql import Window
+
     events = load(spark, sf_dir, "events")
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, 600_000_000)
     )
-    others = events.select(
-        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    return (
+        events.withColumn("n_next_10m", F.count(F.lit(1)).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("n_next_10m").cast("long"),
+        )
     )
-    joined = purchases.join(
-        others,
-        (F.col("p_user") == F.col("e_user"))
-        & (F.col("e_ts") > F.col("p_ts"))
-        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "left",
-    )
-    return joined.groupBy("p_id").agg(F.count("e_id").alias("n_next_10m"))
 
 
 RANGE_SQL = """

@@ -67,3 +67,13 @@ def test_funnel_bucketed_window_has_single_tiny_exchange(spark, sf_dir):
     # and no Exchange may appear below the Window operator
     below_window = plan.split("Window")[-1]
     assert "Exchange" not in below_window, plan
+
+
+def test_range_join_is_single_shuffle_window(spark, sf_dir):
+    """Round-7 rewrite: the 10-minute range 'join' must plan as ONE
+    user-keyed Exchange feeding a Window — no Join operator at all
+    (the old formulation shuffled both sides of an equi+range join)."""
+    plan = _plan(spark, sf_dir, "range_join_next_10m")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert _shuffle_exchanges(plan) == 1, plan
