@@ -59,8 +59,8 @@ PRIORITY: tuple[str, ...] = (
     # vocab_top_tokens rotated out round 7 — green r5+r6, unchanged —
     # to admit dsir_select_topk)
     "corpus_mix_allocation",
-    "search_docs_keywords",
-    "corpus_filter_funnel",
+    # search_docs_keywords + corpus_filter_funnel rotated out round 7
+    # (green r5+r6, unchanged) to admit the q5/q10 bucketed twins
     # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling) and
     # model-based quality filters (unigram-LM xent, logistic keep-prob)
     "search_docs_bm25",
@@ -102,6 +102,8 @@ PRIORITY: tuple[str, ...] = (
     # as their plain queries, read the bucketed layout, plan-pinned
     # Exchange-free
     "q3_top_orders_bucketed",
+    "q5_regional_revenue_bucketed",
+    "q10_returned_revenue_bucketed",
     "user_sessions_gap30_bucketed",
     "retention_cohorts_bucketed",
     "funnel_top_paths_bucketed",

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from . import QuerySpec
 from .common import dsum_fp, load
-from .relational import Q3_SQL
+from .relational import Q3_SQL, Q5_SQL, Q10_SQL
 from .timeseries import RETENTION_SQL, SESSIONS_GAP_SQL, TOP_PATHS_SQL
 
 _N_BUCKETS = 32  # = the local core count. A bucketed scan runs ONE
@@ -165,6 +165,55 @@ def q3_top_orders_bucketed(spark, sf_dir):
     )
 
 
+def q5_regional_revenue_bucketed(spark, sf_dir):
+    """TPC-H Q5 over the same orderkey-bucketed layout: the li⋈orders
+    leg — the only fact-fact join in the 6-way tree — runs
+    Exchange-free on the buckets; customer/supplier/nation/region are
+    broadcast dims, so the lone shuffle left is the n_name groupBy.
+    Same filters/agg/oracle as q5_regional_revenue."""
+    region = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    orders = _bucketed_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q10_returned_revenue_bucketed(spark, sf_dir):
+    """TPC-H Q10 over the orderkey-bucketed layout: li⋈orders
+    Exchange-free on buckets, customer broadcast; shuffles left are
+    the customer-grouped aggregation and TakeOrdered. Same
+    filters/agg/oracle as q10_returned_revenue."""
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    orders = _bucketed_table(spark, sf_dir, "orders")
+    li = _bucketed_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------- events trio
 
 
@@ -244,6 +293,16 @@ QUERIES = {
         q3_top_orders_bucketed,
         Q3_SQL,
         "TPC-H Q3 over orderkey-bucketed lineitem+orders (zero join-side Exchange)",
+    ),
+    "q5_regional_revenue_bucketed": QuerySpec(
+        q5_regional_revenue_bucketed,
+        Q5_SQL,
+        "TPC-H Q5 over the orderkey-bucketed layout (fact-fact leg Exchange-free)",
+    ),
+    "q10_returned_revenue_bucketed": QuerySpec(
+        q10_returned_revenue_bucketed,
+        Q10_SQL,
+        "TPC-H Q10 over the orderkey-bucketed layout (fact-fact leg Exchange-free)",
     ),
     "user_sessions_gap30_bucketed": QuerySpec(
         user_sessions_gap30_bucketed,

@@ -77,3 +77,20 @@ def test_range_join_is_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert _shuffle_exchanges(plan) == 1, plan
+
+
+def test_q5_q10_bucketed_fact_leg_has_no_exchange(spark, sf_dir):
+    """q5/q10 over the bucketed layout: the li⋈orders fact-fact leg
+    consumes the bucket distribution; the only shuffles left are the
+    final aggregations (n_name / customer group)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p5 = _plan(spark, sf_dir, "q5_regional_revenue_bucketed")
+        p10 = _plan(spark, sf_dir, "q10_returned_revenue_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for plan, n_allowed in ((p5, 1), (p10, 1)):
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" in plan  # dims stay broadcast hints
+        assert _shuffle_exchanges(plan) <= n_allowed, plan
