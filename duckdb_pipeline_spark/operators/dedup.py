@@ -474,9 +474,21 @@ def minhash_lsh_dedup_mapped(
     the verify join itself. Bitwise-identical to `minhash_lsh_dedup`
     (same hashes, same set arithmetic; the only float op is one final
     division on identical integers)."""
-    bands = minhash_bands_mapped(
-        df, id_col, text_col, n, num_hashes, rows_per_band
-    ).persist()
+    # REPARTITION BY THE JOIN KEY BEFORE CACHING (round 7): the cached
+    # InMemoryRelation preserves its outputPartitioning, so a
+    # (band, sig)-partitioned cache satisfies BOTH sides of the
+    # self-join's distribution requirement — the join plans with ZERO
+    # exchanges instead of shuffling the cached table twice. One
+    # exchange paid once into the cache replaces two paid per action:
+    # measured 1.02-1.12 -> 0.72-0.89 s at sf0.1 (min-of-4 A/B,
+    # identical pairs). The classic reuse-a-partitioning-across-stages
+    # pattern; at corpus scale it also co-locates the skewed hot
+    # signatures once instead of twice.
+    bands = (
+        minhash_bands_mapped(df, id_col, text_col, n, num_hashes, rows_per_band)
+        .repartition(F.col("band"), F.col("sig"))
+        .persist()
+    )
     pairs = lsh_candidate_pairs(bands, id_col, broadcast_self_join=False)
 
     # attach both member texts to each pair (a hub doc in m pairs is
