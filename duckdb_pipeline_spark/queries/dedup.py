@@ -437,12 +437,22 @@ def dedup_containment(spark, sf_dir):
     # No-op on well-split real-scale input.
     from .common import spread
 
+    from pyspark import StorageLevel
+
+    # Persist REVISITED round 7: the round-5 "+35%" persist rejection
+    # was measured on the old shuffle-join shape; under the broadcast
+    # shape the three sh_d consumers re-ran the scan+explode three
+    # times per action, and a DISK_ONLY cache now measures ~15% faster
+    # at sf0.1 (0.93-1.13 -> 0.78-0.88 min-of-4 A/B). DISK_ONLY per
+    # the corpus-sized-cache policy (see queries/curation.py dsir
+    # note); at 100 TB this is also the difference between one and
+    # three full corpus scans.
     sh_d = word_shingles(
         spread(docs, bytes_per_split=256 * 1024),
         n=3,
         distinct=False,
         extra_cols=["source"],
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     eval_sh = (
         sh_d.where(F.col("source") == "src0")
         .select(F.col("doc_id").alias("eval_id"), "shingle")
