@@ -126,6 +126,7 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
             "spark.ui.showConsoleProgress": "false",
         },
