@@ -148,7 +148,7 @@ def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     except OSError:
         total = 0
     target = 16 * 1024 * 1024
-    return max(cpus // 4, min(cpus, (total + target - 1) // target))
+    return max(1, cpus // 4, min(cpus, (total + target - 1) // target))
 
 
 def _spark_session(cpus: int, sf_dir: str):

@@ -568,7 +568,15 @@ def _ivf_centroids_and_query(
         cond = cond | (F.col(id_col) == query_id)
     rows = embeddings.where(cond).select(id_col, vec_col).collect()
     by_id = {r[0]: np.asarray(r[1], dtype="float64") for r in rows}
-    C = np.stack([by_id[i] for i in sorted(i for i in by_id if i < n_cells)])
+    cell_ids = sorted(i for i in by_id if i < n_cells)
+    # row position in C must equal the cell id the SQL oracle computes
+    # with; a sparse id space would silently skew assignment (ADVICE
+    # r7) — fail loudly instead.
+    if cell_ids != list(range(n_cells)):
+        raise ValueError(
+            f"IVF centroid ids must be dense 0..{n_cells - 1}; got {cell_ids}"
+        )
+    C = np.stack([by_id[i] for i in cell_ids])
     qv = by_id.get(query_id) if query_id is not None else None
     return C, qv
 
@@ -724,7 +732,15 @@ def ann_recall_audit(
         .collect()
     )
     by_id = {r[0]: np.asarray(r[1], dtype="float64") for r in rows}
-    C = np.stack([by_id[i] for i in sorted(i for i in by_id if i < n_cells)])
+    cell_ids = sorted(i for i in by_id if i < n_cells)
+    # C's row positions must equal cell ids (the oracle's argmax index
+    # IS the vec_id); a sparse centroid id space must fail loudly
+    # rather than silently skew cell assignment (ADVICE r7).
+    if cell_ids != list(range(n_cells)):
+        raise ValueError(
+            f"IVF centroid ids must be dense 0..{n_cells - 1}; got {cell_ids}"
+        )
+    C = np.stack([by_id[i] for i in cell_ids])
     live_q = [q for q in qset if q in by_id]
     if not live_q:
         return embeddings.sparkSession.createDataFrame(

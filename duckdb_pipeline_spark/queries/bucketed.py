@@ -80,24 +80,48 @@ def _ensure_bucketed(spark, sf_dir: str, table: str) -> str:
     tname = f"bkt_{table}_{label}"
     path = os.path.join(_repo_root(), ".scratch", "bucketed", label, table)
     src = os.path.join(sf_dir, f"{table}.parquet")
-    h = hashlib.sha256()
-    with open(src, "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
-    stamp = {
-        "size": os.path.getsize(src),
-        "sha256": h.hexdigest(),
-        "n_buckets": _N_BUCKETS,
-        "key": key,
-        "sort": sort_cols,
-    }
+
+    # Fast-path staleness on (size, mtime) like a lake manifest; the
+    # content hash is computed ONLY when those moved (e.g. the file was
+    # re-written with identical bytes) — hashing multi-GB lineitem on
+    # every plan build was a real per-query driver cost at sf10
+    # (ADVICE r7). Contract unchanged: layout rebuilt iff bytes change.
+    st = os.stat(src)
+    spec = {"n_buckets": _N_BUCKETS, "key": key, "sort": sort_cols}
     marker = os.path.join(path, "_SRC.json")
-    fresh = False
+    old = None
     try:
         with open(marker) as fh:
-            fresh = json.load(fh) == stamp
+            old = json.load(fh)
     except (OSError, ValueError):
         pass
+
+    def _content_hash() -> str:
+        h = hashlib.sha256()
+        with open(src, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    fresh = False
+    digest = None
+    if old is not None and {k: old.get(k) for k in spec} == spec:
+        if old.get("size") == st.st_size and old.get("mtime_ns") == st.st_mtime_ns:
+            fresh = True
+        elif old.get("size") == st.st_size:
+            digest = _content_hash()
+            if old.get("sha256") == digest:
+                fresh = True  # same bytes, touched file: refresh marker
+                with open(marker, "w") as fh:
+                    json.dump({**old, "mtime_ns": st.st_mtime_ns}, fh)
+    if digest is None and not fresh:
+        digest = _content_hash()
+    stamp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "sha256": digest,
+        **spec,
+    }
 
     if not fresh:
         df = load(spark, sf_dir, table)

@@ -447,6 +447,12 @@ def dedup_containment(spark, sf_dir):
     # the corpus-sized-cache policy (see queries/curation.py dsir
     # note); at 100 TB this is also the difference between one and
     # three full corpus scans.
+    # LIFECYCLE (ADVICE r7): this persist cannot be unpersisted here —
+    # the function returns a lazy plan and the cache must live until
+    # the caller's action runs. Long-lived sessions that invoke this
+    # repeatedly MUST release it afterwards (bench.py's srun calls
+    # spark.catalog.clearCache() after every query; interactive users
+    # should do the same or unpersist via df.sparkSession.catalog).
     sh_d = word_shingles(
         spread(docs, bytes_per_split=256 * 1024),
         n=3,

@@ -9,13 +9,21 @@ from tests.test_plans import plan_text
 
 def _shuffle_exchanges(plan: str) -> int:
     """Count shuffle Exchanges only (broadcast exchanges are the cheap
-    dim-side sends the bucketed design keeps)."""
+    dim-side sends the bucketed design keeps).
+
+    Substring match, NOT line-prefix: in simple-mode explain the left
+    subtree of a join prefixes lines with ':' (e.g.
+    ':  +- Exchange hashpartitioning(...)'), so prefix matching
+    undercounts two-sided shuffles (ADVICE r7).  ReusedExchange nodes
+    reference an already-counted shuffle and are excluded.
+    """
     return sum(
         1
         for line in plan.splitlines()
-        for tok in [line.strip()]
-        if tok.startswith("+- Exchange") or tok.startswith("Exchange")
-        if "SinglePartition" not in tok
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+        and "SinglePartition" not in line
     )
 
 
