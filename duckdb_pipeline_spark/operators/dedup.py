@@ -92,33 +92,52 @@ def word_shingles(
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
     """(id, h0..h{K-1}): per document, K independent min-hashes as
-    columns.
+    LONG columns.
 
-    Hash k (k = 4p + j) of a shingle = hex lane j (8 chars = 32 bits)
-    of md5("<p>:<shingle>"); min over the doc's shingles. Disjoint
-    bit-lanes of one md5 are independent uniform functions of the
-    input, so the K lanes are K valid min-hash functions at 1/4 the
-    md5 cost of hashing per-k — and lexicographic min over fixed-width
-    lowercase hex == min over uniform 32-bit values. (32-bit lanes add
-    a ~n/2^32 false-collision term per band row — negligible.)
+    Round-8 Carter-Wegman scheme (ONE md5 per shingle, 4x fewer
+    digests than the old prefixed-lane family): a/b = little-endian
+    u32 of md5 digest bytes [0,4)/[4,8), hash k = (a + k*b) mod 2^32,
+    min over the doc's shingles. (a + k*b) mod 2^32 over uniform
+    (a, b) is the standard 2-universal construction — adequate for LSH
+    candidate generation, which is exact-Jaccard verified downstream.
+    Engine-portable: DuckDB computes a/b as md5_number_upper % / //
+    2^32 (== the same LE u64 of digest bytes [0,8)); the Python kernel
+    (`_batch_lane_minhashes`) reads the same u32s via np.frombuffer.
 
-    Plan shape: ONE shuffle — the K/4 md5s and K substrings are plain
-    column expressions (whole-stage codegen; a `transform` lambda
-    would drop to interpreted evaluation), and the groupBy carries K
-    min() aggregates with map-side partials. (The naive formulation —
-    explode ×K then groupBy(id, k) — shuffles K× the data.)
+    Plan shape: ONE shuffle — the md5 and the nibble-parsed a/b are
+    plain column expressions (whole-stage codegen; a `transform`
+    lambda would drop to interpreted evaluation), and the groupBy
+    carries K min() aggregates with map-side partials. (The naive
+    formulation — explode ×K then groupBy(id, k) — shuffles K× the
+    data.)
     """
-    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4 (md5 lanes)"
-    md5s = [
-        F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))).alias(f"m{p}")
-        for p in range(num_hashes // 4)
-    ]
-    per = shingles.select(F.col(id_col), *md5s)
-    hash_cols = [
-        F.substring(F.col(f"m{k // 4}"), (k % 4) * 8 + 1, 8).alias(f"mh{k}")
+
+    def _le_u32(h: str, byte0: int) -> str:
+        # little-endian u32 from md5 HEX chars [2*byte0+1 ..]: byte i
+        # contributes nibble-pair value * 256^(i-byte0); instr nibble
+        # lookup compiles identically in Spark SQL and DuckDB (the
+        # Bloom-filter precedent, queries/dedup._bloom_lane_sql)
+        terms = []
+        for i in range(4):
+            p = 2 * (byte0 + i) + 1
+            hi = f"(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+            lo = f"(instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+            # CAST the multiplier, not the product: the nibble pair is
+            # INT and 255 * 256^3 overflows int32 under ANSI mode
+            terms.append(f"({hi} * 16 + {lo}) * CAST({256 ** i} AS BIGINT)")
+        return "(" + " + ".join(terms) + ")"
+
+    per = shingles.select(F.col(id_col), F.md5(F.col("shingle")).alias("hx"))
+    per = per.select(
+        F.col(id_col),
+        F.expr(_le_u32("hx", 0)).alias("a"),
+        F.expr(_le_u32("hx", 4)).alias("b"),
+    )
+    lane_cols = [
+        ((F.col("a") + F.lit(k) * F.col("b")) % F.lit(1 << 32)).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    per = per.select(F.col(id_col), *hash_cols)
+    per = per.select(F.col(id_col), *lane_cols)
     aggs = [F.min(F.col(f"mh{k}")).alias(f"h{k}") for k in range(num_hashes)]
     return per.groupBy(id_col).agg(*aggs)
 
@@ -251,35 +270,35 @@ def _spread(df: DataFrame, id_col: str, text_col: str, parallelism) -> DataFrame
     return out.repartition(parallelism) if parallelism else out
 
 
-def _py_lane_minhashes(sh: set, num_hashes: int) -> list[str]:
-    """K lane min-hashes of one shingle set — the Python twin of
-    `minhash_signatures`: hash 4p+j = bytes [4j, 4j+4) of
-    md5(f"{p}:{shingle}"), min over shingles, rendered as 8 lowercase
-    hex chars (bytes order == hex lexicographic order)."""
+def _py_lane_minhashes(sh: set, num_hashes: int) -> list[int]:
+    """K Carter-Wegman min-hashes of one shingle set — the Python twin
+    of `minhash_signatures` (round 8 scheme): per shingle ONE md5,
+    a/b = little-endian u32 of digest bytes [0,4)/[4,8), hash k =
+    (a + k*b) mod 2^32; min over shingles. One md5 per shingle instead
+    of the old four prefixed digests — same family quality for LSH
+    candidate generation ((a + k*b) mod 2^32 over uniform (a, b) is the
+    standard 2-universal construction), and every downstream candidate
+    is still exact-Jaccard verified. Engine-portable: DuckDB computes
+    a/b as md5_number_upper(s) % / // 2^32 (its md5_number_upper IS the
+    LE u64 of digest bytes [0,8) — verified against hashlib)."""
     import hashlib
 
-    import numpy as np
-
-    enc = [s.encode() for s in sh]
-    hs: list[str] = []
-    for p in range(num_hashes // 4):
-        prefix = f"{p}:".encode()
-        # one contiguous digest buffer -> (n_shingles, 4) big-endian u32
-        # lanes -> column mins in C (big-endian u32 order == bytewise
-        # lexicographic order on 4-byte chunks == hex-string order)
-        buf = b"".join(hashlib.md5(prefix + s).digest() for s in enc)
-        mins = np.frombuffer(buf, dtype=">u4").reshape(-1, 4).min(axis=0)
-        hs.extend(f"{v:08x}" for v in mins)
-    return hs
+    mask = (1 << 32) - 1
+    ab = [
+        (int.from_bytes(d[:4], "little"), int.from_bytes(d[4:8], "little"))
+        for d in (hashlib.md5(s.encode()).digest() for s in sh)
+    ]
+    return [min((a + k * b) & mask for a, b in ab) for k in range(num_hashes)]
 
 
 def _batch_lane_minhashes(shingle_sets: list, num_hashes: int):
-    """(n_docs, num_hashes) >u4 lane minima for a BATCH of shingle
-    sets, hashing each distinct shingle of the batch ONCE per prefix —
-    boilerplate-heavy corpora repeat shingles across documents, so the
-    md5 count drops from sum(|doc|) to |batch vocabulary|. Bitwise-
-    identical to stacking `_py_lane_minhashes` per doc (same digests,
-    same big-endian u32 lane minima); the per-doc min runs as one
+    """(n_docs, num_hashes) int64 Carter-Wegman lane minima for a
+    BATCH of shingle sets, hashing each distinct shingle of the batch
+    ONCE — boilerplate-heavy corpora repeat shingles across documents,
+    so the md5 count drops from sum(|doc|) to |batch vocabulary| (and
+    round 8 cut it a further 4x vs the prefixed-lane scheme: one digest
+    yields all K hashes via (a + k*b) mod 2^32). Bitwise-identical to
+    stacking `_py_lane_minhashes` per doc; the per-doc min runs as one
     `np.minimum.reduceat` over the concatenated index list."""
     import hashlib
 
@@ -297,17 +316,19 @@ def _batch_lane_minhashes(shingle_sets: list, num_hashes: int):
             flat.append(k)
         bounds.append(len(flat))
     if not flat:
-        return np.empty((0, num_hashes), dtype=">u4")
+        return np.empty((0, num_hashes), dtype=np.int64)
     assert 0 not in np.diff(bounds), "empty shingle set in batch (filter first)"
     idx = np.asarray(flat, dtype=np.int64)
     starts = np.asarray(bounds[:-1], dtype=np.int64)
-    enc = [s.encode() for s in vocab]  # insertion order == index order
-    lanes = np.empty((len(vocab), num_hashes), dtype=">u4")
-    for p in range(num_hashes // 4):
-        prefix = f"{p}:".encode()
-        buf = b"".join(hashlib.md5(prefix + s).digest() for s in enc)
-        lanes[:, 4 * p : 4 * p + 4] = np.frombuffer(buf, dtype=">u4").reshape(-1, 4)
-    return np.minimum.reduceat(lanes[idx], starts, axis=0)
+    md5 = hashlib.md5
+    # one contiguous digest buffer -> (vocab, 4) LE u32; cols 0/1 are
+    # a/b (digest bytes [0,4)/[4,8) little-endian == DuckDB's
+    # md5_number_upper % / // 2^32)
+    buf = b"".join(md5(s.encode()).digest() for s in vocab)
+    ab = np.frombuffer(buf, dtype="<u4").reshape(-1, 4)[:, :2].astype(np.uint64)
+    ks = np.arange(num_hashes, dtype=np.uint64)
+    lanes = (ab[:, :1] + ks[None, :] * ab[:, 1:2]) & np.uint64(0xFFFFFFFF)
+    return np.minimum.reduceat(lanes[idx], starts, axis=0).astype(np.int64)
 
 
 def minhash_signatures_mapped(
@@ -340,10 +361,10 @@ def minhash_signatures_mapped(
             mins = _batch_lane_minhashes(sets, num_hashes)
             out = {id_col: pd.Series(ids, dtype="int64")}
             for k in range(num_hashes):
-                out[f"h{k}"] = [f"{v:08x}" for v in mins[:, k]]
+                out[f"h{k}"] = mins[:, k]
             yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, " + ", ".join(f"h{k} string" for k in range(num_hashes))
+    schema = f"{id_col} long, " + ", ".join(f"h{k} long" for k in range(num_hashes))
     return _spread(df, id_col, text_col, parallelism).mapInPandas(sign, schema)
 
 
@@ -376,12 +397,15 @@ def minhash_bands_mapped(
             mins = _batch_lane_minhashes(sets, num_hashes)
             ids, bandix, sigs = [], [], []
             for i, doc_id in enumerate(doc_ids):
-                hs = [f"{v:08x}" for v in mins[i]]
+                hs = mins[i]
                 for b in range(n_bands):
                     ids.append(doc_id)
                     bandix.append(b)
                     sigs.append(
-                        "|".join(hs[b * rows_per_band : (b + 1) * rows_per_band])
+                        "|".join(
+                            str(v)
+                            for v in hs[b * rows_per_band : (b + 1) * rows_per_band]
+                        )
                     )
             yield pd.DataFrame(
                 {

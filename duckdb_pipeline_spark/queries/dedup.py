@@ -34,6 +34,21 @@ corpus AS (
 """
 
 
+# Round-8 minhash scheme shared by every minhash oracle: per shingle
+# ONE md5; a/b = the LE-u32 halves of digest bytes [0,8) (DuckDB's
+# md5_number_upper % / // 2^32 — byte mapping verified vs hashlib);
+# hash k = (a + k*b) mod 2^32 (Carter-Wegman), min per (doc, k).
+# Mirrors operators.dedup._batch_lane_minhashes / minhash_signatures.
+def _mh_min_sql(shingle_src: str) -> str:
+    return f"""
+  SELECT doc_id, k,
+         min(CAST((md5_number_upper(shingle) % 4294967296
+                   + k * (md5_number_upper(shingle) // 4294967296)) % 4294967296 AS BIGINT)) AS h
+  FROM {shingle_src}, (SELECT unnest(range(0, 16)) AS k) ks
+  GROUP BY doc_id, k
+"""
+
+
 def _shingle_cte(src: str) -> str:
     """Distinct 3-gram word shingles per doc (mirrors
     operators.dedup.word_shingles)."""
@@ -82,16 +97,9 @@ DEDUP_MINHASH_SQL = f"""
 WITH {CORPUS_CTE},
 {_shingle_cte('corpus').strip().lstrip()}
 ,
-mh AS (
-  -- hash 4p+j = hex lane j (8 chars / 32 bits) of md5('p:' || shingle)
-  -- (disjoint lanes of one md5 = independent uniform hash functions)
-  SELECT doc_id, k,
-         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
-  FROM sh, (SELECT unnest(range(0, 16)) AS k) ks
-  GROUP BY doc_id, k
-),
+mh AS ({_mh_min_sql('sh')}),
 bands AS (
-  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  SELECT doc_id, k // 4 AS band, string_agg(CAST(h AS VARCHAR), '|' ORDER BY k) AS sig
   FROM mh GROUP BY doc_id, k // 4
 ),
 cand AS (
@@ -330,14 +338,9 @@ def _pagerank_sql() -> str:
 WITH {CORPUS_CTE},
 {_shingle_cte('corpus').strip().lstrip()}
 ,
-mh AS (
-  SELECT doc_id, k,
-         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
-  FROM sh, (SELECT unnest(range(0, 16)) AS k) ks
-  GROUP BY doc_id, k
-),
+mh AS ({_mh_min_sql('sh')}),
 bands AS (
-  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  SELECT doc_id, k // 4 AS band, string_agg(CAST(h AS VARCHAR), '|' ORDER BY k) AS sig
   FROM mh GROUP BY doc_id, k // 4
 ),
 cand AS (
@@ -437,44 +440,53 @@ def dedup_containment(spark, sf_dir):
     # No-op on well-split real-scale input.
     from .common import spread
 
-    from pyspark import StorageLevel
-
-    # Persist REVISITED round 7: the round-5 "+35%" persist rejection
-    # was measured on the old shuffle-join shape; under the broadcast
-    # shape the three sh_d consumers re-ran the scan+explode three
-    # times per action, and a DISK_ONLY cache now measures ~15% faster
-    # at sf0.1 (0.93-1.13 -> 0.78-0.88 min-of-4 A/B). DISK_ONLY per
-    # the corpus-sized-cache policy (see queries/curation.py dsir
-    # note); at 100 TB this is also the difference between one and
-    # three full corpus scans.
-    # LIFECYCLE (ADVICE r7): this persist cannot be unpersisted here —
-    # the function returns a lazy plan and the cache must live until
+    # Cache level REVISITED round 8 (A/B in scripts/exp_containment_r8
+    # .py, min-of-4 interleaved at sf0.1: shingle DISK_ONLY 0.84 s,
+    # +eval fusion 0.80 s, raw-docs cache 0.75 s): persist only the
+    # RAW (pre-explode, ~8x smaller) doc rows and re-run the codegen
+    # explode per consumer. The corpus-shingle disk write + two disk
+    # re-reads cost more than two extra in-memory explodes — and at
+    # 100 TB, spilling an 8x-expanded shingle table to scratch disk is
+    # exactly the kind of materialization a scan-cheap/spill-expensive
+    # cluster avoids. The raw cache is default-level (deserialized,
+    # memory-first): it is the compressed corpus projection, not the
+    # expanded shingles, so the corpus-sized-cache DISK_ONLY policy
+    # (queries/curation.py dsir note) does not apply.
+    # LIFECYCLE (ADVICE r7): these persists cannot be unpersisted here —
+    # the function returns a lazy plan and the caches must live until
     # the caller's action runs. Long-lived sessions that invoke this
-    # repeatedly MUST release it afterwards (bench.py's srun calls
+    # repeatedly MUST release them afterwards (bench.py's srun calls
     # spark.catalog.clearCache() after every query; interactive users
     # should do the same or unpersist via df.sparkSession.catalog).
-    sh_d = word_shingles(
-        spread(docs, bytes_per_split=256 * 1024),
-        n=3,
-        distinct=False,
-        extra_cols=["source"],
-    ).persist(StorageLevel.DISK_ONLY)
-    eval_sh = (
+    raw = spread(docs, bytes_per_split=256 * 1024).persist()
+    sh_d = word_shingles(raw, n=3, distinct=False, extra_cols=["source"])
+    # ONE eval-side aggregation replaces the round-7 distinct+distinct
+    # chain: per-shingle eval postings, with set semantics giving the
+    # per-doc distinct for free. Eval postings are small by
+    # construction (the held-out set is benchmarks, not the corpus) —
+    # the same assumption the broadcast design already rests on.
+    ep = (
         sh_d.where(F.col("source") == "src0")
-        .select(F.col("doc_id").alias("eval_id"), "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("evs"))
+        .persist()
     )
-    ev_vocab = eval_sh.select("shingle").distinct()
     # df (docs containing the shingle) over the FULL corpus, but only
     # for eval-vocabulary shingles: map-side broadcast semi-join prunes
     # the scan before the count; countDistinct handles in-doc repeats
     dfc = (
-        sh_d.join(F.broadcast(ev_vocab), "shingle")
+        sh_d.join(F.broadcast(ep.select("shingle")), "shingle")
         .groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     rare_ev = dfc.where(F.col("df") <= max_df).select("shingle")
-    eval_post = eval_sh.join(F.broadcast(rare_ev), "shingle")
+    # persisted: reused by BOTH sizes and the matches broadcast —
+    # without the cache the eval-postings subtree would run twice
+    eval_post = (
+        ep.join(F.broadcast(rare_ev), "shingle")
+        .select("shingle", F.explode("evs").alias("eval_id"))
+        .persist()
+    )
     sizes = eval_post.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
     matches = (
         sh_d.where(F.col("source") != "src0")
@@ -543,11 +555,16 @@ def _ensure_band_index(spark, sf_dir: str) -> str:
     )
     path = os.path.join(repo, ".scratch", "bandidx", label)
     src = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.sha256()
-    with open(src, "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
-    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest()}
+    # (size, mtime) staleness fast path (no per-call content hash —
+    # the bucketed-layout precedent, ADVICE r7); "scheme" versions the
+    # signature family so a hash-scheme change rebuilds the index
+    # instead of silently probing stale signatures.
+    st = os.stat(src)
+    stamp = {
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "scheme": "cw-md5le-v2",
+    }
     marker = os.path.join(path, "_SRC.json")
     try:
         with open(marker) as fh:
@@ -597,14 +614,9 @@ def _mh_band_cte(src: str, p: str) -> str:
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
   FROM {p}t, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
 ),
-{p}m AS (
-  SELECT doc_id, k,
-         min(substr(md5(CAST(k // 4 AS VARCHAR) || ':' || shingle), (k % 4) * 8 + 1, 8)) AS h
-  FROM {p}s, (SELECT unnest(range(0, 16)) AS k) ks
-  GROUP BY doc_id, k
-),
+{p}m AS ({_mh_min_sql(p + 's')}),
 {p}g AS (
-  SELECT doc_id, k // 4 AS band, string_agg(h, '|' ORDER BY k) AS sig
+  SELECT doc_id, k // 4 AS band, string_agg(CAST(h AS VARCHAR), '|' ORDER BY k) AS sig
   FROM {p}m GROUP BY doc_id, k // 4
 )
 """

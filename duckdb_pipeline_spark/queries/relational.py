@@ -208,6 +208,56 @@ GROUP BY n_name
 """
 
 
+def q5_regional_revenue_fast(spark, sf_dir):
+    """Q5 with plain IEEE double sums (deployment-realistic twin of
+    `q5_regional_revenue` — the q1_fast precedent, VERDICT r7 #4):
+    same join tree, aggregation on the engine's native double path.
+    The oracle compares the sum ROUNDED to 2 decimals: double-sum
+    error here is ~1e-5 absolute against a >=1e4 tie distance, so the
+    limb-aggregation determinism premium is isolated from the join
+    constant in the bucketed-twin gap decomposition."""
+    region = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_FAST_SQL = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def q10_returned_revenue(spark, sf_dir):
     """TPC-H Q10 shape: returned-items revenue per customer, top 20."""
     cust = load(spark, sf_dir, "customer")
@@ -226,6 +276,44 @@ def q10_returned_revenue(spark, sf_dir):
 Q10_SQL = f"""
 SELECT c_custkey, c_name, c_mktsegment,
        {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q10_returned_revenue_fast(spark, sf_dir):
+    """Q10 with plain IEEE double sums (deployment-realistic twin of
+    `q10_returned_revenue` — the q1_fast precedent, VERDICT r7 #4).
+    The top-20 ORDERS BY THE ROUNDED revenue in both engines: the
+    double-sum cross-engine divergence (~1e-5 absolute) is orders of
+    magnitude inside the 2-decimal tie distance, so the rounded sort
+    key — and therefore the cutoff and the tie-broken order — is
+    engine-independent."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_FAST_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -987,7 +1075,17 @@ QUERIES = {
     ),
     "q3_top_orders": QuerySpec(q3_top_orders, Q3_SQL, "3-way join + top-10"),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL, "6-way join"),
+    "q5_regional_revenue_fast": QuerySpec(
+        q5_regional_revenue_fast,
+        Q5_FAST_SQL,
+        "Q5 with plain IEEE sums (deployment-realistic; rounded oracle)",
+    ),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "returned revenue top-20"),
+    "q10_returned_revenue_fast": QuerySpec(
+        q10_returned_revenue_fast,
+        Q10_FAST_SQL,
+        "Q10 with plain IEEE sums (deployment-realistic; rounded oracle)",
+    ),
     "join_left_zero_counts": QuerySpec(join_left_zero_counts, JOIN_LEFT_SQL, "left outer + agg"),
     "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, "left-semi / EXISTS"),
     "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, "left-anti / NOT EXISTS"),

@@ -55,14 +55,17 @@ def test_wav_roundtrip_bounded_error(n, rate, seed):
     shingles=st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=60),
 )
 def test_lane_minhashes_match_bytewise_reference(shingles):
-    """The numpy u32-lane min must equal the naive per-lane bytewise
-    min (the equivalence the oracle SQL relies on)."""
+    """The Carter-Wegman lane min must equal a from-scratch rebuild of
+    the scheme definition (a/b = LE u32 halves of md5 bytes [0,8),
+    h_k = (a + k*b) mod 2^32 — the equivalence the oracle SQL's
+    md5_number_upper arithmetic relies on)."""
     got = _py_lane_minhashes(shingles, 16)
-    want = []
-    for p in range(4):
-        digs = [hashlib.md5(f"{p}:".encode() + s.encode()).digest() for s in shingles]
-        for j in range(4):
-            want.append(min(d[4 * j : 4 * j + 4] for d in digs).hex())
+    digs = [hashlib.md5(s.encode()).digest() for s in shingles]
+    ab = [
+        (int.from_bytes(d[:4], "little"), int.from_bytes(d[4:8], "little"))
+        for d in digs
+    ]
+    want = [min((a + k * b) % 2**32 for a, b in ab) for k in range(16)]
     assert got == want
 
 
@@ -102,7 +105,7 @@ def test_batch_lane_minhashes_match_per_doc_kernel(batch):
     mins = _batch_lane_minhashes(batch, 16)
     assert mins.shape == (len(batch), 16)
     for i, sh in enumerate(batch):
-        assert [f"{v:08x}" for v in mins[i]] == _py_lane_minhashes(sh, 16)
+        assert mins[i].tolist() == _py_lane_minhashes(sh, 16)
 
 
 # ---------------------------------------------------------------------------
