@@ -81,44 +81,79 @@ def dsir_importance(spark, sf_dir):
 
 def dsir_importance_from(docs):
     """DataFrame-level core of `dsir_importance` (docs: doc_id, lang,
-    text) — split out so tests can drive planted corpora."""
-    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
-    bg = F.zip_with(
-        F.col("t"),
-        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
-        lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
-    )
+    text) — split out so tests can drive planted corpora.
+
+    Round-8 feature extraction: ONE mapInPandas pass emits per-doc
+    (bucket, tf) rows with the md5 paid once per DISTINCT bigram per
+    Arrow batch (the minhash batch-vocabulary precedent,
+    operators/dedup._batch_lane_minhashes). Natural-language bigrams
+    are Zipf-distributed, so batch vocabulary is a small fraction of
+    occurrences (285x repetition measured on the sf0.1 corpus; the
+    md5-per-occurrence JVM path was ~40% of sf1 wall per the round-7
+    profile). The tf compression also shrinks the persisted
+    intermediate and both downstream aggregations from occurrence
+    count to per-doc-distinct count. Buckets and scores are
+    bitwise-identical to the per-occurrence formulation (tf * lw is
+    exact in the fixed-point fold: lw's scale-9 value n and tf*n both
+    round exactly), so the DuckDB oracle is unchanged."""
+    import hashlib
+
+    import pandas as pd
+
     from pyspark import StorageLevel
 
+    from .common import spread
+
+    def extract(batches):
+        for pdf in batches:
+            cache: dict[str, str] = {}
+            o_doc, o_lang, o_bucket, o_tf = [], [], [], []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                tf: dict[str, int] = {}
+                for i in range(len(toks) - 1):
+                    bg = toks[i] + " " + toks[i + 1]
+                    tf[bg] = tf.get(bg, 0) + 1
+                for bg, n in tf.items():
+                    b = cache.get(bg)
+                    if b is None:
+                        b = hashlib.md5(bg.encode()).hexdigest()[:3]
+                        cache[bg] = b
+                    o_doc.append(doc_id)
+                    o_lang.append(lang)
+                    o_bucket.append(b)
+                    o_tf.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(o_doc, dtype="int64"),
+                    "lang": pd.Series(o_lang, dtype="object"),
+                    "bucket": pd.Series(o_bucket, dtype="object"),
+                    "tf": pd.Series(o_tf, dtype="int64"),
+                }
+            )
+
     # DISK_ONLY, decided by measurement (VERDICT r6 #6, round-7 A/B):
-    # the exploded occurrence table is corpus-sized, and default
-    # deserialized memory caching of it melts down under storage-
-    # memory eviction + GC churn once it outgrows the executor heap —
-    # sf10 cold min: MEMORY_AND_DISK 81.7 s (worst pass 142.9) vs
-    # DISK_ONLY 29.4 s; at sf1 the levels are within noise (8.3 vs
-    # 9.0) and persist beats recompute (11.4). Serialized-to-disk is
-    # the only level whose cost stays flat as the corpus outgrows
-    # memory — the exact property needed at 100 TB.
+    # the feature table is corpus-sized (bounded by per-doc distinct
+    # bigrams), and default deserialized memory caching melts down
+    # under storage-memory eviction + GC churn once it outgrows the
+    # executor heap — sf10 cold min: MEMORY_AND_DISK 81.7 s (worst
+    # pass 142.9) vs DISK_ONLY 29.4 s. Serialized-to-disk is the only
+    # level whose cost stays flat as the corpus outgrows memory — the
+    # exact property needed at 100 TB.
     bi = (
-        toks.select("doc_id", "lang", F.explode(bg).alias("bg"))
-        .where(F.col("bg").isNotNull())
-        .select("doc_id", "lang", F.substring(F.md5("bg"), 1, 3).alias("bucket"))
+        spread(docs.select("doc_id", "lang", "text"), bytes_per_split=256 * 1024)
+        .mapInPandas(extract, "doc_id long, lang string, bucket string, tf long")
         .persist(StorageLevel.DISK_ONLY)
     )
-    # PER-OCCURRENCE scoring: a (doc, bucket) tf intermediate adds a
-    # third full shuffle and (on bigram features, where per-doc buckets
-    # rarely repeat) compresses almost nothing — so both the bucket
-    # counts and the per-doc fold run straight off the occurrence rows.
-    # Raw and target counts come from ONE conditional aggregation, the
-    # totals from one 1-row aggregate over its <= 4096-row output.
-    # Numerically, summing cast(lw as dec) per occurrence equals the
-    # tf-weighted formulation exactly: round(lw, 6) casts to
-    # decimal(18,9) with zero error (a 6-decimal value), so either
-    # grouping folds to the identical tf * k/1e6.
+    # Raw and target counts come from ONE conditional aggregation that
+    # collapses to <= 4096 rows, the totals from one 1-row aggregate
+    # over its output.
     is_t = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
     counts = bi.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(is_t).alias("ct"),
+        F.sum("tf").alias("cr"),
+        F.sum(F.col("tf") * is_t).alias("ct"),
     )
     tot = counts.agg(
         F.sum("cr").cast("double").alias("tr"),
@@ -137,15 +172,18 @@ def dsir_importance_from(docs):
         ).alias("lw"),
     )
     # dsum_fp, not dsum: lw = round(x, 6) satisfies the fast path's
-    # precondition exactly (<= 9 decimal digits, |x| tiny), so the
-    # long fixed-point sum is bitwise-equal to the decimal-idiom
-    # oracle while staying on Spark's long-backed aggregation path
+    # precondition exactly (<= 9 decimal digits, |x| tiny) and tf * lw
+    # scales its exact scale-9 integer by an exact long (round(tf * lw
+    # * 1e9) absolute error << 0.5 at any corpus-feasible tf), so the
+    # long fixed-point sum is bitwise-equal to the per-occurrence
+    # decimal-idiom oracle while staying on Spark's long-backed
+    # aggregation path
     agg = (
         bi.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            dsum_fp(F.col("lw")).alias("s"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            dsum_fp(F.col("lw") * F.col("tf")).alias("s"),
+            F.sum("tf").alias("n_bigrams"),
         )
     )
     return agg.select(
