@@ -266,22 +266,17 @@ def user_sessions_gap30_bucketed(spark, sf_dir):
 
 
 def retention_cohorts_bucketed(spark, sf_dir):
-    """Daily-cohort retention over user-bucketed events: the fused
-    groupBy(user) (min day + day set) — the ONE 10M-row shuffle of the
-    plain plan — runs Exchange-free on the bucket distribution; only
-    the tiny (cohort, offset) reduce shuffles. Same semantics/oracle
-    as retention_cohorts."""
+    """Daily-cohort retention over user-bucketed events: the per-user
+    day-mask bit_or rollup (timeseries.retention_from) — the ONE
+    10M-row shuffle of the plain plan — runs Exchange-free on the
+    bucket distribution; only the tiny (cohort, offset) reduce
+    shuffles. Same semantics/oracle as retention_cohorts."""
+    from .timeseries import retention_from
+
     ev = _bucketed_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(F.min("d").alias("cohort_day"), F.collect_set("d").alias("ds"))
-        .select("cohort_day", F.explode("ds").alias("d"))
-        .select("cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset"))
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return retention_from(ev)
 
 
 def funnel_top_paths_bucketed(spark, sf_dir):

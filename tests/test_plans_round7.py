@@ -59,11 +59,17 @@ def test_sessions_bucketed_window_has_no_exchange(spark, sf_dir):
 def test_retention_bucketed_user_rollup_reuses_buckets(spark, sf_dir):
     plan = _plan(spark, sf_dir, "retention_cohorts_bucketed")
     # exactly ONE shuffle: the tiny (cohort_day, day_offset) reduce;
-    # the user-keyed rollup (the 10M-row shuffle in the plain plan)
-    # must consume the bucket distribution
+    # the user-keyed day-mask rollup (the 10M-row shuffle in the plain
+    # plan) must consume the bucket distribution. (The 64-row offset
+    # table's BroadcastExchange is not a shuffle.)
     assert _shuffle_exchanges(plan) == 1, plan
-    before_window = plan.split("HashAggregate")[-1]
-    assert "Exchange" not in before_window  # scan-side agg shuffle-free
+    # the round-8 mask shape: bit_or rollup directly on the bucketed
+    # scan, bits unpacked by a broadcast nested-loop join
+    assert "bit_or" in plan and "BroadcastNestedLoopJoin" in plan
+    scan_side = plan.split("HashAggregate")[-1]
+    # scan-side agg shuffle-free (the offsets BroadcastExchange prints
+    # inside this segment in tree order; only shuffles are forbidden)
+    assert _shuffle_exchanges(scan_side) == 0, plan
 
 
 def test_funnel_bucketed_window_has_single_tiny_exchange(spark, sf_dir):
