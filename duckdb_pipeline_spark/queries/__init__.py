@@ -31,134 +31,88 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # medallion pipeline (the reference's own surface)
-    "pipeline_gold_daily_agg",
-    "pipeline_corpus_prep",
-    # dedup (round 3 adds containment decontamination)
+    # ---- round 8 window. Composition rule (VERDICT r7 #8): (a) every
+    # query CHANGED or NEW this round, (b) round-7-new queries that are
+    # only once-green, (c) the OLDEST stale tail — 22 queries whose
+    # last driver row is round 1 (the window had drifted toward
+    # round-new work; this round pays the staleness debt).
+    #
+    # (a) changed round 8 - the minhash family (one-md5 Carter-Wegman
+    # lane scheme, operators/dedup.py): every query whose Spark plan
+    # OR oracle recomputes band signatures
     "dedup_minhash_lsh",
     "dedup_components_star",
     "graph_pagerank",
-    "dedup_containment",
-    # round 6: NEW incremental probe + broadcast-rewritten containment
-    # (above) both need driver rows; plus NEW keeper selection and
-    # SemDeDup-style learned-cell embedding dedup
+    "dedup_containment",      # raw-docs cache + fused eval postings
     "dedup_incremental_probe",
     "dedup_cluster_canonical",
-    "dedup_semantic_cells",
-    # round 6 session 2: NEW Bloom membership gate + exact repeated-
-    # substring spans (Lee et al. shape)
-    "dedup_bloom_probe",
-    "dedup_span_exact",
-    "dedup_span_scrub",
-    # round 7: the LSH recall audit landed after the round-6 session-3
-    # rotation and was the ONLY declared query with zero driver rows
-    # (VERDICT r6 #1) — it is an acceptance gate, so its own
-    # correctness must be externally checked
     "dedup_recall_report",
-    # LLM corpus ops (r5 adds tokenizer vocab + mix apportionment;
-    # vocab_top_tokens rotated out round 7 — green r5+r6, unchanged —
-    # to admit dsir_select_topk)
-    "corpus_mix_allocation",
-    # search_docs_keywords + corpus_filter_funnel rotated out round 7
-    # (green r5+r6, unchanged) to admit the q5/q10 bucketed twins
-    # round 6: NEW ranked-retrieval pair (BM25, tf-idf profiling) and
-    # model-based quality filters (unigram-LM xent, logistic keep-prob)
-    "search_docs_bm25",
-    "tfidf_top_terms",
-    "text_unigram_xent",
-    "quality_logreg_score",
-    # round-6 session-3 additions (curation layer); round 7 adds the
-    # non-toy-depth trainer (R=20, VERDICT r6 #7)
+    # (a) changed round 8 - DSIR batch-vocabulary tf extraction
     "dsir_importance",
-    # round 7: the selection half of DSIR (Gumbel-top-k resampling)
     "dsir_select_topk",
-    "bpe_train_merges",
-    "bpe_train_merges_deep",
-    "bpe_apply_tokenize",
-    "corpus_overlap_matrix",
-    # similarity / ANN / embedding ops (round 3 adds int8 quantization)
-    "similarity_topk_ivf",
-    # round 7: ANN recall audit (VERDICT r6 #8) — the vector-side
-    # mirror of dedup_recall_report, same IVF config as
-    # similarity_topk_ivf so its row is that query's acceptance gate
-    "ann_recall_report",
-    # round 6 session 2: NEW compressed-domain ADC scan + numpy twin
-    "similarity_adc_topk",
-    "similarity_adc_topk_np",
-    # LLM text + multimodal (round 3 adds perceptual image dedup)
-    "multimodal_decode_features",
-    "multimodal_phash_groups",
-    "multimodal_wav_frames",
-    # streaming semantics (round 6: NEW applyInPandasWithState batch twin
-    # + NEW keyed streaming-dedup batch twin)
-    "stream_user_state_totals",
-    "stream_dedup_events",
-    # timeseries / sampling (round 3 adds stratified sampling, EWMA,
-    # OHLC; round 6 session 2 adds trigram path analysis)
-    "funnel_top_paths",
-    "user_sessions_gap30",
+    # (a) changed round 8 - retention day-mask rollup (plain+bucketed)
     "retention_cohorts",
-    # round 7: bucketed-at-rest twins (VERDICT r6 #4/#5) — same oracle
-    # as their plain queries, read the bucketed layout, plan-pinned
-    # Exchange-free
+    "retention_cohorts_bucketed",
+    # (a) NEW round 8 - IEEE fast twins (q1_fast precedent) and the
+    # sketch self-audits (estimate-vs-exact bound verdicts,
+    # hash-checked; VERDICT r7 #6)
+    "q5_regional_revenue_fast",
+    "q10_returned_revenue_fast",
+    "sketch_ndv_audit",
+    "sketch_quantiles_audit",
+    "sketch_hll_merge_audit",
+    # medallion pipeline (the reference's own surface - kept standing;
+    # also changed if the round-8 bucketed-silver writer lands)
+    "pipeline_gold_daily_agg",
+    "pipeline_corpus_prep",
+    # (b) round-7-new, once-green - need a second row before rotating
+    "ann_recall_report",
+    "bpe_train_merges_deep",
     "q3_top_orders_bucketed",
     "q5_regional_revenue_bucketed",
     "q10_returned_revenue_bucketed",
     "user_sessions_gap30_bucketed",
-    "retention_cohorts_bucketed",
     "funnel_top_paths_bucketed",
-    # sketches (rows-only by design: estimates are engine-specific;
-    # round 6 session 2 adds the per-shard union-merge pattern)
-    "sketch_approx_quantiles",
-    "sketch_hll_merge",
-    "sketch_cms_user_counts",
-    # round-3 relational additions (+ round-6 fuzzy entity resolution)
-    "agg_rollup",
-    "fuzzy_match_names",
-    # round 7: range join REWRITTEN as a range-frame window (one
-    # user-keyed shuffle, no two-sided join) — changed queries re-enter
-    # the window; ngram_lm_counts (green r5+r6, unchanged) rotated out
-    "range_join_next_10m",
-    # representative of the twice-green relational families; round 6
-    # adds the plain-IEEE-sum q1 variant (new: needs a driver row)
-    "q1_pricing_summary",
-    "q1_pricing_summary_fast",
-    # rotated out in round 7 (driver-green r5 AND r6, unchanged since)
-    # to admit dedup_recall_report and the round-7 bucketed-at-rest
-    # twins + ANN recall audit: histogram_prices, join_salted_skew,
-    # text_rolling_fingerprint, text_udtf_sentences, unnest_tokens,
-    # stats_trimmed_mean, funnel_view_to_purchase
-    # rotated out in round 6 (driver-green r4 AND r5, unchanged since):
-    # text_language_id, text_token_stats, sample_topk_per_group,
-    # dedup_exact, text_chunk_windows, stream_tumbling_hourly,
-    # stream_interval_join, timeseries_gap_fill, text_repetition_stats,
-    # embedding_quantize_int8, dedup_simhash, dedup_ngram_jaccard,
-    # similarity_topk_lsh, dedup_components, dedup_embedding_cosine,
-    # corpus_shard_manifest, stream_session_30m, multimodal_binary_meta,
-    # pipeline_hourly_type_counts, pipeline_clean_events, text_scrub_pii,
-    # seq_pack_offsets (the last twelve rotated
-    # mid-round-6 to keep the new bloom/span/span-scrub/adc+np/
-    # stream-dedup/hll-merge/cms/top-paths queries AND the q1 pair
-    # inside the ~50-query window)
-    # rotated out round-6 session-3 (driver-green r4 AND r5, unchanged)
-    # to admit the curation quartet (dsir/bpe-train/bpe-apply/overlap):
-    # similarity_topk, similarity_neardup_blocked, text_quality_score,
-    # sketch_approx_ndv (rows-only by design, checked r4+r5)
-    # rotated out in round 5 (driver-green r3 AND r4, unchanged):
-    # q8_market_share, q13_order_counts, q2_min_cost_supplier,
-    # q11_important_value, q20_potential_promotion, window_moving_7d,
-    # scalar_map_funcs, scalar_pandas_udf, agg_pandas_udaf,
-    # timeseries_resample_ohlc, timeseries_ewma, agg_corr_exact,
-    # sample_stratified, stream_sliding_2h_1h, text_fingerprint
-    # rotated out in round 3 (driver-green r2, unchanged since):
-    # window_percentiles, window_first_last, setop_except_all,
-    # scalar_array_funcs, scalar_regexp_funcs, agg_salted_hot_keys,
-    # agg_percentiles_exact, sample_hash_deterministic
-    # rotated out in round 2 (driver-green in r1 AND r2, unchanged):
-    # scalar_math_funcs, case_bucketing, q12_shipmode_priority,
-    # setop_intersect_all, join_null_safe, agg_listagg_sorted,
-    # pivot_status_by_priority, unpivot_part_measures, q22_idle_customers,
-    # asof_purchase_click, range_join_next_10m
+    # (c) the stale tail: last driver row in ROUND 1, unchanged since.
+    # Oldest-first paydown; the remaining r1/r2 stragglers rotate in
+    # next round.
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "coalesce_nullif",
+    "distinct_pairs",
+    "in_subquery",
+    "join_anti",
+    "join_semi",
+    "join_full_outer",
+    "join_cross",
+    "ntile_quartiles",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q21_sole_late_supplier",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_filter",
+    # rotated out round 8 (driver-green in r6 AND r7, unchanged since):
+    # dedup_semantic_cells, dedup_bloom_probe, dedup_span_exact,
+    # dedup_span_scrub, corpus_mix_allocation, search_docs_bm25,
+    # tfidf_top_terms, text_unigram_xent, quality_logreg_score,
+    # bpe_train_merges, bpe_apply_tokenize, corpus_overlap_matrix,
+    # similarity_topk_ivf, similarity_adc_topk, similarity_adc_topk_np,
+    # multimodal_decode_features, multimodal_phash_groups,
+    # multimodal_wav_frames, stream_user_state_totals,
+    # stream_dedup_events, funnel_top_paths, user_sessions_gap30,
+    # sketch_approx_quantiles, sketch_hll_merge, sketch_cms_user_counts,
+    # agg_rollup, fuzzy_match_names, range_join_next_10m,
+    # q1_pricing_summary, q1_pricing_summary_fast
+    # (see prior-round rotation history in git for earlier cohorts)
 )
 
 

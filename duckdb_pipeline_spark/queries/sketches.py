@@ -98,6 +98,119 @@ def sketch_hll_merge(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- audits
+#
+# Self-audit queries for the three engine-specific sketches (VERDICT
+# r7 #6 — the ann_recall_report precedent): the ESTIMATE is
+# implementation-defined and stays rows-only, but "error <= bound" is
+# a deterministic boolean, and the exact reference values hash-check
+# across engines. The DuckDB oracle emits the same exact values with
+# literal TRUE bounds — if a Spark sketch ever drifts outside its
+# bound, the Spark side prints FALSE and the driver's value-hash goes
+# red. Bounds are the sketches' published guarantees with 3-sigma-plus
+# slack (HLL lgK=12 / default rsd 5% -> 15% relative; KLL-style
+# percentile_approx accuracy 10000 -> rank error 1e-4, audited against
+# a +-0.05-rank exact bracket).
+
+
+def sketch_ndv_audit(spark, sf_dir):
+    """Per event type: exact NDV beside a boolean asserting the HLL
+    estimate lands within 15% relative error. Exact values + bound
+    verdicts are deterministic, so this row IS hash-checkable."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("_a"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_a") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
+NDV_AUDIT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def sketch_quantiles_audit(spark, sf_dir):
+    """Per return flag: exact interpolated p45/p55 bracket beside
+    booleans asserting the approximate p50/p99 fall inside generous
+    exact-rank brackets ([p45, p55] and [p97, max])."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.45)").alias("lo50"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("hi50"),
+            F.expr("percentile(l_extendedprice, 0.97)").alias("_lo99"),
+            F.max("l_extendedprice").alias("_mx"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("_a50"),
+            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("_a99"),
+        )
+        .select(
+            "l_returnflag",
+            "lo50",
+            "hi50",
+            F.col("_a50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_bracket"),
+            F.col("_a99").between(F.col("_lo99"), F.col("_mx")).alias("p99_in_bracket"),
+        )
+    )
+
+
+QUANTILES_AUDIT_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.45) AS lo50,
+       quantile_cont(l_extendedprice, 0.55) AS hi50,
+       TRUE AS p50_in_bracket,
+       TRUE AS p99_in_bracket
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sketch_hll_merge_audit(spark, sf_dir):
+    """The merge-semantics contract, hash-checked: per-shard HLL
+    sketches union-merged must estimate EXACTLY what one direct global
+    sketch estimates (Datasketches merge is lossless at equal lgK),
+    and both must land within 15% of the exact NDV. Output: exact NDV
+    + the two deterministic verdicts."""
+    ev = load(spark, sf_dir, "events")
+    shards = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_m")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("_d"),
+        F.countDistinct("user_id").alias("exact_ndv"),
+    )
+    return merged.crossJoin(direct).select(
+        "exact_ndv",
+        (F.col("_m") == F.col("_d")).alias("merge_equals_direct"),
+        (
+            F.abs(F.col("_m") - F.col("exact_ndv"))
+            <= 0.15 * F.col("exact_ndv")
+        ).alias("within_bound"),
+    )
+
+
+HLL_MERGE_AUDIT_SQL = """
+SELECT count(DISTINCT user_id) AS exact_ndv,
+       TRUE AS merge_equals_direct,
+       TRUE AS within_bound
+FROM events
+"""
+
+
 _CMS_W = 1024  # buckets per row
 _CMS_D = 4  # rows (independent md5 lanes)
 
@@ -186,5 +299,20 @@ QUERIES = {
     ),
     "sketch_approx_quantiles": QuerySpec(
         sketch_approx_quantiles, None, "approx quantiles (rows-only check)"
+    ),
+    "sketch_ndv_audit": QuerySpec(
+        sketch_ndv_audit,
+        NDV_AUDIT_SQL,
+        "exact NDV + HLL error-bound verdict (hash-checked audit)",
+    ),
+    "sketch_quantiles_audit": QuerySpec(
+        sketch_quantiles_audit,
+        QUANTILES_AUDIT_SQL,
+        "exact quantile brackets + approx-quantile verdicts (hash-checked audit)",
+    ),
+    "sketch_hll_merge_audit": QuerySpec(
+        sketch_hll_merge_audit,
+        HLL_MERGE_AUDIT_SQL,
+        "HLL merge==direct + error-bound verdicts (hash-checked audit)",
     ),
 }

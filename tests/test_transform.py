@@ -125,6 +125,57 @@ def test_end_to_end_medallion(spark, tmp_path):
     }
 
 
+def test_end_to_end_bucketed_silver_gold_exchange_free(spark, tmp_path):
+    """Round-8 medallion layout (VERDICT r7 #7): two bronze hours →
+    day-partitioned repo-bucketed silver table → gold aggregation that
+    (a) equals the plain path's daily aggregate and (b) plans with
+    ZERO shuffle Exchanges — the silver writer paid the one shuffle at
+    ingest time."""
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(
+        bronze_bucket=str(lake / "bronze"),
+        silver_bucket=str(lake / "silver"),
+        gold_bucket=str(lake / "gold"),
+        scheme="",
+    )
+    for hour, rows in ((12, RAW_ROWS), (13, RAW_ROWS[:1])):
+        bronze_dir = lake / "bronze" / "gharchive/events" / "2023-01-01" / str(hour)
+        os.makedirs(bronze_dir)
+        payload = b"\n".join(json.dumps(r).encode() for r in rows)
+        with gzip.open(bronze_dir / f"2023-1-1-{hour}.json.gz", "wb") as f:
+            f.write(payload)
+
+    t = DataLakeTransformer("gharchive/events", spark, cfg)
+    try:
+        tname = t.serialise_raw_data_bucketed(datetime(2023, 1, 1, 12))
+        assert t.serialise_raw_data_bucketed(datetime(2023, 1, 1, 13)) == tname
+
+        silver = spark.table(tname)
+        assert silver.count() == 3  # both hourly appends landed
+        # layout facts: day partition dirs + one file per bucket write
+        tdir = lake / "silver" / "gharchive/events" / "clean_bucketed"
+        assert (tdir / "process_day=2023-01-01").is_dir()
+
+        gold = t.aggregate_silver_data_bucketed(datetime(2023, 1, 1))
+        got = {
+            (r.event_type, r.repo_id, r.event_date): r.event_count
+            for r in gold.collect()
+        }
+        assert got == {
+            ("PushEvent", 201, date(2023, 1, 1)): 2,
+            ("IssuesEvent", 202, date(2023, 1, 2)): 1,
+        }
+
+        from tests.test_plans import plan_text
+        from tests.test_plans_round7 import _shuffle_exchanges
+
+        plan = plan_text(gold, "simple")
+        assert _shuffle_exchanges(plan) == 0, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t._bucketed_silver_table()}")
+
+
 def test_ingester_local_landing(tmp_path):
     """Bronze byte-copy landing to a local-dir bucket (no network)."""
     import io
