@@ -40,11 +40,19 @@ corpus AS (
 # hash k = (a + k*b) mod 2^32 (Carter-Wegman), min per (doc, k).
 # Mirrors operators.dedup._batch_lane_minhashes / minhash_signatures.
 def _mh_min_sql(shingle_src: str) -> str:
+    # ONE md5 per shingle (the sub-select materializes the u64 before
+    # the 16-way k fan-out; inlining md5_number_upper into the k rows
+    # would hash each shingle 32x), and ALL-BIGINT lane arithmetic —
+    # a/b < 2^32 and k <= 15 keep every term under 2^36, and letting
+    # the UBIGINT/HUGEINT coercion reach the min() aggregate measured
+    # 2x on the full sf0.1 oracle (0.61 -> 0.29 s). The oracle twin
+    # must stay at the engine's best — its wall is the bench
+    # denominator.
     return f"""
   SELECT doc_id, k,
-         min(CAST((md5_number_upper(shingle) % 4294967296
-                   + k * (md5_number_upper(shingle) // 4294967296)) % 4294967296 AS BIGINT)) AS h
-  FROM {shingle_src}, (SELECT unnest(range(0, 16)) AS k) ks
+         min((CAST(u % 4294967296 AS BIGINT) + k * CAST(u // 4294967296 AS BIGINT)) % 4294967296) AS h
+  FROM (SELECT doc_id, md5_number_upper(shingle) AS u FROM {shingle_src}) ab,
+       (SELECT unnest(range(0, 16)) AS k) ks
   GROUP BY doc_id, k
 """
 
@@ -480,14 +488,18 @@ def dedup_containment(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     rare_ev = dfc.where(F.col("df") <= max_df).select("shingle")
-    # persisted: reused by BOTH sizes and the matches broadcast —
-    # without the cache the eval-postings subtree would run twice
+    # n_eval rides the postings broadcast (window count over the tiny
+    # eval-post table) instead of being its own broadcast + final
+    # join: one fewer broadcast-materialization job and one fewer
+    # join in the chain — n_eval is functionally dependent on
+    # eval_id, so the pair aggregation recovers it with min()
+    from pyspark.sql import Window
+
     eval_post = (
         ep.join(F.broadcast(rare_ev), "shingle")
         .select("shingle", F.explode("evs").alias("eval_id"))
-        .persist()
+        .withColumn("n_eval", F.count(F.lit(1)).over(Window.partitionBy("eval_id")))
     )
-    sizes = eval_post.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
     matches = (
         sh_d.where(F.col("source") != "src0")
         .select(F.col("doc_id").alias("train_id"), "shingle")
@@ -497,9 +509,10 @@ def dedup_containment(spark, sf_dir):
     # rows come only from train-side in-doc repeats — countDistinct
     # restores exact |A ∩ B|
     inter = matches.groupBy("eval_id", "train_id").agg(
-        F.countDistinct("shingle").alias("ni")
+        F.countDistinct("shingle").alias("ni"),
+        F.min("n_eval").alias("n_eval"),
     )
-    cont = inter.join(F.broadcast(sizes), "eval_id").select(
+    cont = inter.select(
         "eval_id",
         "train_id",
         (F.col("ni").cast("double") / F.col("n_eval")).alias("containment"),
