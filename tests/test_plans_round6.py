@@ -354,13 +354,24 @@ def test_sessionization_single_exchange(spark, sf_dir):
 
 def test_retention_two_exchanges_no_expand(spark, sf_dir):
     """retention_cohorts is the fused two-shuffle shape: one user-keyed
-    aggregation (min + collect_set), one cell-keyed count — no distinct
-    Expand pass, no join."""
+    aggregation (round 8: min/max + bit_or day-mask), one cell-keyed
+    count — no distinct Expand pass, no shuffle join (the only join is
+    the 64-row offset-table BroadcastNestedLoopJoin that unpacks the
+    mask)."""
     df = collect_all()["retention_cohorts"].fn(spark, sf_dir)
     plan = plan_text(df, "simple")
-    assert plan.count("Exchange") == 2
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+        and "SinglePartition" not in line
+    )
+    assert shuffles == 2
     assert "Expand" not in plan
-    assert "Join" not in plan
+    assert "bit_or" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_fuzzy_match_resolves_planted_corruption(spark, sf_dir):
