@@ -139,21 +139,32 @@ def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     reps of an 11-query subset, 32 -> 8 partitions = -10% total, with
     dedup_span_exact's window sort -30%). AQE coalescing still runs on
     top; this only sets the static initial number it coalesces from."""
+    target = 16 * 1024 * 1024
+    total = _input_bytes(sf_dir)
+    return max(1, cpus // 4, min(cpus, (total + target - 1) // target))
+
+
+def _input_bytes(sf_dir: str) -> int:
     try:
-        total = sum(
+        return sum(
             os.path.getsize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet")
         )
     except OSError:
-        total = 0
-    target = 16 * 1024 * 1024
-    return max(1, cpus // 4, min(cpus, (total + target - 1) // target))
+        return 0
 
 
 def _spark_session(cpus: int, sf_dir: str):
     from duckdb_pipeline_spark.session import build_spark
 
+    # AQE stays ON at every scale. A round-8 experiment toggled it
+    # data-proportionally after a subset A/B suggested -12% at sf0.1,
+    # but the full official bench measured NO difference (10.311 AQE-on
+    # vs 10.333 AQE-off, per-query deltas within +-0.05) — the subset
+    # result was same-JVM session-sequencing bias, not AQE cost. With
+    # no measured benefit the toggle was reverted: runtime re-planning
+    # is the 100 TB posture and there is nothing to trade for it here.
     return build_spark(
         "bench",
         master=f"local[{cpus}]",
