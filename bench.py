@@ -304,52 +304,8 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
         if max(ds[name]) > 1.3 * best:
             best = min(best, drun(name))
         duck[name] = round(best, 3)
-
-    # EXEC-ONLY companion metric (round 8). The official metric above
-    # keeps per-pass Catalyst analysis+optimization+physical planning
-    # inside the timed region (the declared round-5 methodology, kept
-    # unchanged for round-over-round comparability). Measured
-    # decomposition at sf0.1: that driver-side planning is 0.18-0.40 s
-    # per pass on floor-bound queries whose actual EXECUTION is
-    # 25-45 ms — i.e. the official sf0.1 ratio is dominated by planner
-    # latency, a scale-INVARIANT cost that amortizes to nothing on a
-    # 100 TB run. This phase re-times both engines in their post-plan
-    # steady state: Spark re-executes the cached physical plan
-    # (queryExecution().toRdd().count() — same full materialization,
-    # no re-planning); DuckDB re-runs con.execute() as before (its
-    # parse+plan is ~1 ms, so its number barely moves — the asymmetry
-    # being corrected is real). Caches are still dropped between
-    # passes, so persist-bearing queries rebuild their intermediates
-    # inside the timed pass exactly as in the official metric.
-    def xrun(name: str) -> float:
-        jqe = dfs[name]._jdf.queryExecution()
-        t0 = time.time()
-        jqe.toRdd().count()
-        dt = time.time() - t0
-        spark.catalog.clearCache()
-        return dt
-
-    exec_ok = True
-    try:
-        for name in live:  # warmup: finalize AQE plans once
-            xrun(name)
-    except Exception as exc:  # internal API guard: never kill the artifact
-        print(f"bench: exec-only phase unavailable: {exc}", file=sys.stderr)
-        exec_ok = False
-    xs: dict[str, list[float]] = {name: [] for name in live}
-    xd: dict[str, list[float]] = {name: [] for name in duck_names}
-    if exec_ok:
-        for _ in range(3):
-            for name in live:
-                xs[name].append(xrun(name))
-            for name in duck_names:
-                xd[name].append(drun(name))
-    exec_timings = (
-        {n: round(min(v), 3) for n, v in xs.items()} if exec_ok else {}
-    )
-    exec_duck = {n: round(min(v), 3) for n, v in xd.items()} if exec_ok else {}
     spark.stop()
-    return timings, duck, broken, exec_timings, exec_duck
+    return timings, duck, broken
 
 
 def main() -> None:
@@ -359,9 +315,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
-    timings, duck, dropped, exec_timings, exec_duck = bench_both(
-        sf_dir, cpus, skip_duck
-    )
+    timings, duck, dropped = bench_both(sf_dir, cpus, skip_duck)
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3) if duck else None
     ratio = round(total / duck_total, 3) if duck_total else None
@@ -374,13 +328,6 @@ def main() -> None:
         else None
     )
     base_ratio = round(base_total / base_duck, 3) if base_duck else None
-    exec_total = round(sum(exec_timings.values()), 3) if exec_timings else None
-    exec_duck_total = round(sum(exec_duck.values()), 3) if exec_duck else None
-    exec_ratio = (
-        round(exec_total / exec_duck_total, 3)
-        if exec_total and exec_duck_total
-        else None
-    )
 
     # Full per-engine detail goes to stderr + a sidecar file; the final
     # stdout line must stay small (driver tail-captures ~2 KB — round 5's
@@ -397,11 +344,6 @@ def main() -> None:
         "r5_basis_value": base_total,
         "r5_basis_duckdb_value": base_duck,
         "r5_basis_ratio": base_ratio,
-        "exec_only_value": exec_total,
-        "exec_only_duckdb_value": exec_duck_total,
-        "exec_only_ratio": exec_ratio,
-        "exec_only_queries": exec_timings,
-        "exec_only_duckdb_queries": exec_duck,
         "dropped": dropped,
     }
     print("bench detail: " + json.dumps(detail), file=sys.stderr)
@@ -429,15 +371,6 @@ def main() -> None:
                 "r5_basis_value": base_total,
                 "r5_basis_duckdb_value": base_duck,
                 "r5_basis_ratio": base_ratio,
-                # post-plan steady-state companion (aggregates only;
-                # per-query exec detail in the sidecar): same queries,
-                # same interleaving, Spark re-executing its cached
-                # physical plan — isolates engine throughput from the
-                # scale-invariant per-pass planner latency the official
-                # metric deliberately includes
-                "exec_only_value": exec_total,
-                "exec_only_duckdb_value": exec_duck_total,
-                "exec_only_ratio": exec_ratio,
                 "dropped": dropped,
             },
             separators=(",", ":"),
