@@ -61,6 +61,10 @@ PRIORITY: tuple[str, ...] = (
     "sketch_ndv_audit",
     "sketch_quantiles_audit",
     "sketch_hll_merge_audit",
+    # (a) NEW round 8 session 2 - leakage-free group split +
+    # temperature-scaled domain mixing
+    "corpus_group_split",
+    "corpus_temperature_sample",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

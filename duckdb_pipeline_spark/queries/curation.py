@@ -806,7 +806,173 @@ FROM sel
 """
 
 
+# ---------------------------------------------------- split & mixing
+
+
+_SPLIT_SEED = "split1"
+_TEMP_T = 2.0  # mixing temperature (1 = proportional, inf = uniform)
+_TEMP_BUDGET = 200  # target sample size for the rate computation
+
+
+def corpus_group_split(spark, sf_dir):
+    """Leakage-free train/val/test split: the split is a DETERMINISTIC
+    function of the GROUP (source), never the document, so correlated
+    documents (same crawl/feed — the unit near-dups cluster within)
+    can never straddle splits; re-runs and late-arriving docs land
+    identically. Assignment: u = md5-derived uniform of the source
+    name; u < .8 train, < .9 val, else test — the standard hash-split
+    a training-data pipeline runs before any mixing/packing.
+
+    Scale shape: the per-doc assignment is a map-side expression (hash
+    of a row column against two literals); the only shuffle is the
+    3-row report aggregation. Output: (split, n_sources, n_docs,
+    n_chars)."""
+    docs = load(spark, sf_dir, "documents")
+    u = _u48_sql("h")
+    return (
+        docs.selectExpr(
+            "source",
+            "n_chars",
+            f"md5('{_SPLIT_SEED}:' || source) AS h",
+        )
+        .selectExpr(
+            "source",
+            "n_chars",
+            f"CASE WHEN {u} < 0.8 THEN 'train' WHEN {u} < 0.9 THEN 'val' "
+            "ELSE 'test' END AS split",
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+GROUP_SPLIT_SQL = f"""
+WITH h AS (SELECT source, n_chars, md5('{_SPLIT_SEED}:' || source) AS h FROM documents),
+a AS (
+  SELECT source, n_chars,
+         CASE WHEN {_u48_sql("h")} < 0.8 THEN 'train'
+              WHEN {_u48_sql("h")} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM a GROUP BY split
+"""
+
+
+def corpus_temperature_sample(spark, sf_dir):
+    """Temperature-scaled domain mixing (the Gopher/LLaMA data-recipe
+    shape): target weight per source ∝ share^(1/T) with T=2,
+    flattening the domain distribution toward uniform; each source's
+    per-doc keep-rate is min(1, budget * w / n), and per-doc inclusion
+    is derandomized through the md5 uniform (reproducible across
+    engines and re-runs — no rand()). Output per source: n_docs, the
+    rounded raw share, target weight, keep rate, and the number of
+    docs the deterministic gate actually selected.
+
+    Scale shape: one tiny per-source count aggregation broadcast back
+    onto a map-side inclusion filter; no corpus-wide shuffle at any
+    size (the report reduces per source). The same plan at 100 TB
+    streams the corpus once against a broadcast rate table."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("nt"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n",
+            "round(CAST(n AS DOUBLE) / nt, 6) AS share",
+            f"round(exp(ln(CAST(n AS DOUBLE) / nt) / {_TEMP_T}), 6) AS wraw",
+        )
+    )
+    wsum = rates.agg(F.sum("wraw").alias("ws"))
+    rates = rates.crossJoin(F.broadcast(wsum)).selectExpr(
+        "source",
+        "n",
+        "share",
+        "round(wraw / ws, 6) AS w",
+        f"round(least(1.0, {_TEMP_BUDGET} * (wraw / ws) / n), 6) AS keep_rate",
+    )
+    # project the md5 hex ONCE before the 12-nibble parse — inlining it
+    # into each term is not CSE'd (the _bloom_lane_sql precedent)
+    sel = (
+        docs.join(F.broadcast(rates), "source")
+        .selectExpr(
+            "source",
+            "n",
+            "share",
+            "w",
+            "keep_rate",
+            f"md5('{_SPLIT_SEED}:' || CAST(doc_id AS STRING)) AS h",
+        )
+        .selectExpr(
+            "source",
+            "n",
+            "share",
+            "w",
+            "keep_rate",
+            f"CASE WHEN {_u48_sql('h')} < keep_rate THEN 1 ELSE 0 END AS sel",
+        )
+        .groupBy("source", "n", "share", "w", "keep_rate")
+        .agg(F.sum("sel").alias("n_selected"))
+    )
+    return sel.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "share",
+        "w",
+        "keep_rate",
+        "n_selected",
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM counts),
+r0 AS (
+  SELECT source, n, round(n / nt, 6) AS share,
+         round(exp(ln(n / nt) / {_TEMP_T}), 6) AS wraw
+  FROM counts, tot
+),
+ws AS (SELECT SUM(wraw) AS ws FROM r0),
+rates AS (
+  SELECT source, n, share, round(wraw / ws, 6) AS w,
+         round(least(1.0, {_TEMP_BUDGET} * (wraw / ws) / n), 6) AS keep_rate
+  FROM r0, ws
+),
+hx AS (
+  SELECT d.source, r.n, r.share, r.w, r.keep_rate,
+         md5('{_SPLIT_SEED}:' || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN rates r USING (source)
+),
+sel AS (
+  SELECT source, n, share, w, keep_rate,
+         CASE WHEN {_u48_sql('h')} < keep_rate THEN 1 ELSE 0 END AS sel
+  FROM hx
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, share, w, keep_rate,
+       CAST(SUM(sel) AS BIGINT) AS n_selected
+FROM sel GROUP BY source, n, share, w, keep_rate
+"""
+
+
 QUERIES = {
+    "corpus_group_split": QuerySpec(
+        corpus_group_split,
+        GROUP_SPLIT_SQL,
+        "leakage-free hash split by source group (train/val/test report)",
+    ),
+    "corpus_temperature_sample": QuerySpec(
+        corpus_temperature_sample,
+        TEMPERATURE_SAMPLE_SQL,
+        "temperature-scaled domain mixing rates + deterministic per-doc selection",
+    ),
     "dsir_importance": QuerySpec(
         dsir_importance,
         DSIR_SQL,
