@@ -308,6 +308,29 @@ def spread(
     return df
 
 
+def input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the plan's input files, or ``None`` when unknown
+    (non-local FS, no file source). Driver-side plan metadata only —
+    same introspection contract as :func:`spread` (never ``df.rdd``).
+    Callers use this for size-adaptive decisions (e.g. persist vs
+    re-scan); ``None`` must be treated as "real scale"."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.path.getsize(f[len("file:") :])
+        except OSError:
+            return None
+    return total
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table, normalizing timestamp physics so every
     downstream query sees plain ``timestamp`` columns:

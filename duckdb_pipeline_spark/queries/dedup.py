@@ -466,7 +466,20 @@ def dedup_containment(spark, sf_dir):
     # repeatedly MUST release them afterwards (bench.py's srun calls
     # spark.catalog.clearCache() after every query; interactive users
     # should do the same or unpersist via df.sparkSession.catalog).
-    raw = spread(docs, bytes_per_split=256 * 1024).persist()
+    # SIZE-ADAPTIVE (round 8, second pass): the cache trades two extra
+    # raw scans for two persist-materialization barriers. Below ~32 MB
+    # of raw input the barriers cost more than the scans they save
+    # (measured sf0.1, min-of-5 interleaved: both persists 1.76 s, no
+    # persists 1.33 s — the sf10 ordering is the reverse, 0.65x with
+    # the cache); unknown input size (non-local FS) is treated as real
+    # scale and keeps the cache.
+    from .common import input_bytes
+
+    nbytes = input_bytes(docs)
+    big = nbytes is None or nbytes >= 32 * 1024 * 1024
+    raw = spread(docs, bytes_per_split=256 * 1024)
+    if big:
+        raw = raw.persist()
     sh_d = word_shingles(raw, n=3, distinct=False, extra_cols=["source"])
     # ONE eval-side aggregation replaces the round-7 distinct+distinct
     # chain: per-shingle eval postings, with set semantics giving the
@@ -477,8 +490,11 @@ def dedup_containment(spark, sf_dir):
         sh_d.where(F.col("source") == "src0")
         .groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("evs"))
-        .persist()
     )
+    if big:
+        # at scale, recomputing ep means a second corpus explode pass;
+        # below the threshold the recompute is cheaper than the barrier
+        ep = ep.persist()
     # df (docs containing the shingle) over the FULL corpus, but only
     # for eval-vocabulary shingles: map-side broadcast semi-join prunes
     # the scan before the count; countDistinct handles in-doc repeats
