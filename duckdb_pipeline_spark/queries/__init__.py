@@ -65,6 +65,11 @@ PRIORITY: tuple[str, ...] = (
     # temperature-scaled domain mixing
     "corpus_group_split",
     "corpus_temperature_sample",
+    # (a) NEW round 8 session 3 - sequence packing, Gopher repetition
+    # signals, near-dup-graph triangle enumeration
+    "corpus_pack_sequences",
+    "quality_gopher_repetition",
+    "graph_triangles",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

@@ -962,7 +962,79 @@ FROM sel GROUP BY source, n, share, w, keep_rate
 """
 
 
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_SHARD = 200  # docs per independent packing shard
+
+
+def corpus_pack_sequences(spark, sf_dir):
+    """Context-window sequence packing (concat-and-chunk, the standard
+    pretraining layout): documents are concatenated in deterministic
+    order and cut at fixed ``_PACK_BUDGET``-token boundaries; the
+    output is the per-document placement index a training data loader
+    consumes — (shard, doc_id, n_tokens, start_off, bin_first,
+    bin_last, offset_in_bin), where a doc spanning bins is split
+    across consecutive sequences exactly as GPT-style packing does.
+
+    Scale shape: a GLOBAL running offset would serialize the corpus
+    through one ordered partition, so packing is SHARDED — the
+    production unit is the input shard/file, here the deterministic
+    ``doc_id // _PACK_SHARD`` — and each shard packs independently
+    (embarrassingly parallel, bin ids are per-shard). ONE hash
+    Exchange on shard + an in-partition sort; the cumulative offset is
+    a window running sum, all integer arithmetic (bitwise
+    cross-engine, no doubles anywhere)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {_PACK_BUDGET}").alias("bin_first"),
+        F.expr(f"(start_off + n_tokens - 1) div {_PACK_BUDGET}").alias("bin_last"),
+        (F.col("start_off") % _PACK_BUDGET).alias("offset_in_bin"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id // {_PACK_SHARD} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_off
+  FROM d
+)
+SELECT shard, doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS bin_first,
+       CAST((start_off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS bin_last,
+       CAST(start_off % {_PACK_BUDGET} AS BIGINT) AS offset_in_bin
+FROM c
+"""
+
+
 QUERIES = {
+    "corpus_pack_sequences": QuerySpec(
+        corpus_pack_sequences,
+        PACK_SEQUENCES_SQL,
+        "concat-and-chunk context-window packing: per-doc placement index",
+    ),
     "corpus_group_split": QuerySpec(
         corpus_group_split,
         GROUP_SPLIT_SQL,

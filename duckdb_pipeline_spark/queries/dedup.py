@@ -380,6 +380,43 @@ SELECT id AS doc_id, r AS pagerank FROM r3
 """
 
 
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the verified near-dup pair graph —
+    the clustering-coefficient signal a dedup pipeline uses to tell
+    tight duplicate CLIQUES (template families, mirror sets — dense,
+    triangle-rich) from chain-shaped false-positive runs (shingle
+    collisions — triangle-free). Output: every triangle as an ordered
+    (a, b, c) triple, a < b < c.
+
+    Scale shape: the input is the DERIVED pair graph (bounded by the
+    LSH banding, orders of magnitude smaller than the corpus), and the
+    triple-join is the standard two-hop enumeration — each edge list
+    keyed on its join column, partial-size joins only; the pair list
+    is persisted once for its three consumers (tiny by construction —
+    the same bounded-derived-table pattern as the overlap matrix's
+    pair rollup). For billion-edge graphs the classical refinement
+    (orient edges by degree before joining) drops worst-case work to
+    O(m^1.5); the near-dup graph here is nowhere near that regime."""
+    pairs = (
+        minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .persist()  # tiny: the verified near-dup pair list, 3 consumers
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z)
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM p e1
+JOIN p e2 ON e2.doc_a = e1.doc_b
+JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Decontamination check: n-gram CONTAINMENT of held-out docs in
     training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
@@ -1299,6 +1336,11 @@ QUERIES = {
         graph_pagerank,
         _pagerank_sql(),
         "3-iteration exact-deterministic PageRank over the near-dup graph",
+    ),
+    "graph_triangles": QuerySpec(
+        graph_triangles,
+        GRAPH_TRIANGLES_SQL,
+        "triangle enumeration over the near-dup graph (clique vs chain signal)",
     ),
     "dedup_components_star": QuerySpec(
         dedup_components_star,

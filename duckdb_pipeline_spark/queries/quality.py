@@ -144,7 +144,112 @@ FROM z
 """
 
 
+def quality_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public): per document, (a) the fraction of word-2-gram OCCURRENCES
+    that are repeats of an earlier occurrence, (b) the fraction
+    claimed by the single most frequent 2-gram, (c) the fraction
+    claimed by the most frequent word — the three cheap intra-doc
+    repetition detectors a corpus filter runs before any model-based
+    scoring — plus the keep verdict at the published-style thresholds
+    (top-2-gram <= 0.20, dup-2-gram <= 0.30, top-word <= 0.20).
+
+    Scale shape: two corpus-scan branches (words, 2-grams), each a
+    two-level partial-aggregated groupBy — (doc, gram) counts collapse
+    map-side, then per-doc rollup — joined on doc_id; no window over
+    the corpus, no driver state. Fractions are small-integer ratios
+    rounded to 6 decimals (identical across engines)."""
+    from ..operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_word_n"))
+    )
+    g = word_shingles(docs, n=2, distinct=False)
+    gstats = (
+        g.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_2gram_n"),
+        )
+    )
+    out = wstats.join(gstats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("top_word_n").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.coalesce(
+            F.round(
+                (F.col("n_2grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_2grams"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("dup_2gram_frac"),
+        F.coalesce(
+            F.round(F.col("top_2gram_n").cast("double") / F.col("n_2grams"), 6),
+            F.lit(0.0),
+        ).alias("top_2gram_frac"),
+    )
+    return out.withColumn(
+        "gopher_keep",
+        (
+            (F.col("top_2gram_frac") <= 0.20)
+            & (F.col("dup_2gram_frac") <= 0.30)
+            & (F.col("top_word_frac") <= 0.20)
+        ).cast("int"),
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+ws AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_word_n
+  FROM wc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gs AS (
+  SELECT doc_id, SUM(c) AS n_2grams, count(*) AS n_distinct,
+         MAX(c) AS top_2gram_n
+  FROM gc GROUP BY doc_id
+),
+j AS (
+  SELECT ws.doc_id, ws.n_words,
+         round(CAST(ws.top_word_n AS DOUBLE) / ws.n_words, 6) AS top_word_frac,
+         COALESCE(round(CAST(gs.n_2grams - gs.n_distinct AS DOUBLE) / gs.n_2grams, 6), 0.0) AS dup_2gram_frac,
+         COALESCE(round(CAST(gs.top_2gram_n AS DOUBLE) / gs.n_2grams, 6), 0.0) AS top_2gram_frac
+  FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+)
+SELECT doc_id, n_words, top_word_frac, dup_2gram_frac, top_2gram_frac,
+       CAST(top_2gram_frac <= 0.20 AND dup_2gram_frac <= 0.30
+            AND top_word_frac <= 0.20 AS INT) AS gopher_keep
+FROM j
+"""
+
+
 QUERIES = {
+    "quality_gopher_repetition": QuerySpec(
+        quality_gopher_repetition,
+        GOPHER_REPETITION_SQL,
+        "Gopher repetition signals (dup/top 2-gram, top-word fractions) + keep verdict",
+    ),
     "text_unigram_xent": QuerySpec(
         text_unigram_xent,
         UNIGRAM_XENT_SQL,

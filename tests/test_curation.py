@@ -310,3 +310,45 @@ def test_dsir_selection_is_deterministic_and_weight_biased(spark, sf_dir):
     w = dsir_importance(spark, sf_dir).collect()
     corpus_mean = sum(r["log_importance"] for r in w) / len(w)
     assert sel_mean > corpus_mean
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Within a shard the packing is gapless and contiguous; bin math
+    is consistent with the budget."""
+    from duckdb_pipeline_spark.queries.curation import (
+        _PACK_BUDGET,
+        corpus_pack_sequences,
+    )
+
+    rows = (
+        corpus_pack_sequences(spark, sf_dir)
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    assert rows
+    prev = {}
+    for r in rows:
+        # contiguity: each doc starts where the previous one ended
+        assert r.start_off == prev.get(r.shard, 0)
+        prev[r.shard] = r.start_off + r.n_tokens
+        assert 0 <= r.offset_in_bin < _PACK_BUDGET
+        assert r.bin_first == r.start_off // _PACK_BUDGET
+        assert r.bin_last == (r.start_off + r.n_tokens - 1) // _PACK_BUDGET
+        assert r.bin_first <= r.bin_last
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing is one hash Exchange (the shard distribution) — the
+    window cumsum rides it; no second shuffle appears."""
+    from duckdb_pipeline_spark.queries.curation import corpus_pack_sequences
+
+    plan = corpus_pack_sequences(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_ex = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "SinglePartition" not in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    )
+    assert n_ex == 1, plan

@@ -591,3 +591,29 @@ def test_incremental_probe_finds_cross_batch_dups_without_batch1_text(spark, sf_
     # the index or the documents parquet feeding the PROBE side only
     files = set(out.inputFiles())
     assert any("band_idx" in f for f in files)
+
+
+def test_graph_triangles_closed_and_complete(spark, sf_dir):
+    """Every emitted triangle's three edges exist in the pair graph,
+    and every edge-closable triple is emitted (cross-check against a
+    Python enumeration of the same pair list)."""
+    from itertools import combinations
+
+    from duckdb_pipeline_spark.queries.dedup import _dup_corpus, graph_triangles
+    from duckdb_pipeline_spark.operators.dedup import minhash_lsh_dedup_mapped
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    tri = {(r.a, r.b, r.c) for r in graph_triangles(spark, sf_dir).collect()}
+    nodes = sorted({x for p in pairs for x in p})
+    expected = {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs
+    }
+    assert tri == expected
+    assert all(a < b < c for a, b, c in tri)

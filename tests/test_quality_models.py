@@ -48,3 +48,32 @@ def test_logreg_prefers_stopword_rich_prose(spark):
     assert 0.0 < out[2].quality_prob < out[1].quality_prob < 1.0
     for r in out.values():
         assert r.keep == (r.quality_prob >= 0.5)
+
+
+def test_gopher_repetition_flags_planted_repeats(spark):
+    """A doc that is one 2-gram repeated over and over fails the
+    repetition gates; a varied doc passes with zero dup fraction."""
+    from duckdb_pipeline_spark.queries.quality import quality_gopher_repetition
+    import duckdb_pipeline_spark.queries.quality as qmod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30 + "spam ham", "en", "s", 0),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = qmod.load
+    qmod.load = lambda sp, sf, name: docs
+    try:
+        rows = {r.doc_id: r for r in quality_gopher_repetition(spark, "x").collect()}
+    finally:
+        qmod.load = orig
+    spam, ok = rows[1], rows[2]
+    assert spam.gopher_keep == 0
+    assert spam.top_word_frac > 0.4  # 'spam' is half the doc
+    assert spam.dup_2gram_frac > 0.9  # nearly every 2-gram repeats
+    assert ok.gopher_keep == 1
+    assert ok.dup_2gram_frac == 0.0
+    # all 2-grams distinct in doc 2: top fraction = 1/(n-1)
+    assert abs(ok.top_2gram_frac - 1.0 / 7) < 1e-6
