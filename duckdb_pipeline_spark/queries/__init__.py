@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "quality_gopher_repetition",
     "graph_triangles",
+    "similarity_ivf_adc_topk",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

@@ -409,6 +409,145 @@ def similarity_adc_topk(spark, sf_dir):
     )
 
 
+def similarity_ivf_adc_topk(spark, sf_dir):
+    """The COMPOSED production ANN path: IVF cell pruning feeding ADC
+    compressed-domain ranking — what a real vector index runs at
+    100 TB (FAISS's IVF-ADC shape with a per-dim uniform scalar grid
+    as the deterministic codebook). The probe reads ONLY the n_probe
+    partitions of the cell-partitioned at-rest index
+    (`_ensure_ivf_index`, the similarity_topk_ivf layout), then ranks
+    candidates by the integer sum of squared 8-bit code differences
+    (the similarity_adc_topk codebook, trained corpus-wide — stats
+    fetched once at plan build, the IVF-centroid precedent) — so the
+    scan is partition-pruned AND runs on 4x-compressed arithmetic,
+    with both halves' determinism guarantees intact (exact integer
+    distances, (dist, id) total order).
+
+    Plan shape: one bounded driver fetch (centroids + query + per-dim
+    stats), then a single partition-pruned scan -> Arrow-batch coding
+    kernel -> TakeOrdered. No shuffle of corpus data at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import SCALE as _SC
+    from ..operators.similarity import _ivf_centroids_and_query
+
+    n_cells, n_probe = 8, 2
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx_path = _ensure_ivf_index(spark, sf_dir, n_cells=n_cells)
+    C, qv = _ivf_centroids_and_query(emb, 0, n_cells, "vec_id", "embedding")
+    empty = emb.select(
+        "vec_id",
+        F.lit(0).alias("cell"),
+        F.lit(0).cast("long").alias("adc_dist"),
+    ).where(F.lit(False))
+    if qv is None:
+        return empty
+    qs = np.floor(qv[None, :] * C * _SC).astype("int64").sum(axis=1)
+    probe = [int(c) for c in np.lexsort((np.arange(len(qs)), -qs))[:n_probe]]
+
+    dim = len(qv)
+    srow = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mxs"),
+    ).first()
+    mns = np.asarray(srow["mns"], dtype="float64")
+    mxs = np.asarray(srow["mxs"], dtype="float64")
+    span = mxs - mns
+    deg = span == 0.0
+
+    def code(V: "np.ndarray") -> "np.ndarray":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Cc = np.floor((V - mns[None, :]) * 255.0 / span[None, :])
+        Cc = np.clip(Cc, 0.0, 255.0)
+        Cc[:, deg] = 0.0
+        return Cc.astype("int64")
+
+    qcode = code(qv[None, :])[0]
+
+    def score(batches):
+        empty_pdf = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "adc_dist": pd.Series([], dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf[pdf["vec_id"] != 0].dropna(subset=["embedding"])
+            if not len(pdf):
+                yield empty_pdf
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d = code(V) - qcode[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy().astype("int32"),
+                    "adc_dist": (d * d).sum(axis=1),
+                }
+            )
+
+    probed = spark.read.parquet(idx_path).where(F.col("cell").isin(probe))
+    scored = probed.select("vec_id", "cell", "embedding").mapInPandas(
+        score, "vec_id long, cell int, adc_dist long"
+    )
+    return scored.orderBy("adc_dist", "vec_id").limit(_ADC_K)
+
+
+IVF_ADC_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+cells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id, row_number() OVER (ORDER BY score DESC, cell_id) AS rn
+    FROM ascore WHERE vec_id = 0) WHERE rn <= 2
+),
+el AS (
+  SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY i),
+codes AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(least(greatest(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)), 0.0), 255.0) AS INT)
+         END AS c
+  FROM el e JOIN st s ON s.i = e.i
+),
+d AS (
+  SELECT a.vec_id, SUM(CAST((a.c - q.c) * (a.c - q.c) AS BIGINT)) AS adc_dist
+  FROM codes a
+  JOIN codes q ON q.vec_id = 0 AND q.i = a.i
+  JOIN cells cl ON cl.vec_id = a.vec_id
+  WHERE a.vec_id <> 0 AND cl.cell IN (SELECT cell_id FROM probe)
+  GROUP BY a.vec_id
+)
+SELECT d.vec_id, CAST(cl.cell AS INTEGER) AS cell,
+       CAST(d.adc_dist AS BIGINT) AS adc_dist
+FROM d JOIN cells cl ON cl.vec_id = d.vec_id
+ORDER BY adc_dist, d.vec_id LIMIT {_ADC_K}
+"""
+
+
 def similarity_adc_topk_np(spark, sf_dir):
     """Numpy-kernel twin of ``similarity_adc_topk`` (same oracle,
     bitwise-identical output): the per-row higher-order fold evaluates
@@ -655,6 +794,11 @@ QUERIES = {
         ann_recall_report,
         ANN_RECALL_SQL,
         "IVF recall@10 vs brute-force ground truth over a sampled query set",
+    ),
+    "similarity_ivf_adc_topk": QuerySpec(
+        similarity_ivf_adc_topk,
+        IVF_ADC_TOPK_SQL,
+        "composed IVF-pruned + ADC compressed-domain top-k (the production ANN stack)",
     ),
     "similarity_adc_topk": QuerySpec(
         similarity_adc_topk,

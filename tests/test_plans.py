@@ -294,3 +294,27 @@ def test_band_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     n_cells = len(glob.glob(os.path.join(idx_path, "band=*", "bucket=*")))
     per_cell = all_files / n_cells
     assert n_files_probed <= 8 * per_cell < all_files
+
+
+def test_ivf_adc_composed_prunes_partitions_and_avoids_shuffle(spark, sf_dir):
+    """The composed IVF->ADC path: the probe filter reaches the index
+    scan as PartitionFilters (n_probe of n_cells partitions read), and
+    the ranking is a map (coding kernel) + TakeOrdered — no Exchange,
+    no Join anywhere in the plan. Also: its candidate set equals the
+    exact-cosine IVF probe's candidate set (same cells, same index)."""
+    from duckdb_pipeline_spark.queries.similarity import similarity_ivf_adc_topk
+
+    df = similarity_ivf_adc_topk(spark, sf_dir)
+    plan = plan_text(df)
+    part_filters = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part_filters and "IN" in part_filters.upper()
+    simple = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "Exchange" not in simple
+    assert "Join" not in simple
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.adc_dist >= 0 for r in rows)
+    # total order: (adc_dist, vec_id) strictly nondecreasing
+    keys = [(r.adc_dist, r.vec_id) for r in rows]
+    assert keys == sorted(keys)
