@@ -617,7 +617,12 @@ def overlap_matrix_from(docs):
     # each mask row explodes to its source pairs (a < b) PLUS per-source
     # diagonal structs (a, a): one tiny groupBy then carries both the
     # pair commons and the per-source sizes — no separate sizes branch
-    # over corpus-sized data
+    # over corpus-sized data. The mask->count intermediate stage stays:
+    # an A/B that exploded pairs straight off the distinct-shingle
+    # table (skipping it) lost 0.65 -> 0.85 s at sf0.1 — with 20
+    # sources the pair expansion is up to ~200 structs per row, and
+    # running it on corpus-sized distinct shingles instead of the
+    # handful of distinct masks costs far more than the stage saves.
     pairs_and_diag = F.flatten(
         F.transform(
             idxs,
@@ -634,28 +639,44 @@ def overlap_matrix_from(docs):
         mcnt.select(F.explode(pairs_and_diag).alias("p"), "cnt")
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("cnt").alias("n"))
-        .persist()  # tiny: <= n_sources^2 rows feed three consumers
+    )
+    # diagonal lookup via ONE single-partition window over the
+    # <= n_src^2-row agg instead of persist + two broadcast slices +
+    # two joins: a collect_list window builds the (source -> diagonal
+    # n) map once, and every pair row reads n_a/n_b out of it. Same
+    # rows, one plan chain, one tiny Exchange (round-8 job census: the
+    # persist materialization and each broadcast were separate
+    # scheduled jobs — pure per-query floor at sf0.1, and two fewer
+    # passes over the pair table at any scale). The diagonal row
+    # (k, k) always exists because pairs_and_diag emits it for every
+    # source in idxs; collect_list skips the NULLs the when() leaves
+    # on non-diagonal rows.
+    from pyspark.sql import Window
+
+    dmap = F.map_from_entries(
+        F.collect_list(
+            F.when(F.col("a") == F.col("b"), F.struct("a", "n"))
+        ).over(Window.partitionBy())
     )
     names = F.array(*[F.lit(s) for s in srcs])
-    diag = agg.where(F.col("a") == F.col("b"))
-    za = F.broadcast(
-        diag.select(
+    return (
+        agg.withColumn("_d", dmap)
+        .where(F.col("a") != F.col("b"))
+        .withColumn("n_a", F.element_at("_d", F.col("a")))
+        .withColumn("n_b", F.element_at("_d", F.col("b")))
+        .select(
             F.element_at(names, F.col("a") + 1).alias("source_a"),
-            F.col("n").alias("n_a"),
-        )
-    )
-    zb = F.broadcast(
-        diag.select(
             F.element_at(names, F.col("b") + 1).alias("source_b"),
-            F.col("n").alias("n_b"),
+            F.col("n").alias("n_common"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n")),
+                6,
+            ).alias("jaccard"),
         )
     )
-    common = agg.where(F.col("a") != F.col("b")).select(
-        F.element_at(names, F.col("a") + 1).alias("source_a"),
-        F.element_at(names, F.col("b") + 1).alias("source_b"),
-        F.col("n").alias("n_common"),
-    )
-    return _overlap_assemble(common, za, zb)
 
 
 def overlap_matrix_from_sets(docs):

@@ -405,16 +405,17 @@ def test_overlap_matrix_no_shingle_self_join(spark, sf_dir):
     """The pair space must come from exploding the bounded per-shingle
     source list (inverted index), NOT from joining the shingle table
     to itself — a self-join re-shuffles the corpus against itself at
-    100 TB. Detectable in the plan: no join of any kind is needed
-    before the final (tiny) size joins, and those must be broadcast."""
+    100 TB. Round 8 removed the last joins entirely: the diagonal
+    sizes ride a single-partition window map over the <= n_src^2 pair
+    rollup, so the plan has NO join operator of any kind and scans
+    documents exactly once."""
     df = collect_all()["corpus_overlap_matrix"].fn(spark, sf_dir)
     plan = plan_text(df, "formatted")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
-    # one scan feeds both branches through the persisted shingle table:
-    # the documents parquet appears exactly once
-    assert plan.count("documents.parquet") <= 1 or "InMemory" in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
 
 
 def test_minhash_verify_no_pair_keyed_exchange(spark, sf_dir):
