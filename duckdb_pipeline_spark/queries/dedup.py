@@ -518,29 +518,6 @@ def dedup_containment(spark, sf_dir):
     if big:
         raw = raw.persist()
     sh_d = word_shingles(raw, n=3, distinct=False, extra_cols=["source"])
-    # ONE eval-side aggregation replaces the round-7 distinct+distinct
-    # chain: per-shingle eval postings, with set semantics giving the
-    # per-doc distinct for free. Eval postings are small by
-    # construction (the held-out set is benchmarks, not the corpus) —
-    # the same assumption the broadcast design already rests on.
-    ep = (
-        sh_d.where(F.col("source") == "src0")
-        .groupBy("shingle")
-        .agg(F.collect_set("doc_id").alias("evs"))
-    )
-    if big:
-        # at scale, recomputing ep means a second corpus explode pass;
-        # below the threshold the recompute is cheaper than the barrier
-        ep = ep.persist()
-    # df (docs containing the shingle) over the FULL corpus, but only
-    # for eval-vocabulary shingles: map-side broadcast semi-join prunes
-    # the scan before the count; countDistinct handles in-doc repeats
-    dfc = (
-        sh_d.join(F.broadcast(ep.select("shingle")), "shingle")
-        .groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    rare_ev = dfc.where(F.col("df") <= max_df).select("shingle")
     # n_eval rides the postings broadcast (window count over the tiny
     # eval-post table) instead of being its own broadcast + final
     # join: one fewer broadcast-materialization job and one fewer
@@ -548,11 +525,65 @@ def dedup_containment(spark, sf_dir):
     # eval_id, so the pair aggregation recovers it with min()
     from pyspark.sql import Window
 
-    eval_post = (
-        ep.join(F.broadcast(rare_ev), "shingle")
-        .select("shingle", F.explode("evs").alias("eval_id"))
-        .withColumn("n_eval", F.count(F.lit(1)).over(Window.partitionBy("eval_id")))
-    )
+    if big:
+        # AT SCALE: eval postings first (ONE eval-side aggregation —
+        # per-shingle postings with set semantics giving the per-doc
+        # distinct for free), PERSISTED so the vocab broadcast and the
+        # postings consumer share the src0 explode; then the df count
+        # over the full corpus as its own expand-free single-distinct
+        # aggregation. A round-8 fusion experiment (scripts/
+        # exp_containment_r8b.py) merged df + postings into one corpus
+        # pass, but countDistinct + collect_set in one agg plans an
+        # Expand that doubles corpus-matched rows through the shuffle:
+        # sf10 11.6 -> 14.5 s. Rejected at scale, adopted below the
+        # size threshold where the job-count floor dominates instead.
+        ep = (
+            sh_d.where(F.col("source") == "src0")
+            .groupBy("shingle")
+            .agg(F.collect_set("doc_id").alias("evs"))
+            .persist()
+        )
+        dfc = (
+            sh_d.join(F.broadcast(ep.select("shingle")), "shingle")
+            .groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+        rare_ev = dfc.where(F.col("df") <= max_df).select("shingle")
+        eval_post = (
+            ep.join(F.broadcast(rare_ev), "shingle")
+            .select("shingle", F.explode("evs").alias("eval_id"))
+            .withColumn(
+                "n_eval", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
+            )
+        )
+    else:
+        # BELOW THE THRESHOLD: the whole input is sub-cache-line scale
+        # for the cluster (sf0.1 documents = ~0.6 MB) and wall clock is
+        # the per-job scheduling floor, so minimize scheduled work: the
+        # eval vocabulary is a plain DISTINCT (no collect_set
+        # materialization just to project its key column), and ONE
+        # corpus aggregation computes df AND eval postings together
+        # (collect_set skips the when()'s NULLs on train rows). Two
+        # broadcasts instead of three, one corpus aggregation instead
+        # of two: 1.11 -> 1.03 s interleaved min-of-6 at sf0.1.
+        vocab = sh_d.where(F.col("source") == "src0").select("shingle").distinct()
+        stats = (
+            sh_d.join(F.broadcast(vocab), "shingle")
+            .groupBy("shingle")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.collect_set(
+                    F.when(F.col("source") == "src0", F.col("doc_id"))
+                ).alias("evs"),
+            )
+        )
+        eval_post = (
+            stats.where(F.col("df") <= max_df)
+            .select("shingle", F.explode("evs").alias("eval_id"))
+            .withColumn(
+                "n_eval", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
+            )
+        )
     matches = (
         sh_d.where(F.col("source") != "src0")
         .select(F.col("doc_id").alias("train_id"), "shingle")
