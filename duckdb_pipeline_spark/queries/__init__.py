@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     # hash-checked; VERDICT r7 #6)
     "q5_regional_revenue_fast",
     "q10_returned_revenue_fast",
+    "agg_rollup_fast",
     "sketch_ndv_audit",
     "sketch_quantiles_audit",
     "sketch_hll_merge_audit",

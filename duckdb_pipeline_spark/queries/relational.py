@@ -783,6 +783,37 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def agg_rollup_fast(spark, sf_dir):
+    """ROLLUP, deployment-realistic variant: plain IEEE double sums
+    under the rounded-sum contract (the q1/q5/q10 fast-twin
+    precedent), bounding the determinism premium on the rollup shape.
+    Keeps the exact variant's single-scan plan — finest-level
+    aggregation once, rollup re-aggregation over its 9 rows — so the
+    twin isolates the limb-vs-double cost, not a plan difference.
+    Double re-aggregation of partial sums is order-sensitive in the
+    last ulps; the 2-decimal rounding contract absorbs that (and
+    l_quantity sums are integer-valued, exactly representable)."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+            F.round(F.sum("_s"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty")
+    )
+
+
+ROLLUP_FAST_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def agg_cube(spark, sf_dir):
     """CUBE over (event_type, year)."""
     events = load(spark, sf_dir, "events")
@@ -1105,6 +1136,11 @@ QUERIES = {
     "setop_except": QuerySpec(setop_except, SETOP_EXCEPT_SQL, "EXCEPT"),
     "distinct_pairs": QuerySpec(distinct_pairs, DISTINCT_SQL, "DISTINCT composite"),
     "agg_rollup": QuerySpec(agg_rollup, ROLLUP_SQL, "ROLLUP"),
+    "agg_rollup_fast": QuerySpec(
+        agg_rollup_fast,
+        ROLLUP_FAST_SQL,
+        "ROLLUP with plain IEEE sums (deployment-realistic; rounded oracle)",
+    ),
     "agg_cube": QuerySpec(agg_cube, CUBE_SQL, "CUBE"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_SQL, "GROUPING SETS"),
     "scalar_string_funcs": QuerySpec(scalar_string_funcs, SCALAR_STR_SQL, "string scalar coverage"),
