@@ -842,3 +842,72 @@ def ann_recall_audit(
         )
         .orderBy("query_id")
     )
+
+
+def gram_matrix_partials(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    chunk: int = 512,
+) -> DataFrame:
+    """Per-partition partial second-moment (Gram) matrix of an
+    embedding column: each task folds its rows into ONE d x d int64
+    accumulator (the map-side combine of distributed PCA/whitening —
+    X^T X partials are what a 1000-executor covariance computation
+    ships to the reducer, d^2 numbers per task no matter how many
+    vectors the task scanned). Emits the upper triangle as
+    (i, j, s, n) rows, 1-based indices, i <= j; terms follow the
+    module's fixed-point contract — floor(x_i * x_j * SCALE) in
+    float64, summed as int64, so partials re-aggregate exactly and the
+    result is bitwise-identical to the oracle's unnest-and-SUM
+    formulation regardless of row order or partitioning.
+
+    Memory is bounded O(chunk * d^2) per task by chunking the row axis
+    of the outer-product tensor; NULL embeddings drop out (matching
+    the SQL formulation's NULL-element behavior under WHERE e IS NOT
+    NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        acc = None
+        n = 0
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            V = np.stack(col.to_numpy()).astype("float64")
+            if acc is None:
+                d = V.shape[1]
+                acc = np.zeros((d, d), dtype="int64")
+            n += len(V)
+            for lo in range(0, len(V), chunk):
+                W = V[lo : lo + chunk]
+                acc += (
+                    np.floor(W[:, :, None] * W[:, None, :] * float(SCALE))
+                    .astype("int64")
+                    .sum(axis=0)
+                )
+        if acc is None:
+            yield pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype="int32"),
+                    "j": pd.Series([], dtype="int32"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "s": acc[iu, ju],
+                "n": np.full(len(iu), n, dtype="int64"),
+            }
+        )
+
+    return embeddings.select(vec_col).mapInPandas(
+        fold, "i int, j int, s long, n long"
+    )

@@ -72,6 +72,13 @@ PRIORITY: tuple[str, ...] = (
     "quality_gopher_repetition",
     "graph_triangles",
     "similarity_ivf_adc_topk",
+    # (a) NEW round 8 session 4 - distributed Gram matrix (PCA
+    # building block), bigram-LM quality scoring, SCD2 dimension
+    # build, one Lloyd k-means iteration
+    "embedding_gram_matrix",
+    "text_bigram_xent",
+    "scd2_user_attributes",
+    "kmeans_lloyd_step",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

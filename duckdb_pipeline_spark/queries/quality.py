@@ -96,6 +96,130 @@ SELECT doc_id, n AS n_tokens, round(-(s) / n, 6) AS xent FROM agg
 """
 
 
+def text_bigram_xent(spark, sf_dir):
+    """Per-document cross-entropy under a BIGRAM LM with Stupid
+    Backoff (Brants et al. 2007), trained on the reference slice
+    (source = 'src0' — the CCNet pattern: score the whole crawl
+    against a clean-corpus LM; Wenzek et al. 2020 use Wikipedia):
+
+        p(w2 | w1) = cnt2(w1,w2) / cnt1(w1)        if the bigram is in
+                                                   the reference LM
+                   = 0.4 * margin(w2) / T          else if w2 seen as a
+                                                   continuation
+                   = 0.4 / T                       full OOV floor
+
+    where margin(w2) = reference count of w2 as a bigram continuation
+    and T = total reference bigrams. Docs with fewer than 2 tokens
+    have no bigram and drop out (both engines).
+
+    Scale shape: the corpus text is scanned ONCE — per-doc bigram tf
+    is computed with source carried through, persisted (DISK_ONLY:
+    corpus-sized cache policy), and the reference LM's three tables
+    (bigram counts, context counts, continuation margins) are all
+    rollups of the src0 slice OF THAT SAME tf table, each vocab-sized.
+    Scoring is three joins against those LM tables (AQE broadcasts
+    when they fit) plus one per-doc aggregation. Transcendental
+    results are rounded to 6 decimals before the decimal-exact per-doc
+    sum (module doc)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
+    )
+    bg = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bgtf = (
+        bg.groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    ref = bgtf.where(F.col("source") == "src0")
+    bgc = ref.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt2"))
+    c1 = bgc.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    marg = bgc.groupBy("w2").agg(F.sum("cnt2").alias("cntu"))
+    tot = bgc.agg(F.sum("cnt2").cast("double").alias("t_ref"))
+    p = (
+        F.when(
+            F.col("cnt2").isNotNull(),
+            F.col("cnt2").cast("double") / F.col("cnt1").cast("double"),
+        )
+        .when(
+            F.col("cntu").isNotNull(),
+            F.lit(0.4) * F.col("cntu").cast("double") / F.col("t_ref"),
+        )
+        .otherwise(F.lit(0.4) / F.col("t_ref"))
+    )
+    scored = (
+        bgtf.join(bgc, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(marg, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tf", F.round(F.log(p), 6).alias("lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        dsum(F.col("tf") * F.col("lp")).alias("s"),
+        F.sum("tf").alias("n"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        F.round(-F.col("s") / F.col("n"), 6).alias("xent"),
+    )
+
+
+TEXT_BIGRAM_XENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bgtf AS (
+  SELECT doc_id, source, w1, w2, count(*) AS tf
+  FROM bg GROUP BY doc_id, source, w1, w2
+),
+bgc AS (
+  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt2
+  FROM bgtf WHERE source = 'src0' GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM bgc GROUP BY w1),
+marg AS (SELECT w2, CAST(SUM(cnt2) AS BIGINT) AS cntu FROM bgc GROUP BY w2),
+tot AS (SELECT CAST(SUM(cnt2) AS DOUBLE) AS t_ref FROM bgc),
+scored AS (
+  SELECT f.doc_id, f.tf,
+         round(ln(CASE
+           WHEN b.cnt2 IS NOT NULL
+             THEN CAST(b.cnt2 AS DOUBLE) / CAST(c.cnt1 AS DOUBLE)
+           WHEN m.cntu IS NOT NULL
+             THEN 0.4 * CAST(m.cntu AS DOUBLE) / tot.t_ref
+           ELSE 0.4 / tot.t_ref END), 6) AS lp
+  FROM bgtf f
+  LEFT JOIN bgc b ON f.w1 = b.w1 AND f.w2 = b.w2
+  LEFT JOIN c1 c ON f.w1 = c.w1
+  LEFT JOIN marg m ON f.w2 = m.w2
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, {DSUM('tf * lp')} AS s, CAST(SUM(tf) AS BIGINT) AS n
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n AS n_bigrams, round(-(s) / n, 6) AS xent FROM agg
+"""
+
+
 def quality_logreg_score(spark, sf_dir):
     """Logistic quality classifier: sigmoid(w . features) over the
     engine's quality features (length score, stopword ratio,
@@ -254,6 +378,11 @@ QUERIES = {
         text_unigram_xent,
         UNIGRAM_XENT_SQL,
         "per-doc cross-entropy under the corpus unigram LM (perplexity-filter proxy)",
+    ),
+    "text_bigram_xent": QuerySpec(
+        text_bigram_xent,
+        TEXT_BIGRAM_XENT_SQL,
+        "bigram Stupid-Backoff cross-entropy vs the src0 reference LM (CCNet shape)",
     ),
     "quality_logreg_score": QuerySpec(
         quality_logreg_score,

@@ -788,8 +788,158 @@ FROM flags GROUP BY query_id ORDER BY query_id
 """
 
 
+def embedding_gram_matrix(spark, sf_dir):
+    """Distributed second-moment (Gram) matrix X^T X of the embedding
+    corpus — the building block of PCA / whitening / covariance
+    analysis over a 100 TB embedding store. Each task folds its rows
+    into one d x d int64 accumulator (gram_matrix_partials), so the
+    only shuffle moves d^2 numbers per task — the canonical map-side
+    combine of distributed covariance; the reducer sums exactly
+    (fixed-point terms, association-free). Output: upper triangle
+    (i, j, n_vecs, gram) with gram = s_fp / SCALE."""
+    from ..operators.similarity import gram_matrix_partials
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = (
+        gram_matrix_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s_fp"), F.sum("n").alias("n_vecs"))
+    )
+    return res.select(
+        "i",
+        "j",
+        "n_vecs",
+        (F.col("s_fp").cast("double") / F.lit(float(S))).alias("gram"),
+    )
+
+
+_LLOYD_K = 8
+
+
+def kmeans_lloyd_step(spark, sf_dir):
+    """ONE Lloyd iteration of k-means over the embedding corpus —
+    the inner loop of every distributed clustering / IVF-index /
+    SemDeDup-cell trainer: assign each vector to its nearest centroid
+    (exact fixed-point squared L2; deterministic ties on the lower
+    cell id), then emit the UPDATED centroids as per-cell component
+    means. Init centroids are the first K stored vectors (the same
+    deterministic seeding similarity_topk_ivf and dedup_semantic_cells
+    use), so the step is reproducible and oracle-checkable; a trainer
+    loops this plan to convergence (the BPE-trainer iteration
+    precedent).
+
+    Scale shape: assignment is a broadcast of K centroid rows against
+    a map-side corpus scan (the (x - c)^2 fold stays in whole-stage
+    codegen); argmin is a struct-min groupBy (no window over the
+    corpus); the update is ONE posexplode + (cell, i) aggregation —
+    partial-aggregated to K * d rows per task before the single
+    shuffle. Empty cells drop out (both engines)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < _LLOYD_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cv"),
+            lambda x, c: F.floor(
+                (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double"))
+                * F.lit(S)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", dist.alias("d2")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))
+        .getField("c")
+        .alias("cell"),
+    )
+    comps = assigned.select(
+        "cell", F.posexplode("embedding").alias("i0", "x")
+    ).select("cell", (F.col("i0") + 1).alias("i"), "x")
+    upd = comps.groupBy("cell", "i").agg(
+        F.sum(F.floor(F.col("x").cast("double") * F.lit(S)).cast("long")).alias(
+            "s_fp"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return upd.select(
+        "cell",
+        "i",
+        "n_members",
+        (
+            F.col("s_fp").cast("double") / F.lit(float(S)) / F.col("n_members")
+        ).alias("centroid"),
+    )
+
+
+KMEANS_LLOYD_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_LLOYD_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         (SELECT CAST(SUM(CAST(floor((CAST(e.embedding[u.i] AS DOUBLE)
+                                      - CAST(c.cv[u.i] AS DOUBLE))
+                                     * (CAST(e.embedding[u.i] AS DOUBLE)
+                                        - CAST(c.cv[u.i] AS DOUBLE))
+                                     * {S}) AS BIGINT)) AS BIGINT)
+          FROM UNNEST(range(1, len(e.embedding) + 1)) AS u(i)) AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+comps AS (
+  SELECT cell, u.i AS i,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {S}) AS BIGINT) AS x_fp
+  FROM assigned, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT cell, CAST(i AS INTEGER) AS i, count(*) AS n_members,
+       CAST(SUM(x_fp) AS DOUBLE) / {S} / count(*) AS centroid
+FROM comps GROUP BY cell, i
+"""
+
+
+GRAM_SQL = f"""
+WITH t AS (
+  SELECT u.i AS i, v.j AS j,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE)
+                    * CAST(e.embedding[v.j] AS DOUBLE) * {S}) AS BIGINT) AS term
+  FROM embeddings e,
+       UNNEST(range(1, len(e.embedding) + 1)) AS u(i),
+       UNNEST(range(1, len(e.embedding) + 1)) AS v(j)
+  WHERE u.i <= v.j AND e.embedding IS NOT NULL
+),
+n AS (SELECT count(*) AS n_vecs FROM embeddings WHERE embedding IS NOT NULL)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       n.n_vecs AS n_vecs,
+       CAST(SUM(term) AS DOUBLE) / {S} AS gram
+FROM t, n
+GROUP BY i, j, n.n_vecs
+"""
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
+    "embedding_gram_matrix": QuerySpec(
+        embedding_gram_matrix,
+        GRAM_SQL,
+        "distributed X^T X via per-task d x d partials (PCA building block)",
+    ),
+    "kmeans_lloyd_step": QuerySpec(
+        kmeans_lloyd_step,
+        KMEANS_LLOYD_SQL,
+        "one Lloyd k-means iteration (broadcast assign + per-cell mean update)",
+    ),
     "ann_recall_report": QuerySpec(
         ann_recall_report,
         ANN_RECALL_SQL,

@@ -489,7 +489,78 @@ GROUP BY f.cohort_day, datediff('day', f.cohort_day, d.d)
 """
 
 
+def scd2_user_attributes(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from an event stream:
+    per user, consecutive runs of the tracked attribute (event_type
+    here) collapse into validity intervals (valid_from, valid_to,
+    is_current) — the lakehouse dimension-table pattern (Kimball SCD2)
+    that turns an append-only event log into an as-of-joinable
+    dimension.
+
+    Scale shape: gaps-and-islands — ONE Exchange on user_id serves
+    the change-flag window, the running-group-id window, the interval
+    aggregation, and the lead(valid_to) window (same partition key
+    throughout; Spark reuses the partitioning). Orders by (ts,
+    event_id) so ties are deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    runs = ev.withColumn("grp", F.sum(chg).over(w))
+    iv = runs.groupBy("user_id", "grp").agg(
+        F.max("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("grp")
+    return iv.select(
+        "user_id",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grps AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM runs
+),
+iv AS (
+  SELECT user_id, grp, max(event_type) AS attr_value,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM grps GROUP BY user_id, grp
+)
+SELECT user_id, attr_value, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY grp)
+"""
+
+
 QUERIES = {
+    "scd2_user_attributes": QuerySpec(
+        scd2_user_attributes,
+        SCD2_SQL,
+        "SCD2 dimension build (gaps-and-islands, one Exchange on user_id)",
+    ),
     "funnel_view_to_purchase": QuerySpec(
         funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"
     ),
