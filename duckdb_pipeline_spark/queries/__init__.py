@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_gram_matrix",
     "text_bigram_xent",
     "scd2_user_attributes",
+    "scd2_asof_enrich",
     "kmeans_lloyd_step",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)

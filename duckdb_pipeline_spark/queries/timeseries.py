@@ -555,11 +555,84 @@ FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY grp)
 """
 
 
+def scd2_asof_enrich(spark, sf_dir):
+    """The consumer half of the SCD2 pattern: enrich purchase events
+    with the user's attribute AS OF the event time — an interval
+    (point-in-range) join against the scd2_user_attributes dimension.
+    Demonstrates that the dimension build really is as-of-joinable:
+    every purchase matches exactly one validity interval (pinned by
+    the n_rows parity with the purchase count).
+
+    Scale shape: ONE equi-Exchange on user_id (the interval predicate
+    rides the join as a post-condition; per-user interval counts are
+    small, so the equi-join never explodes), reusing the dimension
+    build's own user_id partitioning — Catalyst plans the whole chain
+    off a single shuffle of each side. Output aggregates to the
+    (attr_value, day) level so the result is compact at any scale."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    dim = scd2_user_attributes(spark, sf_dir).select(
+        "user_id", "attr_value", "valid_from", "valid_to"
+    )
+    j = purchases.join(dim, "user_id").where(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return (
+        j.groupBy("attr_value", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.round(F.col("value"), 2)), 2).alias("revenue"),
+        )
+    )
+
+
+SCD2_ASOF_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grps AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM runs
+),
+iv AS (
+  SELECT user_id, grp, max(event_type) AS attr_value, min(ts) AS valid_from
+  FROM grps GROUP BY user_id, grp
+),
+dim AS (
+  SELECT user_id, attr_value, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to
+  FROM iv
+),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT d.attr_value, CAST(date_trunc('day', p.ts) AS DATE) AS day,
+       count(*) AS n_purchases,
+       round(SUM(round(p.value, 2)), 2) AS revenue
+FROM p JOIN dim d ON p.user_id = d.user_id
+WHERE p.ts >= d.valid_from AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+GROUP BY d.attr_value, day
+"""
+
+
 QUERIES = {
     "scd2_user_attributes": QuerySpec(
         scd2_user_attributes,
         SCD2_SQL,
         "SCD2 dimension build (gaps-and-islands, one Exchange on user_id)",
+    ),
+    "scd2_asof_enrich": QuerySpec(
+        scd2_asof_enrich,
+        SCD2_ASOF_SQL,
+        "as-of interval join of purchases against the SCD2 dimension",
     ),
     "funnel_view_to_purchase": QuerySpec(
         funnel_view_to_purchase, FUNNEL_SQL, "windowed funnel conversion"

@@ -126,3 +126,19 @@ def test_kmeans_step_counts_and_bounds(spark):
     bad = out.where((F.col("centroid") < lo - 1e-9) | (F.col("centroid") > hi + 1e-9))
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_scd2_asof_enrich_covers_every_purchase(spark):
+    """The interval join must match every purchase to EXACTLY one
+    validity interval: total n_purchases equals the raw purchase
+    count (a gap or overlap in the dimension would break parity)."""
+    from duckdb_pipeline_spark.queries.timeseries import scd2_asof_enrich
+
+    out = scd2_asof_enrich(spark, SF_SMOKE)
+    got = out.agg(F.sum("n_purchases")).collect()[0][0]
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert got == want
