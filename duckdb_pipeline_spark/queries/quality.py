@@ -112,67 +112,95 @@ def text_bigram_xent(spark, sf_dir):
     and T = total reference bigrams. Docs with fewer than 2 tokens
     have no bigram and drop out (both engines).
 
-    Scale shape: the corpus text is scanned ONCE — per-doc bigram tf
-    is computed with source carried through, persisted (DISK_ONLY:
-    corpus-sized cache policy), and the reference LM's three tables
-    (bigram counts, context counts, continuation margins) are all
-    rollups of the src0 slice OF THAT SAME tf table, each vocab-sized.
-    Scoring is three joins against those LM tables (AQE broadcasts
-    when they fit) plus one per-doc aggregation. Transcendental
-    results are rounded to 6 decimals before the decimal-exact per-doc
-    sum (module doc)."""
-    docs = load(spark, sf_dir, "documents")
+    Scale shape: everything stays in whole-stage codegen — scoring is
+    INSTANCE-level over the exploded bigram stream (a per-doc tf
+    compression was measured and rejected: both the relational
+    groupBy(doc, w1, w2) and an Arrow Counter kernel cost MORE than
+    the instance rows they save — 5.8 s / 4.3 s vs 1.9 s for the bare
+    explode at sf1 — because per-doc tf is nearly 1 anyway on natural
+    text). The reference LM's three tables (bigram counts, context
+    counts, continuation margins) roll up a SEPARATE src0-only
+    explode whose source filter pushes into the scan (5% of the
+    corpus); scoring is three joins against them (AQE broadcasts when
+    they fit) plus one per-doc aggregation that partial-aggregates
+    map-side. Transcendental results are rounded to 6 decimals before
+    the decimal-exact per-doc sum (module doc)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = docs.select(
         "doc_id",
         "source",
         F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
     )
-    bg = toks.where(F.size("t") >= 2).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (w, i) -> struct(w AS w1, t[i + 1] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bgtf = (
-        bg.groupBy("doc_id", "source", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.DISK_ONLY)
+    # bigrams via arrays_zip of two shifted slices — all codegen'd
+    # built-ins; the transform-lambda struct formulation evaluates
+    # interpreted per element (the ADC HOF lesson) and measured 2x
+    # slower at sf1 (2.03 vs 1.07 s for the bare explode)
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("slice(t, 1, size(t) - 1)").alias("w1s"),
+            F.expr("slice(t, 2, size(t) - 1)").alias("w2s"),
+        )
+        .select("doc_id", "source", F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("b.w1s").alias("w1"),
+            F.col("b.w2s").alias("w2"),
+        )
     )
-    ref = bgtf.where(F.col("source") == "src0")
-    bgc = ref.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt2"))
+    bgc = (
+        bg.where(F.col("source") == "src0")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
     c1 = bgc.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
     marg = bgc.groupBy("w2").agg(F.sum("cnt2").alias("cntu"))
     tot = bgc.agg(F.sum("cnt2").cast("double").alias("t_ref"))
-    p = (
-        F.when(
-            F.col("cnt2").isNotNull(),
-            F.col("cnt2").cast("double") / F.col("cnt1").cast("double"),
-        )
-        .when(
-            F.col("cntu").isNotNull(),
-            F.lit(0.4) * F.col("cntu").cast("double") / F.col("t_ref"),
-        )
-        .otherwise(F.lit(0.4) / F.col("t_ref"))
+    # fold the LM into PRECOMPUTED log-prob lookup tables so the
+    # corpus-sized instance stream pays TWO joins and zero
+    # transcendentals (ln runs once per distinct bigram/continuation
+    # at vocab scale, not once per instance; the context-count join
+    # happens vocab x vocab, never against the stream). Log-probs are
+    # carried as MICRO-LOG integers — the 6-dp rounded lp times 1e6 is
+    # integral, so the per-doc sum is a plain long sum instead of the
+    # decimal accumulator (4.05 -> 2.45 s at sf1, values identical;
+    # the oracle mirrors the same integer sum).
+    def _micro(lp_col):
+        return F.round(F.round(lp_col, 6) * 1e6).cast("long")
+
+    lm2 = bgc.join(c1, "w1").select(
+        "w1",
+        "w2",
+        _micro(
+            F.log(F.col("cnt2").cast("double") / F.col("cnt1").cast("double"))
+        ).alias("lp2"),
+    )
+    lmu = marg.crossJoin(F.broadcast(tot)).select(
+        "w2",
+        _micro(
+            F.log(F.lit(0.4) * F.col("cntu").cast("double") / F.col("t_ref"))
+        ).alias("lpu"),
+    )
+    zero = tot.select(
+        _micro(F.log(F.lit(0.4) / F.col("t_ref"))).alias("lp0")
     )
     scored = (
-        bgtf.join(bgc, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(marg, "w2", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", "tf", F.round(F.log(p), 6).alias("lp"))
+        bg.join(lm2, ["w1", "w2"], "left")
+        .join(lmu, "w2", "left")
+        .crossJoin(F.broadcast(zero))
+        .select("doc_id", F.coalesce("lp2", "lpu", "lp0").alias("lpm"))
     )
     agg = scored.groupBy("doc_id").agg(
-        dsum(F.col("tf") * F.col("lp")).alias("s"),
-        F.sum("tf").alias("n"),
+        F.sum("lpm").alias("sm"),
+        F.count(F.lit(1)).alias("n"),
     )
     return agg.select(
         "doc_id",
         F.col("n").alias("n_bigrams"),
-        F.round(-F.col("s") / F.col("n"), 6).alias("xent"),
+        F.round(-(F.col("sm").cast("double") / 1e6) / F.col("n"), 6).alias("xent"),
     )
 
 
@@ -187,36 +215,34 @@ bg AS (
   FROM toks, UNNEST(range(1, len(t))) AS u(i)
   WHERE len(t) >= 2
 ),
-bgtf AS (
-  SELECT doc_id, source, w1, w2, count(*) AS tf
-  FROM bg GROUP BY doc_id, source, w1, w2
-),
 bgc AS (
-  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt2
-  FROM bgtf WHERE source = 'src0' GROUP BY w1, w2
+  SELECT w1, w2, count(*) AS cnt2
+  FROM bg WHERE source = 'src0' GROUP BY w1, w2
 ),
 c1 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM bgc GROUP BY w1),
 marg AS (SELECT w2, CAST(SUM(cnt2) AS BIGINT) AS cntu FROM bgc GROUP BY w2),
 tot AS (SELECT CAST(SUM(cnt2) AS DOUBLE) AS t_ref FROM bgc),
 scored AS (
-  SELECT f.doc_id, f.tf,
-         round(ln(CASE
+  SELECT f.doc_id,
+         CAST(round(round(ln(CASE
            WHEN b.cnt2 IS NOT NULL
              THEN CAST(b.cnt2 AS DOUBLE) / CAST(c.cnt1 AS DOUBLE)
            WHEN m.cntu IS NOT NULL
              THEN 0.4 * CAST(m.cntu AS DOUBLE) / tot.t_ref
-           ELSE 0.4 / tot.t_ref END), 6) AS lp
-  FROM bgtf f
+           ELSE 0.4 / tot.t_ref END), 6) * 1e6) AS BIGINT) AS lpm
+  FROM bg f
   LEFT JOIN bgc b ON f.w1 = b.w1 AND f.w2 = b.w2
   LEFT JOIN c1 c ON f.w1 = c.w1
   LEFT JOIN marg m ON f.w2 = m.w2
   CROSS JOIN tot
 ),
 agg AS (
-  SELECT doc_id, {DSUM('tf * lp')} AS s, CAST(SUM(tf) AS BIGINT) AS n
+  SELECT doc_id, CAST(SUM(lpm) AS BIGINT) AS sm, count(*) AS n
   FROM scored GROUP BY doc_id
 )
-SELECT doc_id, n AS n_bigrams, round(-(s) / n, 6) AS xent FROM agg
+SELECT doc_id, n AS n_bigrams,
+       round(-(CAST(sm AS DOUBLE) / 1e6) / n, 6) AS xent
+FROM agg
 """
 
 
