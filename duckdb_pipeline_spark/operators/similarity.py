@@ -916,3 +916,75 @@ def gram_matrix_partials(
     return embeddings.select(vec_col).mapInPandas(
         fold, "i int, j int, s long, n long"
     )
+
+
+def lloyd_step_partials(
+    embeddings: DataFrame,
+    centroids,
+    cell_ids,
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """Fused assign-and-partially-update kernel for one Lloyd k-means
+    iteration: each task assigns its rows to the nearest of K
+    broadcast centroids (exact fixed-point squared L2 — floor((x-c)^2
+    * SCALE) int64 sums, ties to the LOWER cell id) and folds member
+    components into per-cell fixed-point sums, emitting K * d partial
+    rows per task. This is the real distributed Lloyd shape: the only
+    shuffle moves K * d numbers per task, and the reducer adds exact
+    ints — identical semantics (and bitwise-identical distances) to
+    the relational crossJoin + struct-min formulation, which evaluates
+    its zip_with/aggregate lambdas interpreted per element (the ADC
+    HOF lesson; measured 2.3 -> 0.66 s at sf1).
+
+    `centroids` is a K x d float64 array and `cell_ids` the matching
+    ascending cell labels — K rows collected at plan build (the
+    bounded IVF-centroid precedent). NULL embeddings drop out."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype="float64")
+    ids = np.asarray(cell_ids, dtype="int64")
+    order = np.argsort(ids)
+    C, ids = C[order], ids[order]  # argmin's first-minimum = lowest id
+    k, d = C.shape
+
+    def fold(batches):
+        sums = np.zeros((k, d), dtype="int64")
+        counts = np.zeros(k, dtype="int64")
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            V = np.stack(col.to_numpy()).astype("float64")
+            for lo in range(0, len(V), chunk):
+                W = V[lo : lo + chunk]
+                D = (
+                    np.floor(
+                        (W[:, None, :] - C[None, :, :]) ** 2 * float(SCALE)
+                    )
+                    .astype("int64")
+                    .sum(axis=2)
+                )
+                a = D.argmin(axis=1)
+                Wf = np.floor(W * float(SCALE)).astype("int64")
+                for c in range(k):
+                    m = a == c
+                    if m.any():
+                        sums[c] += Wf[m].sum(axis=0)
+                        counts[c] += int(m.sum())
+        hit = counts > 0
+        cells = np.repeat(ids[hit], d)
+        comp = np.tile(np.arange(1, d + 1, dtype="int32"), int(hit.sum()))
+        yield pd.DataFrame(
+            {
+                "cell": cells,
+                "i": comp,
+                "s": sums[hit].reshape(-1),
+                "n": np.repeat(counts[hit], d),
+            }
+        )
+
+    return embeddings.select(vec_col).mapInPandas(
+        fold, "cell long, i int, s long, n long"
+    )

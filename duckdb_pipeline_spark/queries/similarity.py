@@ -828,46 +828,33 @@ def kmeans_lloyd_step(spark, sf_dir):
     loops this plan to convergence (the BPE-trainer iteration
     precedent).
 
-    Scale shape: assignment is a broadcast of K centroid rows against
-    a map-side corpus scan (the (x - c)^2 fold stays in whole-stage
-    codegen); argmin is a struct-min groupBy (no window over the
-    corpus); the update is ONE posexplode + (cell, i) aggregation —
-    partial-aggregated to K * d rows per task before the single
-    shuffle. Empty cells drop out (both engines)."""
+    Scale shape: assignment and partial update are FUSED in one
+    mapInPandas pass (operators.similarity.lloyd_step_partials) — each
+    task ships K * d fixed-point partial rows, the reducer adds exact
+    ints, and nothing corpus-sized ever shuffles or explodes. The K
+    init centroids are collected at plan build (the bounded
+    IVF-centroid precedent). A relational crossJoin + struct-min +
+    posexplode formulation was measured 3.5x slower at sf1 (2.32 vs
+    0.66 s): its zip_with/aggregate distance fold evaluates
+    interpreted per element (the ADC HOF lesson). Distances and sums
+    are bitwise-identical between the two. Empty cells drop out (both
+    engines)."""
+    import numpy as np
+
+    from ..operators.similarity import lloyd_step_partials
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.where(F.col("vec_id") < _LLOYD_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    crows = (
+        emb.where(F.col("vec_id") < _LLOYD_K)
+        .orderBy("vec_id")
+        .collect()
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cv"),
-            lambda x, c: F.floor(
-                (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double"))
-                * F.lit(S)
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cid", dist.alias("d2")
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))
-        .getField("c")
-        .alias("cell"),
-    )
-    comps = assigned.select(
-        "cell", F.posexplode("embedding").alias("i0", "x")
-    ).select("cell", (F.col("i0") + 1).alias("i"), "x")
-    upd = comps.groupBy("cell", "i").agg(
-        F.sum(F.floor(F.col("x").cast("double") * F.lit(S)).cast("long")).alias(
-            "s_fp"
-        ),
-        F.count(F.lit(1)).alias("n_members"),
+    C = np.stack([np.asarray(r["embedding"], dtype="float64") for r in crows])
+    ids = [r["vec_id"] for r in crows]
+    upd = (
+        lloyd_step_partials(emb, C, ids)
+        .groupBy("cell", "i")
+        .agg(F.sum("s").alias("s_fp"), F.sum("n").alias("n_members"))
     )
     return upd.select(
         "cell",
