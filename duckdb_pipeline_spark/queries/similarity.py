@@ -896,6 +896,76 @@ FROM comps GROUP BY cell, i
 """
 
 
+def pca_variance_audit(spark, sf_dir):
+    """PCA self-audit (the sketch-audit pattern: engine-specific
+    numerics beside exact reference values + deterministic bound
+    verdicts): the corpus Gram matrix is folded distributed
+    (gram_matrix_partials — d^2 ints per task), then ONE bounded
+    single-row task runs the eigendecomposition executor-side and
+    audits it against linear-algebra identities that hold exactly:
+    sum of eigenvalues == trace (both in fixed-point units), all
+    eigenvalues of a Gram matrix >= 0 (PSD), and top-1 explained
+    fraction within (0, 1]. The exact TRACE is SQL-checkable
+    (diagonal fixed-point sums) and hash-checked; the eigenvalues
+    themselves are LAPACK-specific and only their bound verdicts are
+    emitted. This is the audit a whitening/PCA projection stage runs
+    before trusting its components at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import gram_matrix_partials
+
+    emb = load(spark, sf_dir, "embeddings")
+    tri = (
+        gram_matrix_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s_fp"))
+    )
+
+    def audit(batches):
+        rows = [pdf for pdf in batches if len(pdf)]
+        pdf = pd.concat(rows) if rows else pd.DataFrame(columns=["i", "j", "s_fp"])
+        d = int(pdf["j"].max()) if len(pdf) else 0
+        G = np.zeros((d, d), dtype="float64")
+        for i, j, s in zip(pdf["i"], pdf["j"], pdf["s_fp"]):
+            G[i - 1, j - 1] = s
+            G[j - 1, i - 1] = s
+        trace_fp = int(np.trace(G.astype("int64")))
+        eig = np.linalg.eigvalsh(G)
+        tol = 1e-9 * max(trace_fp, 1)
+        yield pd.DataFrame(
+            {
+                "trace_fp": pd.Series([trace_fp], dtype="int64"),
+                "eig_sum_matches_trace": [bool(abs(eig.sum() - trace_fp) <= tol)],
+                "eigs_nonneg": [bool(eig.min() >= -tol)],
+                "pc1_frac_in_range": [
+                    bool(0.0 < eig.max() / max(trace_fp, 1) <= 1.0 + 1e-12)
+                ],
+            }
+        )
+
+    return (
+        tri.repartition(1)
+        .mapInPandas(
+            audit,
+            "trace_fp long, eig_sum_matches_trace boolean,"
+            " eigs_nonneg boolean, pc1_frac_in_range boolean",
+        )
+    )
+
+
+PCA_AUDIT_SQL = f"""
+SELECT CAST(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE)
+                           * CAST(e.embedding[u.i] AS DOUBLE) * {S}) AS BIGINT))
+            AS BIGINT) AS trace_fp,
+       TRUE AS eig_sum_matches_trace,
+       TRUE AS eigs_nonneg,
+       TRUE AS pc1_frac_in_range
+FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+WHERE e.embedding IS NOT NULL
+"""
+
+
 GRAM_SQL = f"""
 WITH t AS (
   SELECT u.i AS i, v.j AS j,
@@ -926,6 +996,11 @@ QUERIES = {
         kmeans_lloyd_step,
         KMEANS_LLOYD_SQL,
         "one Lloyd k-means iteration (broadcast assign + per-cell mean update)",
+    ),
+    "pca_variance_audit": QuerySpec(
+        pca_variance_audit,
+        PCA_AUDIT_SQL,
+        "eigendecomposition audited against the exact fixed-point trace (hash-checked)",
     ),
     "ann_recall_report": QuerySpec(
         ann_recall_report,

@@ -142,3 +142,13 @@ def test_scd2_asof_enrich_covers_every_purchase(spark):
         .count()
     )
     assert got == want
+
+
+def test_pca_audit_all_bounds_true(spark):
+    from duckdb_pipeline_spark.queries.similarity import pca_variance_audit
+
+    row = pca_variance_audit(spark, SF_SMOKE).collect()[0]
+    assert row["trace_fp"] > 0
+    assert row["eig_sum_matches_trace"] is True
+    assert row["eigs_nonneg"] is True
+    assert row["pc1_frac_in_range"] is True
