@@ -22,6 +22,7 @@ from .jobs import (
     run_available_now,
     session_windows,
     sliding_counts,
+    stateful_scd2_intervals,
     stateful_user_running_totals,
     stream_stream_interval_join,
     tumbling_counts,
@@ -36,6 +37,7 @@ __all__ = [
     "sliding_counts",
     "session_windows",
     "dedup_stream",
+    "stateful_scd2_intervals",
     "stateful_user_running_totals",
     "stream_stream_interval_join",
     "run_available_now",

@@ -195,6 +195,85 @@ def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SCD2_OUT_SCHEMA = (
+    "user_id long, attr_value string, valid_from timestamp,"
+    " valid_to timestamp, n_events long"
+)
+# open-run state per user: current attribute, valid_from as epoch
+# micros (GroupState round-trips primitives more robustly than
+# timestamps), events seen in the current run
+_SCD2_STATE_SCHEMA = "attr string, vf long, n long"
+
+
+def stateful_scd2_intervals(events: DataFrame) -> DataFrame:
+    """INCREMENTAL SCD2 dimension maintenance (applyInPandasWithState):
+    the streaming twin of queries.timeseries.scd2_user_attributes.
+    Per user, the open attribute run lives in state (attr, valid_from,
+    n_events); each arriving change CLOSES an interval — emitted
+    append-only, exactly the dimension-table rows a lakehouse MERGE
+    would upsert — and opens the next. After the stream drains, the
+    emitted closed intervals equal the batch twin's closed intervals
+    (valid_to IS NOT NULL), pinned by tests/test_streaming.py.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch, and micro-batches must arrive in (ts, event_id) order
+    per key (the event-log landing order — the same assumption every
+    log-replay consumer makes). State is O(distinct users) x one small
+    tuple; an event-time timeout would close abandoned runs."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        attr, vf, n = state.get if state.exists else (None, 0, 0)
+        closed_attr: list = []
+        closed_vf: list = []
+        closed_vt: list = []
+        closed_n: list = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = (
+                pd.concat(chunks)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                micros = int(ts.value // 1_000)
+                if attr is None:
+                    attr, vf, n = et, micros, 1
+                elif et == attr:
+                    n += 1
+                else:
+                    closed_attr.append(attr)
+                    closed_vf.append(vf)
+                    closed_vt.append(micros)
+                    closed_n.append(n)
+                    attr, vf, n = et, micros, 1
+        state.update((attr, vf, n))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [key[0]] * len(closed_attr), dtype="int64"
+                ),
+                "attr_value": pd.Series(closed_attr, dtype="object"),
+                "valid_from": pd.to_datetime(
+                    pd.Series(closed_vf, dtype="int64"), unit="us"
+                ),
+                "valid_to": pd.to_datetime(
+                    pd.Series(closed_vt, dtype="int64"), unit="us"
+                ),
+                "n_events": pd.Series(closed_n, dtype="int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream: DataFrame,
     query_name: str,

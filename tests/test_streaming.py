@@ -300,3 +300,43 @@ def test_keyed_dedup_stream_matches_batch_twin_keys(spark, sf_dir, landing):
     g = {(r.user_id, r.event_type) for r in got.select("user_id", "event_type").collect()}
     t = {(r.user_id, r.event_type) for r in twin.select("user_id", "event_type").collect()}
     assert g == t
+
+
+def test_stateful_scd2_closed_intervals_equal_batch(spark, sf_dir, tmp_path):
+    """Drain a ts-ordered 3-chunk replay through the incremental SCD2
+    maintainer; the emitted CLOSED intervals must equal the batch
+    twin's closed intervals exactly (values, counts, and timestamps).
+    Chunks are contiguous in (ts, event_id) order, so cross-batch
+    arrival respects the operator's ordering contract."""
+    from pyspark.sql import Window
+
+    from duckdb_pipeline_spark.queries.timeseries import scd2_user_attributes
+    from duckdb_pipeline_spark.streaming import stateful_scd2_intervals
+
+    d = str(tmp_path / "scd2_landing")
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    ranked = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    for k in range(3):
+        (
+            ranked.where(
+                (F.col("rn") > k * n // 3) & (F.col("rn") <= (k + 1) * n // 3)
+            )
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+    stream = stateful_scd2_intervals(
+        read_event_stream(spark, d, max_files_per_trigger=1)
+    )
+    got = run_available_now(stream, _mem_name(), output_mode="append")
+    want = scd2_user_attributes(spark, sf_dir).where(
+        F.col("valid_to").isNotNull()
+    )
+    key = lambda r: (r.user_id, r.attr_value, r.valid_from, r.valid_to, r.n_events)
+    g = sorted(key(r) for r in got.collect())
+    b = sorted(key(r) for r in want.collect())
+    assert g == b and len(g) > 0
