@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "scd2_asof_enrich",
     "kmeans_lloyd_step",
     "pca_variance_audit",
+    "scd2_asof_enrich_indexed",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

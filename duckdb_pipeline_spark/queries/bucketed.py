@@ -307,6 +307,109 @@ def funnel_top_paths_bucketed(spark, sf_dir):
     )
 
 
+def _ensure_scd2_dim(spark, sf_dir: str) -> str:
+    """Materialize (once per corpus version) the SCD2 user-attribute
+    DIMENSION as a bucketed(user_id) table — the deployment shape for
+    scd2_asof_enrich: the dimension is built when the event log lands,
+    not rebuilt inside every consumer query. Staleness stamps
+    events.parquet with the same (size, mtime) -> sha256 contract as
+    the source-table layouts."""
+    from .timeseries import scd2_user_attributes
+
+    absd = os.path.abspath(sf_dir)
+    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
+    tname = f"bkt_scd2dim_{label}"
+    path = os.path.join(_repo_root(), ".scratch", "bucketed", label, "scd2dim")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    spec = {"n_buckets": _N_BUCKETS, "key": "user_id", "dim": "scd2"}
+    marker = os.path.join(path, "_SRC.json")
+    old = None
+    try:
+        with open(marker) as fh:
+            old = json.load(fh)
+    except (OSError, ValueError):
+        pass
+
+    def _content_hash() -> str:
+        h = hashlib.sha256()
+        with open(src, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    fresh = False
+    digest = None
+    if old is not None and {k: old.get(k) for k in spec} == spec:
+        if old.get("size") == st.st_size and old.get("mtime_ns") == st.st_mtime_ns:
+            fresh = True
+        elif old.get("size") == st.st_size:
+            digest = _content_hash()
+            if old.get("sha256") == digest:
+                fresh = True
+                with open(marker, "w") as fh:
+                    json.dump({**old, "mtime_ns": st.st_mtime_ns}, fh)
+    if digest is None and not fresh:
+        digest = _content_hash()
+
+    if not fresh:
+        dim = scd2_user_attributes(spark, sf_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        (
+            dim.repartition(_N_BUCKETS, F.col("user_id"))
+            .write.bucketBy(_N_BUCKETS, "user_id")
+            .sortBy("user_id", "valid_from")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        with open(marker, "w") as fh:
+            json.dump(
+                {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                 "sha256": digest, **spec},
+                fh,
+            )
+        return tname
+
+    if not spark.catalog.tableExists(tname):
+        schema = spark.read.parquet(path).schema
+        spark.sql(
+            f"CREATE TABLE {tname} ({_ddl(schema)}) USING PARQUET "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id, valid_from) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return tname
+
+
+def scd2_asof_enrich_indexed(spark, sf_dir):
+    """scd2_asof_enrich over the MATERIALIZED dimension: the SCD2
+    build's three windows run once at dimension-publish time
+    (_ensure_scd2_dim), and the enrichment consumes it as a
+    bucketed(user_id) table joined against bucketed(user_id) events —
+    both sides satisfy the join distribution from their bucket specs,
+    so the plan has NO fact-side Exchange (the interval predicate
+    rides the join as a post-condition). Same semantics and oracle as
+    scd2_asof_enrich (the DuckDB twin rebuilds the dimension inline —
+    the layout win is Spark-side by design, the bucketed-twin
+    contract)."""
+    dim = spark.table(_ensure_scd2_dim(spark, sf_dir)).select(
+        "user_id", "attr_value", "valid_from", "valid_to"
+    )
+    purchases = (
+        _bucketed_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    j = purchases.join(dim, "user_id").where(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.groupBy("attr_value", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.round(F.col("value"), 2)), 2).alias("revenue"),
+    )
+
+
 QUERIES = {
     "q3_top_orders_bucketed": QuerySpec(
         q3_top_orders_bucketed,
@@ -338,4 +441,15 @@ QUERIES = {
         TOP_PATHS_SQL,
         "trigram journeys over user-bucketed events (Exchange-free window)",
     ),
+    "scd2_asof_enrich_indexed": QuerySpec(
+        scd2_asof_enrich_indexed,
+        None,  # filled below: shares the scd2_asof_enrich oracle
+        "as-of enrich over the materialized bucketed SCD2 dimension",
+    ),
 }
+
+# shared oracle: identical semantics, different at-rest layout (the
+# bucketed-twin contract; imported here to avoid a module-load cycle)
+from .timeseries import SCD2_ASOF_SQL as _SCD2_ASOF_SQL  # noqa: E402
+
+QUERIES["scd2_asof_enrich_indexed"].oracle = _SCD2_ASOF_SQL
