@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd_step",
     "pca_variance_audit",
     "scd2_asof_enrich_indexed",
+    "events_robust_outliers",
     # medallion pipeline (the reference's own surface - kept standing;
     # also changed if the round-8 bucketed-silver writer lands)
     "pipeline_gold_daily_agg",

@@ -346,7 +346,74 @@ SELECT probe_id, c_custkey AS matched_id, dist FROM rk WHERE rn = 1
 """
 
 
+def events_robust_outliers(spark, sf_dir):
+    """Robust outlier gate per event type: median/MAD z-score (the
+    data-cleaning pass that survives heavy tails where mean/stddev
+    break — |x - med| > 3.5 * 1.4826 * MAD, the standard consistency
+    constant). Exact cross-engine: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolated definition (verified
+    bitwise on this data, see queries/sketches.py), both medians
+    derive from identical doubles, and the threshold comparison is
+    single IEEE ops on identical operands.
+
+    Scale shape: two partial-aggregated corpus passes (median of
+    value, then median of |value - med| against the broadcast
+    per-type medians) and one counting pass — the per-type stats
+    tables are bounded by the event-type dimension, so every join is
+    a broadcast and nothing corpus-sized shuffles beyond the
+    three groupBy partials."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.max("med").alias("med"),
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3.5) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+        )
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         max(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(SUM(CASE WHEN abs(e.value - d.med) > 3.5 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(d.med), 6) AS med,
+       round(max(d.mad), 6) AS mad
+FROM events e JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
+    "events_robust_outliers": QuerySpec(
+        events_robust_outliers,
+        ROBUST_OUTLIERS_SQL,
+        "median/MAD robust z-score outlier gate per event type",
+    ),
     "fuzzy_match_names": QuerySpec(
         fuzzy_match_names,
         FUZZY_MATCH_SQL,
