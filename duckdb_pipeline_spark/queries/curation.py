@@ -1008,7 +1008,7 @@ def corpus_pack_sequences(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     d = docs.select(
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )

@@ -930,7 +930,14 @@ def pca_variance_audit(spark, sf_dir):
         for i, j, s in zip(pdf["i"], pdf["j"], pdf["s_fp"]):
             G[i - 1, j - 1] = s
             G[j - 1, i - 1] = s
-        trace_fp = int(np.trace(G.astype("int64")))
+        # Exact integer trace from the int64 partials themselves (the
+        # float64 G is only for eigvalsh, whose verdicts are
+        # tolerance-based): going through G.astype('int64') silently
+        # rounds diagonal sums past 2^53 (~9M unit-norm vectors at
+        # SCALE=1e9), breaking the exact-trace contract at 100 TB.
+        trace_fp = (
+            int(pdf.loc[pdf["i"] == pdf["j"], "s_fp"].sum()) if len(pdf) else 0
+        )
         eig = np.linalg.eigvalsh(G)
         tol = 1e-9 * max(trace_fp, 1)
         yield pd.DataFrame(

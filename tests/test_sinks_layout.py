@@ -68,6 +68,46 @@ def test_upsert_parquet_merges_by_key(spark, sf_dir, tmp_path):
     assert merged.groupBy("c_custkey").count().where("count > 1").count() == 0
 
 
+def test_upsert_partitioned_cow(spark, sf_dir, tmp_path):
+    """Copy-on-write contract (VERDICT r8 #7): a MERGE touching one
+    partition rewrites only that partition directory — every other
+    partition's files are byte-identical with unchanged mtimes."""
+    import os
+
+    from duckdb_pipeline_spark.sinks import upsert_partitioned, write_partitioned
+
+    root = str(tmp_path / "orders_by_status")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_partitioned(orders, root, ["o_orderstatus"])
+
+    def snapshot(status):
+        d = os.path.join(root, f"o_orderstatus={status}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if f.startswith("part-")
+        }
+
+    untouched_before = {s: snapshot(s) for s in ("F", "P")}
+    touched = (
+        orders.where("o_orderstatus = 'O'")
+        .limit(5)
+        .withColumn("o_totalprice", F.lit(-9.0))
+    )
+    counts = upsert_partitioned(
+        spark, touched, root, "o_orderstatus", ["o_orderkey"]
+    )
+    assert set(counts) == {"O"}
+    assert counts["O"] == orders.where("o_orderstatus = 'O'").count()
+    for s in ("F", "P"):
+        assert snapshot(s) == untouched_before[s]
+    merged = spark.read.parquet(root)
+    assert merged.where("o_totalprice = -9.0").count() == 5
+    assert merged.count() == orders.count()
+
+
 def test_write_sorted_parquet_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
     """The sorted layout must yield (near-)disjoint per-file ts ranges —
     the property footer-stats pruning depends on. Verified from the

@@ -152,6 +152,10 @@ def test_end_to_end_bucketed_silver_gold_exchange_free(spark, tmp_path):
 
         silver = spark.table(tname)
         assert silver.count() == 3  # both hourly appends landed
+        # idempotence guard (ADVICE r8): replaying an already-ingested
+        # hour is a no-op — no duplicate rows, no gold double-count
+        assert t.serialise_raw_data_bucketed(datetime(2023, 1, 1, 12)) == tname
+        assert spark.table(tname).count() == 3
         # layout facts: day partition dirs + one file per bucket write
         tdir = lake / "silver" / "gharchive/events" / "clean_bucketed"
         assert (tdir / "process_day=2023-01-01").is_dir()
