@@ -559,31 +559,53 @@ def dedup_containment(spark, sf_dir):
     else:
         # BELOW THE THRESHOLD: the whole input is sub-cache-line scale
         # for the cluster (sf0.1 documents = ~0.6 MB) and wall clock is
-        # the per-job scheduling floor, so minimize scheduled work: the
-        # eval vocabulary is a plain DISTINCT (no collect_set
-        # materialization just to project its key column), and ONE
-        # corpus aggregation computes df AND eval postings together
-        # (collect_set skips the when()'s NULLs on train rows). Two
-        # broadcasts instead of three, one corpus aggregation instead
-        # of two: 1.11 -> 1.03 s interleaved min-of-6 at sf0.1.
-        vocab = sh_d.where(F.col("source") == "src0").select("shingle").distinct()
-        stats = (
-            sh_d.join(F.broadcast(vocab), "shingle")
-            .groupBy("shingle")
-            .agg(
-                F.countDistinct("doc_id").alias("df"),
-                F.collect_set(
-                    F.when(F.col("source") == "src0", F.col("doc_id"))
-                ).alias("evs"),
-            )
+        # the per-job scheduling floor, so minimize scheduled JOBS, not
+        # data movement. Round-9 rewrite (VERDICT r8 #1a — this query
+        # launched 12 jobs for 0.6 MB): drop ALL broadcasts and fold
+        # the whole decontamination into one shuffle chain — ONE corpus
+        # aggregation per shingle with two DISJOINT collect_sets (eval
+        # docs, train docs). df needs no countDistinct (which would
+        # plan an Expand next to collect_set): the sets are disjoint
+        # and distinct, so df == size(evs) + size(tns), and because
+        # both sets are per-doc distinct the later pair count needs no
+        # countDistinct either — each shingle contributes each
+        # (eval, train) pair at most once. 12 jobs / 31 stages ->
+        # 3 shuffles, no broadcast-materialization jobs at all.
+        # (Previous best: vocab-broadcast shape, 1.03 s min-of-6.)
+        g = sh_d.groupBy("shingle").agg(
+            F.collect_set(
+                F.when(F.col("source") == "src0", F.col("doc_id"))
+            ).alias("evs"),
+            F.collect_set(
+                F.when(F.col("source") != "src0", F.col("doc_id"))
+            ).alias("tns"),
         )
         eval_post = (
-            stats.where(F.col("df") <= max_df)
-            .select("shingle", F.explode("evs").alias("eval_id"))
+            g.where(
+                (F.size("evs") > 0)
+                & (F.size("evs") + F.size("tns") <= max_df)
+            )
+            .select(F.explode("evs").alias("eval_id"), "tns")
             .withColumn(
                 "n_eval", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
             )
         )
+        inter = (
+            eval_post.select(
+                "eval_id", "n_eval", F.explode("tns").alias("train_id")
+            )
+            .groupBy("eval_id", "train_id")
+            .agg(
+                F.count(F.lit(1)).alias("ni"),
+                F.min("n_eval").alias("n_eval"),
+            )
+        )
+        cont = inter.select(
+            "eval_id",
+            "train_id",
+            (F.col("ni").cast("double") / F.col("n_eval")).alias("containment"),
+        )
+        return cont.where(F.col("containment") >= 0.2)
     matches = (
         sh_d.where(F.col("source") != "src0")
         .select(F.col("doc_id").alias("train_id"), "shingle")
@@ -1001,42 +1023,63 @@ def dedup_bloom_probe(spark, sf_dir):
     (doc_id % 3 == 0), and report per probe doc whether the filter says
     "maybe seen" (all k bits present) alongside exact membership.
 
-    Scale shape: the filter is `distinct pos` (bounded by m = 65536 rows
-    regardless of corpus size) and is explicitly broadcast; the probe side
-    is a map-only explode + broadcast semi-join + per-doc count — the
-    corpus text itself is scanned once to build bits and once for the
-    is_member verification column (which a production gate would skip)."""
+    Scale shape (round-9 union-groupBy rewrite, VERDICT r8 #1
+    job-floor work — was: distinct + explicit broadcast + semi-join
+    + a separate text semi-join + two assembly joins, 7 jobs at
+    sf0.1): corpus and probe rows meet in ONE union keyed by the
+    bloom BIT POSITION — per pos, a bool-or says whether the corpus
+    set the bit and a collect_list carries the probe docs testing it
+    (bounded: k probes per doc). A doc is "maybe seen" iff all
+    ``_BLOOM_K`` of its positions are set. Exact membership rides the
+    SAME union pipeline keyed by md5(text) (128-bit — the key
+    equality IS text equality) instead of its own text-keyed
+    semi-join chain. Three small shuffles, zero broadcasts, zero
+    assembly joins; the bit-position aggregation stays bounded by
+    m = 65536 rows at any corpus scale, and the md5 grouping moves
+    32-char keys, never the text."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     probe = docs.where(F.col("doc_id") % 3 == 0)
     pos_arr = "array(" + ", ".join(_bloom_lane_sql("h")) + ")"
-    bloom = (
-        corpus.selectExpr("md5(text) AS h")
-        .selectExpr(f"explode({pos_arr}) AS pos")
-        .distinct()
+    # (key, probe_doc NULL for corpus rows) union; key = bit pos for
+    # the bloom lanes, md5 hex for exact membership — disjoint key
+    # spaces via a kind tag
+    cp = corpus.selectExpr("md5(text) AS h").selectExpr(
+        f"explode({pos_arr}) AS pos", "CAST(NULL AS BIGINT) AS pdoc"
     )
-    probe_pos = probe.selectExpr("doc_id", "md5(text) AS h").selectExpr(
-        "doc_id", f"explode({pos_arr}) AS pos"
+    pp = probe.selectExpr("doc_id", "md5(text) AS h").selectExpr(
+        f"explode({pos_arr}) AS pos", "doc_id AS pdoc"
     )
-    hits = (
-        probe_pos.join(F.broadcast(bloom), "pos", "left_semi")
+    bits = (
+        cp.unionByName(pp)
+        .groupBy("pos")
+        .agg(
+            F.max(F.col("pdoc").isNull()).alias("set_"),
+            F.collect_list("pdoc").alias("pdocs"),
+        )
+        .where(F.size("pdocs") > 0)
+        .select(F.explode("pdocs").alias("doc_id"), "set_")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nhit"))
+        .agg(F.sum(F.col("set_").cast("int")).alias("nhit"))
     )
+    cm = corpus.selectExpr("md5(text) AS h", "CAST(NULL AS BIGINT) AS pdoc")
+    pm = probe.selectExpr("md5(text) AS h", "doc_id AS pdoc")
     member = (
-        probe.join(corpus.select("text"), "text", "left_semi")
-        .select("doc_id", F.lit(1).alias("m"))
+        cm.unionByName(pm)
+        .groupBy("h")
+        .agg(
+            F.max(F.col("pdoc").isNull()).alias("in_corpus"),
+            F.collect_list("pdoc").alias("pdocs"),
+        )
+        .where(F.size("pdocs") > 0)
+        .select(F.explode("pdocs").alias("doc_id"), "in_corpus")
     )
     return (
-        probe.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .join(member, "doc_id", "left")
+        bits.join(member, "doc_id")
         .select(
             "doc_id",
-            (F.coalesce(F.col("nhit"), F.lit(0)) == _BLOOM_K)
-            .cast("int")
-            .alias("bloom_maybe"),
-            F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("is_member"),
+            (F.col("nhit") == _BLOOM_K).cast("int").alias("bloom_maybe"),
+            F.col("in_corpus").cast("int").alias("is_member"),
         )
     )
 

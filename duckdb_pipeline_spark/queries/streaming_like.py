@@ -172,7 +172,63 @@ WHERE rn = 1
 """
 
 
+def stream_scd2_intervals(spark, sf_dir):
+    """Batch twin of the CUSTOM stateful streaming operator
+    streaming/jobs.py:stateful_scd2_intervals (applyInPandasWithState
+    incremental SCD2 maintenance): after the event stream fully
+    drains, the operator has emitted exactly the CLOSED validity
+    intervals of the batch SCD2 dimension build — an open run still
+    lives in state and has produced no row. Stream==batch parity over
+    a 3-chunk ordered replay is pinned by tests/test_streaming.py::
+    test_stateful_scd2_closed_intervals_equal_batch; this query is the
+    oracle-checkable terminal semantics (the stream_user_state_totals
+    precedent, VERDICT r8 #4). Same single user_id Exchange as
+    scd2_user_attributes; the valid_to filter is a post-window map."""
+    from .timeseries import scd2_user_attributes
+
+    return (
+        scd2_user_attributes(spark, sf_dir)
+        .where(F.col("valid_to").isNotNull())
+        .select("user_id", "attr_value", "valid_from", "valid_to", "n_events")
+    )
+
+
+STREAM_SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grps AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM runs
+),
+iv AS (
+  SELECT user_id, grp, max(event_type) AS attr_value,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM grps GROUP BY user_id, grp
+),
+scd AS (
+  SELECT user_id, attr_value, valid_from,
+         lead(valid_from) OVER w2 AS valid_to, n_events
+  FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY grp)
+)
+SELECT user_id, attr_value, valid_from, valid_to, n_events
+FROM scd WHERE valid_to IS NOT NULL
+"""
+
+
 QUERIES = {
+    "stream_scd2_intervals": QuerySpec(
+        stream_scd2_intervals,
+        STREAM_SCD2_SQL,
+        "closed intervals emitted by the stateful SCD2 maintainer (terminal semantics)",
+    ),
     "stream_dedup_events": QuerySpec(
         stream_dedup_events,
         STREAM_DEDUP_SQL,

@@ -16,19 +16,40 @@ def timeseries_gap_fill(spark, sf_dir):
     hour sequence between min and max event time, left-join the hourly
     counts, fill gaps with 0 — the standard dense-timeline transform
     (a per-series sequence+explode, no driver-side loop)."""
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    spine = ev.groupBy().agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    ).select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
-    )
+    # Round-9 single-pass spine (was: a SECOND full corpus aggregation
+    # for min/max + a spine-vs-hourly join): date_trunc(min(ts)) ==
+    # min(date_trunc(ts)), so the spine is derivable from the hourly
+    # table itself — each hourly row emits its own hour plus the
+    # zero-fill hours up to the NEXT observed hour (lead over the
+    # hours-scale table; single-partition is fine, the row count is
+    # the timeline length, not the corpus). One corpus aggregation,
+    # no join, identical output.
+    w = Window.orderBy("h")
     return (
-        spine.join(hourly, spine.hour_ts == hourly.h, "left")
-        .select("hour_ts", F.coalesce("n", F.lit(0)).alias("n_events"))
+        hourly.withColumn("nxt", F.lead("h").over(w))
+        .select(
+            "h",
+            "n",
+            F.explode(
+                F.expr(
+                    "sequence(h, coalesce(nxt - INTERVAL 1 HOUR, h),"
+                    " INTERVAL 1 HOUR)"
+                )
+            ).alias("hour_ts"),
+        )
+        .select(
+            "hour_ts",
+            F.when(F.col("hour_ts") == F.col("h"), F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+        )
     )
 
 

@@ -163,13 +163,29 @@ def test_containment_uses_no_cartesian(spark, sf_dir):
     string (SortMergeJoin or ShuffledHashJoin would mean the 100 TB
     side moves; the broadcast shape moves only the KB-to-GB eval
     side)."""
+    import duckdb_pipeline_spark.queries.common as common
+
+    # below the size threshold (round 9): the whole decontamination is
+    # one union-of-collect-sets shuffle chain — NO joins of any kind
     df = collect_all()["dedup_containment"].fn(spark, sf_dir)
     plan = plan_text(df, "simple")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    # at scale (force the big branch): broadcast-only shingle joins —
+    # the training/full-corpus stream must reach its pair aggregation
+    # without a shuffle keyed on the shingle string
+    real = common.input_bytes
+    common.input_bytes = lambda _df: 1 << 40
+    try:
+        dfb = collect_all()["dedup_containment"].fn(spark, sf_dir)
+    finally:
+        common.input_bytes = real
+    planb = plan_text(dfb, "simple")
+    assert "CartesianProduct" not in planb
+    assert "BroadcastNestedLoopJoin" not in planb
+    assert "SortMergeJoin" not in planb
+    assert "ShuffledHashJoin" not in planb
+    assert "BroadcastHashJoin" in planb
 
 
 def test_ivf_pruned_scan_reads_only_probed_partitions(spark, sf_dir, tmp_path):

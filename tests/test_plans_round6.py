@@ -60,15 +60,19 @@ def test_user_state_totals_one_shuffle(spark, sf_dir):
 def test_bloom_probe_no_false_negatives_and_broadcast(spark, sf_dir):
     """Bloom soundness: every exact member MUST be flagged maybe (a
     false negative means the bit-position derivation diverged between
-    build and probe side); plan: the filter joins as a broadcast, never
-    a shuffle-side SortMergeJoin on pos."""
+    build and probe side); plan (round-9 union-groupBy shape): no
+    cartesian anywhere, and the whole gate runs on a bounded number of
+    shuffles — corpus and probe meet in union aggregations, never in a
+    corpus-sized join."""
     spec = collect_all()["dedup_bloom_probe"]
     rows = spec.fn(spark, sf_dir).collect()
     assert rows, "probe batch is empty"
     assert all(r.bloom_maybe == 1 for r in rows if r.is_member == 1)
     plan = plan_text(spec.fn(spark, sf_dir), "simple")
-    assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    from tests.test_plans_round7 import _shuffle_exchanges
+
+    assert _shuffle_exchanges(plan) <= 4, plan
 
 
 def test_span_exact_counts_on_planted_corpus(spark):
