@@ -924,6 +924,7 @@ def lloyd_step_partials(
     cell_ids,
     vec_col: str = "embedding",
     chunk: int = 1024,
+    emit_inertia: bool = False,
 ) -> DataFrame:
     """Fused assign-and-partially-update kernel for one Lloyd k-means
     iteration: each task assigns its rows to the nearest of K
@@ -939,7 +940,12 @@ def lloyd_step_partials(
 
     `centroids` is a K x d float64 array and `cell_ids` the matching
     ascending cell labels — K rows collected at plan build (the
-    bounded IVF-centroid precedent). NULL embeddings drop out."""
+    bounded IVF-centroid precedent). NULL embeddings drop out.
+
+    ``emit_inertia=True`` additionally emits ONE (cell=-1, i=0) row
+    per task carrying the task's exact int64 sum of assigned (minimum)
+    distances — the per-task inertia partial the k-means trainer's
+    stopping rule aggregates, riding the same K*d-row shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -952,6 +958,7 @@ def lloyd_step_partials(
     def fold(batches):
         sums = np.zeros((k, d), dtype="int64")
         counts = np.zeros(k, dtype="int64")
+        inertia = 0
         for pdf in batches:
             col = pdf[vec_col].dropna()
             if not len(col):
@@ -967,6 +974,8 @@ def lloyd_step_partials(
                     .sum(axis=2)
                 )
                 a = D.argmin(axis=1)
+                if emit_inertia:
+                    inertia += int(D.min(axis=1).sum())
                 Wf = np.floor(W * float(SCALE)).astype("int64")
                 for c in range(k):
                     m = a == c
@@ -976,7 +985,7 @@ def lloyd_step_partials(
         hit = counts > 0
         cells = np.repeat(ids[hit], d)
         comp = np.tile(np.arange(1, d + 1, dtype="int32"), int(hit.sum()))
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "cell": cells,
                 "i": comp,
@@ -984,6 +993,22 @@ def lloyd_step_partials(
                 "n": np.repeat(counts[hit], d),
             }
         )
+        if emit_inertia and counts.sum() > 0:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "cell": pd.Series([-1], dtype="int64"),
+                            "i": pd.Series([0], dtype="int32"),
+                            "s": pd.Series([inertia], dtype="int64"),
+                            "n": pd.Series([int(counts.sum())], dtype="int64"),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        yield out
 
     return embeddings.select(vec_col).mapInPandas(
         fold, "cell long, i int, s long, n long"
