@@ -110,6 +110,128 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if h > 0 else img  # bottom-up -> top-down
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2, non-interlaced) — stdlib zlib only; the format is
+    public knowledge (RFC 2083). ``filter_type`` applies one of the
+    five PNG scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) to every row — real encoders pick per-row; a fixed type
+    still produces a fully standard file and lets the decoder's
+    unfilter paths be pinned one by one in tests."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int64)
+    left = np.zeros_like(px)
+    left[:, 1:] = px[:, :-1]
+    up = np.zeros_like(px)
+    up[1:] = px[:-1]
+    ul = np.zeros_like(px)
+    ul[1:, 1:] = px[:-1, :-1]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - left
+    elif filter_type == 2:
+        filt = px - up
+    elif filter_type == 3:
+        filt = px - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        filt = px - pred
+    else:
+        raise ValueError(f"filter_type {filter_type}")
+    rows = (filt % 256).astype(np.uint8).reshape(h, w * 3)
+    raw = b"".join(bytes([filter_type]) + r.tobytes() for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG to (h, w, 3) uint8
+    RGB — stdlib zlib inflate + all five scanline unfilters (None/Sub/
+    Up/Average/Paeth, per-row as the spec allows). Other bit depths,
+    palettes, alpha, and interlacing remain at the marked extension
+    point (a real deployment drops PIL into `decode_payload`)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off = 8
+    w = h = None
+    idat = b""
+    while off < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} colortype={ctype} interlace={inter} "
+                    "requires PIL — not in this container"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:
+            out[y] = (line + up) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters recur along x; walk pixel-wise
+            # (bpp=3) — scanline-bounded, not corpus-bounded
+            row = out[y]
+            for x in range(stride):
+                a = row[x - 3] if x >= 3 else 0
+                b = up[x]
+                c = up[x - 3] if x >= 3 else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (int(line[x]) + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter {ft}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
 def resize_image(pixels: np.ndarray, factor: int) -> np.ndarray:
     """Stride-sampled downscale by an integer factor (nearest-neighbor;
     the point is real pixel-domain work without an image library)."""
@@ -159,6 +281,9 @@ def decode_payload(media_type: str, payload: bytes) -> tuple[float, int]:
     """
     if media_type == "image" and payload[:2] == b"BM":
         img = decode_bmp(payload)
+        return float(img.mean()), int(img.size)
+    if media_type == "image" and payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload)
         return float(img.mean()), int(img.size)
     if media_type == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
@@ -253,18 +378,34 @@ def synth_payload(did: int, nchars: int) -> tuple[str, bytes]:
     return "audio", encode_wav(0.5 * np.sin(2 * np.pi * (200 + did % 200) * t))
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
+def synth_png_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic PNG payload for one document (round-9 third
+    codec): content-seeded pixels, filter type cycling through all
+    five per doc_id so the corpus exercises every unfilter path.
+    Shared by the Spark kernel AND the pure-pandas fixture generator
+    (the synth_payload contract)."""
+    did, nchars = int(did), int(nchars)
+    rng = np.random.default_rng(did + 7)
+    w = 9 + nchars % 23
+    px = rng.integers(0, 256, size=(11, w, 3), dtype=np.uint8)
+    return "image", encode_png(px, filter_type=did % 5)
+
+
+def synthesize_media(docs: DataFrame, payload_fn=None) -> DataFrame:
     """Build a MEDIA_SCHEMA frame with REAL encoded payloads derived
-    deterministically from each document (see :func:`synth_payload`).
-    This is how the decode path is exercised end-to-end in an
-    environment with no media files: encode -> opaque binary column ->
-    distributed decode, all real bytes in the real formats."""
+    deterministically from each document (see :func:`synth_payload`;
+    ``payload_fn`` swaps the synthesis — e.g. :func:`synth_png_payload`
+    for the PNG corpus). This is how the decode path is exercised
+    end-to-end in an environment with no media files: encode -> opaque
+    binary column -> distributed decode, all real bytes in the real
+    formats."""
+    payload_fn = payload_fn or synth_payload
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_types, out_payloads = [], [], []
             for did, nchars in zip(pdf["doc_id"], pdf["n_chars"]):
-                mtype, payload = synth_payload(did, nchars)
+                mtype, payload = payload_fn(did, nchars)
                 out_payloads.append(payload)
                 out_types.append(mtype)
                 out_ids.append(int(did))

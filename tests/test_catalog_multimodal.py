@@ -252,3 +252,64 @@ def test_wav_frame_stats_matches_direct_decode(spark, sf_dir):
         assert r.n_frames == fr.shape[0] == 1 + (len(samples) - 400) // 160
         assert r.energy_q == int(np.floor(np.abs(samples).mean() * 1e9))
         assert abs(r.energy_q / 1e9 - 0.5 * 2 / np.pi) < 0.02
+
+
+def test_png_decode_hand_built_reference_bytes():
+    """Pin the decoder against PNG files BUILT BY HAND here (struct +
+    zlib, independent of encode_png): a Sub-filtered and a Paeth-
+    filtered scanline with hand-computed expected pixels per the spec's
+    filter definitions. A symmetric encoder/decoder bug (shared wrong
+    convention) cannot pass this."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import _png_chunk, decode_png
+
+    def build(w, h, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 2x1-pixel row, Sub filter: filtered bytes are deltas vs the pixel
+    # 3 bytes left (0 beyond the edge): [10,20,30] then [+5,+6,+7]
+    png = build(2, 1, bytes([1, 10, 20, 30, 5, 6, 7]))
+    want = np.array([[[10, 20, 30], [15, 26, 37]]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+    # 2x2, row 0 None = [[1,2,3],[4,5,6]]; row 1 Paeth: a=left, b=up,
+    # c=upper-left. Pixel (1,0): a=c=0 -> predictor=b=[1,2,3], bytes
+    # [9,9,9] -> [10,11,12]. Pixel (1,1): a=[10,11,12], b=[4,5,6],
+    # c=[1,2,3]; p=a+b-c=[13,14,15]; pa=|p-a|=[3,3,3], pb=|p-b|=[9,9,9],
+    # pc=[12,12,12] -> predictor=a -> bytes [1,1,1] -> [11,12,13]
+    raw = bytes([0, 1, 2, 3, 4, 5, 6]) + bytes([4, 9, 9, 9, 1, 1, 1])
+    png2 = build(2, 2, raw)
+    want2 = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[10, 11, 12], [11, 12, 13]]], dtype=np.uint8
+    )
+    assert (decode_png(png2) == want2).all()
+
+
+def test_png_roundtrip_all_filters_and_dispatch():
+    """encode_png -> decode_png is the identity for every filter type,
+    and the payload dispatches through decode_payload as an image."""
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_payload,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(px, filter_type=ft)) == px).all()
+    mean, dim = decode_payload("image", encode_png(px, filter_type=4))
+    assert dim == px.size
+    assert abs(mean - px.mean()) < 1e-9
