@@ -31,109 +31,89 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 8 window. Composition rule (VERDICT r7 #8): (a) every
-    # query CHANGED or NEW this round, (b) round-7-new queries that are
-    # only once-green, (c) the OLDEST stale tail — 22 queries whose
-    # last driver row is round 1 (the window had drifted toward
-    # round-new work; this round pays the staleness debt).
+    # ---- round 9 window (VERDICT r8 #2: finish the r1/r2 stale-tail
+    # paydown — >=40 pre-r4 queries). Composition: (a) the 9 queries
+    # CHANGED or NEW this round, (b) 40 of the 47 r1/r2-stale queries
+    # (+ the changed gap_fill), oldest debt first. The 7 stragglers
+    # rolling to round 10: window_rank_orders (in-window this round),
+    # window_lag_delta, window_moving_avg, topk_orders_global,
+    # sample_hash_deterministic, join_null_safe, agg_listagg_sorted,
+    # agg_salted_hot_keys (all r1-green, code-unchanged since, locally
+    # green at sf0.01 this round). retention_cohorts_bucketed shares
+    # this round's pmod change with the windowed retention_cohorts
+    # (same retention_from core) and is locally oracle-green — it
+    # yields its slot to the stale tail.
     #
-    # (a) changed round 8 - the minhash family (one-md5 Carter-Wegman
-    # lane scheme, operators/dedup.py): every query whose Spark plan
-    # OR oracle recomputes band signatures
-    "dedup_minhash_lsh",
-    "dedup_components_star",
-    "graph_pagerank",
-    "dedup_containment",      # raw-docs cache + fused eval postings
-    "dedup_incremental_probe",
-    "dedup_cluster_canonical",
-    "dedup_recall_report",
-    # (a) changed round 8 - DSIR batch-vocabulary tf extraction
-    "dsir_importance",
-    "dsir_select_topk",
-    # (a) changed round 8 - retention day-mask rollup (plain+bucketed)
+    # (a) changed round 9: ADVICE r8 exactness fixes (pmod day-mask,
+    # integer shard div, int64 trace), the job-floor rewrites
+    # (containment single-chain small branch, bloom union-groupBy),
+    # and the scd2 enrich join-elimination
+    "dedup_containment",
+    "dedup_bloom_probe",
     "retention_cohorts",
-    "retention_cohorts_bucketed",
-    # (a) NEW round 8 - IEEE fast twins (q1_fast precedent) and the
-    # sketch self-audits (estimate-vs-exact bound verdicts,
-    # hash-checked; VERDICT r7 #6)
-    "q5_regional_revenue_fast",
-    "q10_returned_revenue_fast",
-    "agg_rollup_fast",
-    "sketch_ndv_audit",
-    "sketch_quantiles_audit",
-    "sketch_hll_merge_audit",
-    # (a) NEW round 8 session 2 - leakage-free group split +
-    # temperature-scaled domain mixing
-    "corpus_group_split",
-    "corpus_temperature_sample",
-    # (a) NEW round 8 session 3 - sequence packing, Gopher repetition
-    # signals, near-dup-graph triangle enumeration
     "corpus_pack_sequences",
-    "quality_gopher_repetition",
-    "graph_triangles",
-    "similarity_ivf_adc_topk",
-    # (a) NEW round 8 session 4 - distributed Gram matrix (PCA
-    # building block), bigram-LM quality scoring, SCD2 dimension
-    # build, one Lloyd k-means iteration
-    "embedding_gram_matrix",
-    "text_bigram_xent",
-    "scd2_user_attributes",
-    "scd2_asof_enrich",
-    "kmeans_lloyd_step",
     "pca_variance_audit",
-    "scd2_asof_enrich_indexed",
-    "events_robust_outliers",
-    # medallion pipeline (the reference's own surface - kept standing;
-    # also changed if the round-8 bucketed-silver writer lands)
-    "pipeline_gold_daily_agg",
-    "pipeline_corpus_prep",
-    # (b) round-7-new, once-green - need a second row before rotating
-    "ann_recall_report",
-    "bpe_train_merges_deep",
-    "q3_top_orders_bucketed",
-    "q5_regional_revenue_bucketed",
-    "q10_returned_revenue_bucketed",
-    "user_sessions_gap30_bucketed",
-    "funnel_top_paths_bucketed",
-    # (c) the stale tail: last driver row in ROUND 1, unchanged since.
-    # Oldest-first paydown; the remaining r1/r2 stragglers rotate in
-    # next round.
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "coalesce_nullif",
-    "distinct_pairs",
-    "in_subquery",
-    "join_anti",
-    "join_semi",
-    "join_full_outer",
-    "join_cross",
+    "scd2_asof_enrich",
+    # (a) NEW round 9: stateful-SCD2 terminal semantics, the full
+    # k-means trainer, the PNG codec
+    "stream_scd2_intervals",
+    "kmeans_train_audit",
+    "multimodal_png_features",
+    # (b) the stale tail, oldest-first. q5/q10/q16/gap_fill are ALSO
+    # changed this round (dim-fold, eager-agg pushdown, lead-spine) —
+    # stale and changed coincide
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "q10_returned_revenue",
+    "q16_supplier_variety",
+    "q6_forecast_revenue",
+    "timeseries_gap_fill",
+    "join_left_zero_counts",
+    "asof_purchase_click",
+    "window_running_total",
+    "window_topk_per_group",
+    "window_rank_orders",
     "ntile_quartiles",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_except_all",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_json_funcs",
+    "scalar_array_funcs",
+    "scalar_regexp_funcs",
+    "scalar_subquery_filter",
+    "case_bucketing",
     "q4_order_priority",
     "q7_volume_shipping",
     "q9_profit_by_nation",
+    "q12_shipmode_priority",
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_bracketed_revenue",
     "q21_sole_late_supplier",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_filter",
-    # rotated out round 8 (driver-green in r6 AND r7, unchanged since):
-    # dedup_semantic_cells, dedup_bloom_probe, dedup_span_exact,
-    # dedup_span_scrub, corpus_mix_allocation, search_docs_bm25,
-    # tfidf_top_terms, text_unigram_xent, quality_logreg_score,
-    # bpe_train_merges, bpe_apply_tokenize, corpus_overlap_matrix,
-    # similarity_topk_ivf, similarity_adc_topk, similarity_adc_topk_np,
-    # multimodal_decode_features, multimodal_phash_groups,
-    # multimodal_wav_frames, stream_user_state_totals,
-    # stream_dedup_events, funnel_top_paths, user_sessions_gap30,
-    # sketch_approx_quantiles, sketch_hll_merge, sketch_cms_user_counts,
-    # agg_rollup, fuzzy_match_names, range_join_next_10m,
-    # q1_pricing_summary, q1_pricing_summary_fast
+    "q22_idle_customers",
+    "agg_percentiles_exact",
+    "window_percentiles",
+    "window_first_last",
+    "pivot_status_by_priority",
+    "unpivot_part_measures",
+    # rotated out round 9 (driver-green r8, unchanged since): the
+    # minhash family (dedup_minhash_lsh, dedup_components_star,
+    # graph_pagerank, dedup_incremental_probe, dedup_cluster_canonical,
+    # dedup_recall_report, graph_triangles), dsir_importance,
+    # dsir_select_topk, the IEEE fast twins + sketch audits, corpus
+    # split/sample, quality_gopher_repetition, similarity_ivf_adc_topk,
+    # embedding_gram_matrix, text_bigram_xent, scd2_user_attributes,
+    # scd2_asof_enrich_indexed, kmeans_lloyd_step, events_robust_
+    # outliers, the medallion pipeline pair, ann_recall_report,
+    # bpe_train_merges_deep, the five bucketed twins, and the r8
+    # once-stale cohort (agg_cube .. join_cross)
     # (see prior-round rotation history in git for earlier cohorts)
 )
 

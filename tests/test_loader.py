@@ -83,3 +83,17 @@ def test_oracle_compare_catches_mismatches():
     assert compare("t", a, b)  # values
     # order-insensitive: permuted rows are NOT a mismatch
     assert compare("t", a, a.iloc[::-1].reset_index(drop=True)) == []
+
+
+def test_declared_inventory_counts_match_docs():
+    """The documented inventory numbers (README.md, SURVEY.md §— the
+    round-8 drift lesson: docs said 178/175 while the code exported
+    179/176) are pinned HERE to the code: adding or removing a query
+    fails this test until the docs move with it."""
+    from duckdb_pipeline_spark.queries import PRIORITY, collect_all
+
+    qs = collect_all()
+    assert len(qs) == 182, f"update README/SURVEY: {len(qs)} declared"
+    n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
+    assert n_oracle == 179, f"update README/SURVEY: {n_oracle} with oracles"
+    assert len(PRIORITY) == 50  # the driver's observed window cap
