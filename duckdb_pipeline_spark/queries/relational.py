@@ -140,11 +140,18 @@ def q3_top_orders(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # eager-agg pushdown (round 9, the q10 pattern): per-order revenue
+    # is independent of the customer/orders predicates' row selection
+    # within an order, so aggregate the filtered lineitems to one row
+    # per order FIRST — the joins then run on order-grain rows and the
+    # limb shuffle carries (orderkey, partials), not joined-width rows
+    rev = li.groupBy("l_orderkey").agg(
+        dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
