@@ -65,6 +65,13 @@ class DataLakeIngester:
             response.raise_for_status()
         return io.BytesIO(response.content)
 
+    def _progress_callback(self, bytes_transferred: int) -> None:
+        """Upload-progress hook (ref _s3_progress_callback :116-120):
+        logs cumulative bytes as the transfer manager reports them.
+        Wired into both the boto3 Callback= path and the local-dir
+        path so tests observe the same contract."""
+        logger.info("Transferred: %s bytes", bytes_transferred)
+
     def upload(self, data: io.BytesIO, bucket: str, key: str) -> str:
         """Byte-copy into the bronze zone (ref upload_to_s3 :49-62).
 
@@ -74,14 +81,16 @@ class DataLakeIngester:
         if bucket.startswith("/") or self.config.scheme in ("", "file://"):
             target = os.path.join(bucket, key)
             os.makedirs(os.path.dirname(target), exist_ok=True)
+            payload = data.getvalue()
             with open(target, "wb") as f:
-                f.write(data.getvalue())
+                f.write(payload)
+            self._progress_callback(len(payload))
             logger.info("Landed %s", target)
             return target
         if boto3 is None:
             raise RuntimeError("boto3 not available in this environment")
         client = boto3.client("s3", **self._s3_credentials())
-        client.upload_fileobj(data, bucket, key)
+        client.upload_fileobj(data, bucket, key, Callback=self._progress_callback)
         logger.info("Successfully uploaded %s to %s", key, bucket)
         return f"s3://{bucket}/{key}"
 

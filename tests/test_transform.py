@@ -188,6 +188,8 @@ def test_ingester_local_landing(tmp_path):
 
     cfg = EngineConfig(bronze_bucket=str(tmp_path / "bronze"), scheme="")
     ing = DataLakeIngester("gharchive/events", cfg)
+    seen = []
+    ing._progress_callback = lambda n: seen.append(n)  # ref :116-120 contract
     out = ing.upload(
         io.BytesIO(b"payload"),
         cfg.bronze_bucket,
@@ -195,6 +197,7 @@ def test_ingester_local_landing(tmp_path):
     )
     with open(out, "rb") as f:
         assert f.read() == b"payload"
+    assert seen == [len(b"payload")]
 
 
 def test_read_parquet_glob_merge_schema_evolution(spark, tmp_path):
