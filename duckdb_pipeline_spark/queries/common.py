@@ -93,7 +93,14 @@ def dsum_fp(col: str | Column) -> Column:
       (|x| <= 4e6) that is >= 2.3e12 rows in ONE group, i.e. TPC-H
       sf ~400k lineitem in a single global sum; past the envelope.
     """
-    u = F.round(_c(col) * F.lit(1e9)).cast("long")
+    # floor(v + 0.5) instead of round(v): Spark's Round on a double
+    # codegens a per-row java.math.BigDecimal setScale — measured 2.8x
+    # the whole projection cost at sf0.1 (0.344 vs 0.122 s for the
+    # 5-column q1 projection). Both recover the SAME integer n: v is
+    # within ~0.03 of n (see above), so v + 0.5 lies in [n+0.47,
+    # n+0.53] and floor is n — no half-way cases exist for either
+    # form. Verified 0 mismatching rows across lineitem at sf0.1.
+    u = F.floor(_c(col) * F.lit(1e9) + F.lit(0.5))
     sa = F.sum(F.shiftright(u, 40))
     sb = F.sum(F.shiftright(u, 20).bitwiseAND(F.lit(_M20)))
     sc = F.sum(u.bitwiseAND(F.lit(_M20)))
@@ -163,7 +170,9 @@ def fixed_point_agg(
     the result, bitwise -- is identical.
     """
     u_cols = [
-        F.round(e * F.lit(1e9)).cast("long").alias(f"__u_{k}")
+        # floor(v+0.5) == round(v) here and skips Round's per-row
+        # BigDecimal (see dsum_fp) — the projection is the hot path
+        F.floor(e * F.lit(1e9) + F.lit(0.5)).alias(f"__u_{k}")
         for k, e in exprs.items()
     ]
     proj = df.select(*[F.col(k) for k in keys], *u_cols)

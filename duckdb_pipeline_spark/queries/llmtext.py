@@ -507,6 +507,49 @@ GROUP BY 1
 """
 
 
+_SHUFFLE_SALT = "epoch0"  # new salt per epoch = a fresh deterministic permutation
+
+
+def corpus_shard_shuffle(spark, sf_dir):
+    """The FINAL GLOBAL SHUFFLE every pretraining pipeline runs before
+    writing training shards: each document gets (shard, position) — a
+    seeded pseudorandom permutation that is deterministic across
+    engines, partitionings, and reruns (md5 of salt||doc_id as the
+    sort key; a new salt is a new epoch's permutation; rand() would be
+    neither reproducible nor oracle-checkable). Complements
+    `corpus_shard_manifest` (which checks shard balance): this emits
+    the actual per-doc placement a shard writer consumes.
+
+    Scale shape: ONE hash Exchange on the 16-way shard key + an
+    in-partition sort on the md5 key — a full-corpus sort-by-random
+    would be a global range sort; sharding first makes the permutation
+    embarrassingly parallel per shard, which is exactly why writers
+    shard before shuffling. Ties impossible (doc_id rides the key)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), key.alias("skey"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("shard", "position", "doc_id")
+    )
+
+
+SHARD_SHUFFLE_SQL = f"""
+SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+             AS BIGINT) AS position, doc_id
+FROM (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+)
+"""
+
+
 _CTX = 256  # packing context length (tokens)
 
 
@@ -873,6 +916,11 @@ QUERIES = {
     ),
     "corpus_shard_manifest": QuerySpec(
         corpus_shard_manifest, SHARD_MANIFEST_SQL, "deterministic training-shard manifest"
+    ),
+    "corpus_shard_shuffle": QuerySpec(
+        corpus_shard_shuffle,
+        SHARD_SHUFFLE_SQL,
+        "seeded deterministic global shuffle: per-doc (shard, position) placement",
     ),
     "seq_pack_offsets": QuerySpec(
         seq_pack_offsets, SEQ_PACK_SQL, "GPT-style sequence-packing offsets"

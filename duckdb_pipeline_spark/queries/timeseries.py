@@ -78,8 +78,10 @@ def agg_corr_exact(spark, sf_dir):
     # scale 100: both columns have 2 decimal digits, so the fixed-point
     # values are exact; squared-term sums exceed int64 at sf>=0.1, so
     # they accumulate as decimal(38,0) (exact, = DuckDB's HUGEINT sum)
-    x = F.round(F.col("l_quantity") * 100).cast("long")
-    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # floor(v+0.5) == round(v) for these exact-2-decimal columns and
+    # skips Round's per-row BigDecimal (queries/common.py dsum_fp note)
+    x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
     dec = "decimal(38,0)"
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

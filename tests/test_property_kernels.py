@@ -201,3 +201,21 @@ def test_bloom_lane_sql_matches_hashlib_reference(text):
     want = tuple(int(hexd[8 * j : 8 * j + 4], 16) for j in range(4))
     assert tuple(got) == want
 
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    ft=st.integers(0, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape_any_filter(h, w, seed, ft):
+    """decode(encode(px, filter)) == px for arbitrary shapes and all
+    five scanline filters — including 1-pixel-wide images where the
+    left/upper-left references fall off the edge."""
+    from duckdb_pipeline_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px, filter_type=ft)) == px).all()
