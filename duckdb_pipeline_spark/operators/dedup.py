@@ -710,6 +710,106 @@ def ngram_jaccard_blocked(
     )
 
 
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with shingle-Jaccard
+    >= threshold_num/threshold_den, via prefix filtering (the
+    AllPairs/PPJoin candidate bound — Bayardo et al. WWW'07, Xiao et
+    al. WWW'08; public algorithms).
+
+    Unlike MinHash-LSH this has NO false negatives: the output is
+    bitwise-identical to the brute-force all-pairs join, but the pair
+    space never materializes. For Jaccard(a,b) >= t, the overlap obeys
+    ni >= t*max(na, nb) (ni >= t*(na+nb-ni) and nb >= ni). Order all
+    shingles by a global total order (document frequency asc, shingle
+    asc — rarest first); keeping each doc's first p = n - ceil(t*n) + 1
+    shingles, any qualifying pair MUST share a prefix shingle
+    (pigeonhole: a's non-prefix tail has ceil(t*na) - 1 < ni shingles).
+    Candidates therefore come from a self-join on PREFIX shingles only
+    — bounded by rare-token collisions, not corpus size — then are
+    verified with the exact intersection count.
+
+    All threshold comparisons are integer (den*ni >= num*(na+nb-ni),
+    den*nb >= num*na): no float rounding can disagree with the oracle.
+    ceil(t*n) = (num*n + den - 1) div den, integer on both engines.
+
+    Scale shape (100 TB): df computation is one groupBy(shingle);
+    prefix selection one window on doc_id; the candidate join keys on
+    rare shingles (high-df shingles fall outside every prefix), so
+    bucket sizes stay small by construction — the property that makes
+    AllPairs viable where a naive shingle self-join explodes. Skewed
+    residual buckets are split by AQE skew-join.
+    """
+    from pyspark.sql import Window
+
+    t_num, t_den = threshold_num, threshold_den
+    sh = word_shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_tbl, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, integer-exact
+    pref = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}") + 1
+    ).select(F.col(id_col), "shingle", "n")
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (t_den * F.col("nb") >= t_num * F.col("na"))
+            & (t_den * F.col("na") >= t_num * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(
+            t_den * F.col("ni") >= t_num * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -16,6 +16,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_mapped,
     ngram_jaccard_blocked,
+    prefix_filter_jaccard_join,
     simhash_fingerprints_mapped,
 )
 from . import QuerySpec
@@ -239,6 +240,37 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.05
+"""
+
+
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard >= 3/5 self-join over the duplicated corpus via
+    prefix filtering (AllPairs/PPJoin) — the no-false-negative
+    counterpart to the MinHash-LSH family. Candidates come only from
+    shared PREFIX shingles (rarest-first global order), so the pair
+    space is bounded by rare-token collisions; output is bitwise-equal
+    to brute force. The oracle IS the brute-force join — any missed or
+    spurious pair hash-mismatches."""
+    return prefix_filter_jaccard_join(
+        _dup_corpus(spark, sf_dir), threshold_num=3, threshold_den=5
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+WITH {CORPUS_CTE},
+{_shingle_cte('corpus').strip().lstrip()}
+,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE 5 * ni >= 3 * (za.n + zb.n - ni)
 """
 
 
@@ -1424,6 +1456,11 @@ QUERIES = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram, DEDUP_NGRAM_SQL, "blocked n-gram Jaccard"),
+    "dedup_jaccard_prefix": QuerySpec(
+        dedup_jaccard_prefix,
+        DEDUP_PREFIX_SQL,
+        "exact Jaccard join via prefix filtering (AllPairs/PPJoin, no false negatives)",
+    ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup on documents"
     ),

@@ -91,3 +91,59 @@ def test_gap_fill_spine_dense_and_zero_filled(spark):
     total = sum(r.n_events for r in out)
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert total == ev.count()
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """The AllPairs/PPJoin prefix-filter join must be EXACT: identical
+    pair set and jaccard values to the unfiltered brute-force join, on
+    a corpus with planted twins (which must appear at jaccard 1.0)."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+        word_shingles,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    twins = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_join(corpus, 3, 5).collect()
+    }
+
+    # brute force: every pair sharing any shingle, no prefix filter
+    sh = word_shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    brute = {
+        (r.doc_a, r.doc_b): r.ni / (r.na + r.nb - r.ni)
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(5 * F.col("ni") >= 3 * (F.col("na") + F.col("nb") - F.col("ni")))
+        .collect()
+    }
+
+    assert got == brute  # exact pair set AND exact values
+    n_twins = twins.count()
+    planted = [(a_, b_) for (a_, b_) in got if b_ - a_ == 10_000_000]
+    assert len(planted) == n_twins  # every planted twin found at tau=0.6
+    assert all(got[p] == 1.0 for p in planted)
