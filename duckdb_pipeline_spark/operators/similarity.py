@@ -1013,3 +1013,121 @@ def lloyd_step_partials(
     return embeddings.select(vec_col).mapInPandas(
         fold, "cell long, i int, s long, n long"
     )
+
+
+def knn_join_partials(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 128,
+) -> DataFrame:
+    """Distributed EXACT k-NN JOIN partials: every vector meets every
+    other through a block-nested-loop, with per-block top-k pruning so
+    only O(n * n_blocks * k) candidate rows ever leave the tasks.
+
+    Shape (the reason this survives 100 TB where a crossJoin cannot):
+    both sides are split into ``n_blocks`` hash blocks on the id; the
+    probe side is replicated across the build side's block axis (and
+    vice versa), so ONE shuffle of 2 * n * n_blocks vector rows lands
+    every (a-block, b-block) cell in its own task. Each task scores
+    n/B x n/B pairs in a chunked numpy kernel (memory bounded
+    O(chunk * n/B * dim), never the full pair matrix) and emits only
+    its local top-(k+1) per probe row. The global top-k per vector is
+    contained in the union of per-block top-ks, so the downstream
+    merge (one per-id window over n * B * (k+1) skinny rows) is exact
+    — no corpus-scale pair list, no driver collect, no broadcast of
+    the corpus. Growing the corpus grows B; per-task work stays
+    n/B x n/B.
+
+    Per-block candidates are top-(k+1) by (cosine desc, nbr id asc)
+    INCLUDING a possible self-pair, which is then dropped — taking one
+    extra guarantees >= k non-self survivors per block without
+    perturbing any kept cosine value (no -inf masking touches the
+    floats, preserving the bitwise fixed-point contract:
+    floor(x*y*SCALE) int sums, dot/(sqrt(na)*sqrt(nb)) — identical to
+    the oracle's unnest-and-SUM formulation).
+
+    Returns partial rows (vec_id, nbr_id, cosine); callers apply the
+    exact merge (see queries.similarity.knn_join_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    B = int(n_blocks)
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).where(F.col(vec_col).isNotNull())
+    rep = F.explode(F.expr(f"sequence(0, {B - 1})"))
+    a = (
+        emb.select(
+            F.pmod(F.col("id"), F.lit(B)).alias("ablk"), "id", "vec"
+        )
+        .withColumn("bblk", rep)
+        .withColumn("side", F.lit(0))
+    )
+    b = (
+        emb.select(
+            F.pmod(F.col("id"), F.lit(B)).alias("bblk"), "id", "vec"
+        )
+        .withColumn("ablk", rep)
+        .withColumn("side", F.lit(1))
+    )
+    both = a.select("ablk", "bblk", "side", "id", "vec").unionByName(
+        b.select("ablk", "bblk", "side", "id", "vec")
+    )
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        A = pdf[pdf["side"] == 0]
+        Bp = pdf[pdf["side"] == 1].sort_values("id")
+        if A.empty or Bp.empty:
+            return empty
+        ids_a = A["id"].to_numpy()
+        ids_b = Bp["id"].to_numpy()
+        Va = np.stack(A["vec"].to_numpy()).astype("float64")
+        Vb = np.stack(Bp["vec"].to_numpy()).astype("float64")
+        ra = np.sqrt(
+            np.floor(Va * Va * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        rb = np.sqrt(
+            np.floor(Vb * Vb * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        keep_n = min(k + 1, len(ids_b))
+        out = []
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            dots = (
+                np.floor(Va[lo:hi, None, :] * Vb[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            cos = dots.astype("float64") / (ra[lo:hi, None] * rb[None, :])
+            # stable argsort on -cos: ties fall back to Vb's id order
+            # (pre-sorted ascending), matching the merge's tiebreak
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
+            m = hi - lo
+            cand_id = np.repeat(ids_a[lo:hi], keep_n)
+            cand_nbr = ids_b[idx].reshape(-1)
+            cand_cos = cos[np.repeat(np.arange(m), keep_n), idx.reshape(-1)]
+            non_self = cand_id != cand_nbr
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": cand_id[non_self],
+                        "nbr_id": cand_nbr[non_self],
+                        "cosine": cand_cos[non_self],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return both.groupBy("ablk", "bblk").applyInPandas(
+        block_topk, "vec_id long, nbr_id long, cosine double"
+    )

@@ -408,7 +408,65 @@ GROUP BY e.event_type
 """
 
 
+def profile_table_summary(spark, sf_dir):
+    """SUMMARIZE-style one-row-per-column data profile of `documents`:
+    (col_name, n_rows, n_nulls, n_distinct, min_str, max_str, avg_len)
+    — the table-profiling surface an engine exposes for planning and
+    data-quality gates (DuckDB's SUMMARIZE; Spark's
+    `df.summary()` covers only numeric moments, so this is built as
+    declared aggregation).
+
+    Shape: one branch per column, unioned — each branch is a
+    column-pruned scan + partial-aggregated (count / countDistinct /
+    min / max / sum-of-length) fold, so total I/O equals reading each
+    profiled column once (the same bytes ONE multi-countDistinct pass
+    costs, without that plan's row Expand: Spark rewrites N
+    countDistincts in one aggregate as an N-way Expand of every input
+    row — at 100 TB that is N x corpus rows through the first
+    shuffle, strictly worse than N independent skinny folds that run
+    concurrently). min/max render through a string cast so one output
+    schema serves every column type; numeric columns min/max
+    numerically BEFORE the cast."""
+    docs = load(spark, sf_dir, "documents")
+    branches = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        col = F.col(c)
+        branches.append(
+            docs.select(col).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+                F.avg(F.length(col.cast("string"))).alias("avg_len"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str,
+       avg(length(CAST({c} AS VARCHAR))) AS avg_len
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
+    "profile_table_summary": QuerySpec(
+        profile_table_summary,
+        PROFILE_SQL,
+        "SUMMARIZE-style per-column table profile (count/nulls/ndv/min/max/avg-len)",
+    ),
     "events_robust_outliers": QuerySpec(
         events_robust_outliers,
         ROBUST_OUTLIERS_SQL,

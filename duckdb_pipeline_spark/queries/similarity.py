@@ -1104,8 +1104,179 @@ GROUP BY i, j, n.n_vecs
 """
 
 
+def _knn_topk(spark, sf_dir, k=3, n_blocks=8):
+    """Shared exact k-NN join core: block-nested-loop partials (see
+    operators.similarity.knn_join_partials) + ONE per-id window merge.
+    The window's order (cosine desc, nbr_id asc) is the same tiebreak
+    the per-block kernel used, so the global top-k is exact and
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import knn_join_partials
+
+    part = knn_join_partials(
+        load(spark, sf_dir, "embeddings"), k=k, n_blocks=n_blocks
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return part.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def knn_join_topk(spark, sf_dir):
+    """Exact k-NN JOIN: every vector's top-3 cosine neighbors — the
+    all-vectors generalization of `similarity_topk` (which serves one
+    query id). Feeds kNN-graph curation (SemDeDup cells, label
+    propagation, `knn_label_purity`). Scale shape: block-nested-loop
+    with per-block top-k pruning — only O(n * B * k) skinny candidate
+    rows shuffle into the merge window; the full pair matrix never
+    materializes anywhere. The approximate counterpart at corpus scale
+    swaps the block pair generator for IVF cell candidates
+    (`similarity_topk_ivf` precedent); this exact form IS its recall
+    oracle."""
+    return _knn_topk(spark, sf_dir).select("vec_id", "nbr_id", "rk", "cosine")
+
+
+KNN_JOIN_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+),
+terms AS (
+  SELECT vec_id, nbr_id,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
+  FROM pairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, nbr_id, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY vec_id, nbr_id
+),
+scored AS (
+  SELECT vec_id, nbr_id,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) AS cosine
+  FROM sums
+),
+rk AS (
+  SELECT vec_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT vec_id, nbr_id, rk, cosine FROM rk WHERE rk <= 3
+"""
+
+
+def knn_label_purity(spark, sf_dir):
+    """kNN label-consistency audit: per label, how many vectors have
+    their 3-NN majority label equal to their own (the standard
+    embedding-quality / labeling-noise signal for curation). Majority
+    = most frequent neighbor label, ties to the smallest label (exact
+    argmin over (-count, label) — deterministic cross-engine). All
+    joins are on the skinny kNN edge list (n * k rows), never the
+    vectors; the purity division is one IEEE double op on identical
+    longs."""
+    knn = _knn_topk(spark, sf_dir)
+    labs = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        knn.join(
+            labs.select(
+                F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    maj = (
+        votes.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nbr_label").alias("l")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.l").alias("maj_label"))
+    )
+    return (
+        maj.join(labs, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("maj_label") == F.col("label")).cast("long")).alias(
+                "n_match"
+            ),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_match",
+            (F.col("n_match").cast("double") / F.col("n_vecs")).alias("purity"),
+        )
+    )
+
+
+KNN_PURITY_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+),
+terms AS (
+  SELECT vec_id, nbr_id,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
+  FROM pairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, nbr_id, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY vec_id, nbr_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) DESC,
+                    nbr_id) AS rk
+  FROM sums
+),
+votes AS (
+  SELECT k.vec_id, e.label AS nbr_label, count(*) AS cnt
+  FROM rk k JOIN embeddings e ON e.vec_id = k.nbr_id
+  WHERE k.rk <= 3
+  GROUP BY k.vec_id, e.label
+),
+maj AS (
+  SELECT vec_id, nbr_label AS maj_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cnt DESC, nbr_label) AS mr
+  FROM votes
+)
+SELECT e.label AS label, count(*) AS n_vecs,
+       CAST(SUM(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purity
+FROM maj m JOIN embeddings e USING (vec_id)
+WHERE m.mr = 1
+GROUP BY e.label
+"""
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
+    "knn_join_topk": QuerySpec(
+        knn_join_topk,
+        KNN_JOIN_SQL,
+        "exact k-NN join (block-nested-loop partials + per-id top-k merge)",
+    ),
+    "knn_label_purity": QuerySpec(
+        knn_label_purity,
+        KNN_PURITY_SQL,
+        "3-NN majority-label consistency per label (embedding-quality audit)",
+    ),
     "embedding_gram_matrix": QuerySpec(
         embedding_gram_matrix,
         GRAM_SQL,
