@@ -1050,7 +1050,73 @@ FROM c
 """
 
 
+def split_leakage_audit(spark, sf_dir):
+    """Decontamination audit: assign every document to train/val/test
+    by a NAIVE per-doc hash split (the split `corpus_group_split`
+    exists to avoid), then count verified near-dup pairs by the split
+    cell they land in. Off-diagonal cells (split_a <> split_b) are
+    LEAKED pairs — evaluation contamination a per-doc split cannot
+    prevent because near-dups hash independently. The audit a pipeline
+    runs to justify group-keyed splitting.
+
+    Scale shape: the split label is a pure map-side function of the
+    pair's own id columns (md5 + threshold CASE — no join back to the
+    corpus), so beyond the dedup pipeline itself the audit adds one
+    3x3-cell aggregation of the skinny pair list."""
+    from ..operators.dedup import minhash_lsh_dedup_mapped
+    from .dedup import _dup_corpus
+
+    pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+
+    def lab(col):
+        h = f"md5('{_SPLIT_SEED}:doc:' || CAST({col} AS STRING))"
+        u = _u48_sql(h)
+        return (
+            f"CASE WHEN {u} < 0.8 THEN 'train' WHEN {u} < 0.9 THEN 'val' "
+            "ELSE 'test' END"
+        )
+
+    return (
+        pairs.selectExpr(f"{lab('doc_a')} AS sa", f"{lab('doc_b')} AS sb")
+        .selectExpr(
+            "least(sa, sb) AS split_a",
+            "greatest(sa, sb) AS split_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _leak_lab_sql(col: str) -> str:
+    h = f"md5('{_SPLIT_SEED}:doc:' || CAST({col} AS VARCHAR))"
+    u = _u48_sql(h)
+    return (
+        f"CASE WHEN {u} < 0.8 THEN 'train' WHEN {u} < 0.9 THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import DEDUP_MINHASH_SQL
+
+    return f"""
+WITH pairsq AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z),
+lab AS (
+  SELECT {_leak_lab_sql('doc_a')} AS sa, {_leak_lab_sql('doc_b')} AS sb
+  FROM pairsq
+)
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       count(*) AS n_pairs
+FROM lab GROUP BY least(sa, sb), greatest(sa, sb)
+"""
+
+
 QUERIES = {
+    "split_leakage_audit": QuerySpec(
+        split_leakage_audit,
+        _split_leakage_sql(),
+        "near-dup pairs crossing a naive per-doc hash split (contamination audit)",
+    ),
     "corpus_pack_sequences": QuerySpec(
         corpus_pack_sequences,
         PACK_SEQUENCES_SQL,

@@ -1135,8 +1135,10 @@ def knn_join_topk(spark, sf_dir):
     return _knn_topk(spark, sf_dir).select("vec_id", "nbr_id", "rk", "cosine")
 
 
-KNN_JOIN_SQL = f"""
-WITH pairs AS (
+# Shared CTE body for every kNN-derived oracle: all-pairs fixed-point
+# cosine + per-id rank (the brute-force ground truth the distributed
+# block-nested-loop provably equals).
+_KNN_CTES = f"""pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          a.embedding AS ea, b.embedding AS eb
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -1163,7 +1165,11 @@ rk AS (
   SELECT vec_id, nbr_id, cosine,
          CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rk
   FROM scored
-)
+)"""
+
+
+KNN_JOIN_SQL = f"""
+WITH {_KNN_CTES}
 SELECT vec_id, nbr_id, rk, cosine FROM rk WHERE rk <= 3
 """
 
@@ -1219,32 +1225,7 @@ def knn_label_purity(spark, sf_dir):
 
 
 KNN_PURITY_SQL = f"""
-WITH pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         a.embedding AS ea, b.embedding AS eb
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-),
-terms AS (
-  SELECT vec_id, nbr_id,
-         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
-         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
-         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
-  FROM pairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
-),
-sums AS (
-  SELECT vec_id, nbr_id, CAST(SUM(dt) AS BIGINT) AS dot_i,
-         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
-  FROM terms GROUP BY vec_id, nbr_id
-),
-rk AS (
-  SELECT vec_id, nbr_id,
-         row_number() OVER (
-           PARTITION BY vec_id
-           ORDER BY CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) DESC,
-                    nbr_id) AS rk
-  FROM sums
-),
+WITH {_KNN_CTES},
 votes AS (
   SELECT k.vec_id, e.label AS nbr_label, count(*) AS cnt
   FROM rk k JOIN embeddings e ON e.vec_id = k.nbr_id
@@ -1265,6 +1246,62 @@ GROUP BY e.label
 """
 
 
+def knn_graph_components(spark, sf_dir):
+    """Mutual-kNN graph clustering: an edge joins two vectors that
+    appear in EACH OTHER'S 3-NN lists (the mutual filter prunes hub
+    vectors' one-sided edges — standard in kNN-graph curation), then
+    large-star/small-star contraction labels the connected components
+    (O(log^2 n) rounds, diameter-independent — the 100 TB variant the
+    dedup family already uses). Output: (vec_id, component,
+    component_size) for every vector with at least one mutual edge.
+
+    Scale shape: the graph is built from the SKINNY kNN edge list
+    (n * k rows), never the vectors; mutual = one self-intersect on
+    the edge list; components run entirely on edge-sized data."""
+    from ..operators.dedup import connected_components_star
+
+    knn = _knn_topk(spark, sf_dir).select("vec_id", "nbr_id")
+    rev = knn.select(
+        F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    mutual = knn.intersect(rev).where(F.col("vec_id") < F.col("nbr_id"))
+    cc = connected_components_star(mutual, src="vec_id", dst="nbr_id")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        cc.select(F.col("doc_id").alias("vec_id"), "component")
+        .join(sizes, "component")
+        .select("vec_id", "component", "component_size")
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH RECURSIVE {_KNN_CTES},
+-- MATERIALIZED: the recursive reach CTE references edges each
+-- iteration; without it DuckDB re-inlines (and recomputes) the whole
+-- 16M-row kNN chain per iteration (measured 331 s vs ~5 s at sf0.001)
+knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM rk WHERE rk <= 3),
+mutual AS (
+  SELECT k1.vec_id AS a, k1.nbr_id AS b
+  FROM knn k1 JOIN knn k2 ON k2.vec_id = k1.nbr_id AND k2.nbr_id = k1.vec_id
+  WHERE k1.vec_id < k1.nbr_id
+),
+edges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.vec_id, c.component, s.component_size
+FROM comp c
+JOIN (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component) s USING (component)
+"""
+
+
 QUERIES = {
     "similarity_topk": QuerySpec(similarity_topk, TOPK_SQL, "exact cosine top-k"),
     "knn_join_topk": QuerySpec(
@@ -1276,6 +1313,11 @@ QUERIES = {
         knn_label_purity,
         KNN_PURITY_SQL,
         "3-NN majority-label consistency per label (embedding-quality audit)",
+    ),
+    "knn_graph_components": QuerySpec(
+        knn_graph_components,
+        KNN_GRAPH_SQL,
+        "mutual-kNN graph clustering via star contraction",
     ),
     "embedding_gram_matrix": QuerySpec(
         embedding_gram_matrix,
