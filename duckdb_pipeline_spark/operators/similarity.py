@@ -1131,3 +1131,104 @@ def knn_join_partials(
     return both.groupBy("ablk", "bblk").applyInPandas(
         block_topk, "vec_id long, nbr_id long, cosine double"
     )
+
+
+def knn_join_within_cells(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 128,
+) -> DataFrame:
+    """Approximate k-NN JOIN, IVF production path: assign every vector
+    to its IVF cell (same deterministic centroids + exact integer-IP
+    argmax as `ivf_write_index`; argmax ties resolve to the lowest
+    cell, matching the oracle's (score DESC, cell_id) rank), then
+    compute the EXACT top-k within each cell in one applyInPandas pass
+    per cell — no cross-cell pairs, no merge step (each vector lives
+    in exactly one group, so in-kernel ranks are final).
+
+    This is the scale form of `knn_join_partials`: the candidate set
+    shrinks from every block pair (exact, O(n²/B) per task) to one
+    semantic cell (approximate, O((n/C)²) per task with C growing with
+    the corpus). Recall against the exact join is auditable with
+    `ann_recall_audit`-style queries; tie-breaks and fixed-point
+    arithmetic are identical to the exact kernel, so within-cell
+    results are bitwise-equal to the exact join restricted to the
+    cell."""
+    import numpy as np
+    import pandas as pd
+
+    C, _ = _ivf_centroids_and_query(embeddings, None, n_cells, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = (
+                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            out = pdf.copy()
+            out["cell"] = scores.argmax(axis=1).astype("int32")
+            yield out
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"{id_col} long, {vec_col} array<float>, cell int",
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "rk": pd.Series([], dtype="int32"),
+                "cosine": pd.Series([], dtype="float64"),
+                "cell": pd.Series([], dtype="int32"),
+            }
+        )
+        pdf = pdf.sort_values(id_col)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        cell = int(pdf["cell"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        r = np.sqrt(
+            np.floor(V * V * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        keep_n = min(k + 1, n)
+        frames = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            dots = (
+                np.floor(V[lo:hi, None, :] * V[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            cos = dots.astype("float64") / (r[lo:hi, None] * r[None, :])
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
+            m = hi - lo
+            cand_id = np.repeat(ids[lo:hi], keep_n)
+            cand_nbr = ids[idx].reshape(-1)
+            cand_cos = cos[np.repeat(np.arange(m), keep_n), idx.reshape(-1)]
+            f = pd.DataFrame(
+                {"vec_id": cand_id, "nbr_id": cand_nbr, "cosine": cand_cos}
+            )
+            f = f[f["vec_id"] != f["nbr_id"]]
+            # candidates arrive rank-ordered per row; number the
+            # survivors and keep the first k
+            f["rk"] = f.groupby("vec_id").cumcount().astype("int32") + 1
+            frames.append(f[f["rk"] <= k])
+        out = pd.concat(frames, ignore_index=True) if frames else empty
+        out["cell"] = np.int32(cell)
+        return out[["vec_id", "nbr_id", "rk", "cosine", "cell"]]
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_topk, "vec_id long, nbr_id long, rk int, cosine double, cell int"
+    )

@@ -1246,6 +1246,72 @@ GROUP BY e.label
 """
 
 
+def knn_join_topk_ivf(spark, sf_dir):
+    """Approximate k-NN join, IVF production path: top-3 within each
+    vector's IVF cell (deterministic centroids, exact integer-IP
+    argmax assignment — the `similarity_topk_ivf` family). The
+    documented scale swap for `knn_join_topk`: per-task work drops
+    from O(n²/B²) exact block pairs to O((n/C)²) within-cell pairs,
+    with C growing with the corpus; recall is auditable against the
+    exact join, and within-cell ranks are bitwise-equal to it."""
+    from ..operators.similarity import knn_join_within_cells
+
+    return knn_join_within_cells(
+        load(spark, sf_dir, "embeddings"), n_cells=8, k=3
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  WHERE e.embedding IS NOT NULL
+  GROUP BY e.vec_id, c.cell_id
+),
+cells AS (
+  SELECT vec_id, CAST(cell_id AS INTEGER) AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore) WHERE rn = 1
+),
+cpairs AS (
+  SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id, ca.cell,
+         a.embedding AS ea, b.embedding AS eb
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+terms AS (
+  SELECT vec_id, nbr_id, cell,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
+  FROM cpairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, nbr_id, cell, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY vec_id, nbr_id, cell
+),
+rk AS (
+  SELECT vec_id, nbr_id, cell,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) DESC,
+                    nbr_id) AS INTEGER) AS rk
+  FROM sums
+)
+SELECT vec_id, nbr_id, rk, cosine, cell FROM rk WHERE rk <= 3
+"""
+
+
 def knn_graph_components(spark, sf_dir):
     """Mutual-kNN graph clustering: an edge joins two vectors that
     appear in EACH OTHER'S 3-NN lists (the mutual filter prunes hub
@@ -1318,6 +1384,11 @@ QUERIES = {
         knn_graph_components,
         KNN_GRAPH_SQL,
         "mutual-kNN graph clustering via star contraction",
+    ),
+    "knn_join_topk_ivf": QuerySpec(
+        knn_join_topk_ivf,
+        KNN_IVF_SQL,
+        "IVF cell-blocked approximate k-NN join (the exact join's scale swap)",
     ),
     "embedding_gram_matrix": QuerySpec(
         embedding_gram_matrix,

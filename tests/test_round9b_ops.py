@@ -95,3 +95,36 @@ def test_profile_table_summary_consistency(spark):
     assert doc["n_nulls"] == 0
     assert doc["n_distinct"] == doc["n_rows"], "doc_id is a key"
     assert rows["lang"]["n_distinct"] <= 30
+
+
+def test_knn_ivf_matches_exact_within_cells(spark):
+    """The IVF cell-blocked join must equal the EXACT kNN join
+    recomputed over each cell's members alone (same arithmetic, same
+    tiebreak) — i.e. the approximation is exactly 'restrict candidates
+    to the cell', nothing else."""
+    from duckdb_pipeline_spark.operators.similarity import (
+        knn_join_partials,
+        knn_join_within_cells,
+    )
+
+    emb = _planted(spark, n=40, d=8)
+    got = knn_join_within_cells(emb, n_cells=4, k=2)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in got.select("vec_id", "cell").distinct().collect()
+    }
+    got_rows = sorted(
+        (r["vec_id"], r["nbr_id"], r["rk"], r["cosine"]) for r in got.collect()
+    )
+
+    # exact join over each cell's members only, via the exact kernel
+    want = []
+    for cell in sorted(set(cells.values())):
+        members = [v for v, c in cells.items() if c == cell]
+        sub = emb.where(F.col("vec_id").isin(members))
+        merged = _merge_topk(knn_join_partials(sub, k=2, n_blocks=2), 2)
+        want += [
+            (r["vec_id"], r["nbr_id"], r["rk"], r["cosine"])
+            for r in merged.collect()
+        ]
+    assert got_rows == sorted(want)
