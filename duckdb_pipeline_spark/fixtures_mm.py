@@ -41,6 +41,7 @@ DECODE_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_decode_features.parquet")
 PHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_phash_groups.parquet")
 WAV_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_wav_frames.parquet")
 PNG_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_png_features.parquet")
+GIF_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_gif_features.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -168,6 +169,30 @@ def _expected_png_features(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _expected_gif_features(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_gif_features:
+    doc_id < 400 -> synthesize GIF (palette size cycling 4/8/16) ->
+    decode -> (feat_mean, feat_dim)."""
+    from .operators.multimodal import decode_payload, synth_gif_payload
+
+    rows = []
+    sel = docs[docs["doc_id"] < 400].sort_values("doc_id")
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        mtype, payload = synth_gif_payload(did, nchars)
+        feat_mean, feat_dim = decode_payload(mtype, payload)
+        rows.append((int(did), mtype, len(payload), feat_mean, feat_dim))
+    return pd.DataFrame(
+        rows, columns=["media_id", "media_type", "n_bytes", "feat_mean", "feat_dim"]
+    ).astype(
+        {
+            "media_id": "int64",
+            "n_bytes": "int64",
+            "feat_mean": "float64",
+            "feat_dim": "int64",
+        }
+    )
+
+
 def corpus_key(docs: pd.DataFrame) -> int:
     """Content-sensitive dispatch scalar; the SQL twin is
     ``count(*) + sum(doc_id * n_chars)`` over the documents view."""
@@ -195,7 +220,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     # file must invalidate per-sf stamps written before it existed
     # (the file-exists check alone passes once any sf dir built it,
     # leaving other sf dirs' corpus_key partitions missing)
-    dig = _digest(src) + ":fxv3"
+    dig = _digest(src) + ":fxv4"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -209,6 +234,7 @@ def ensure_fixtures(sf_dir: str) -> None:
         and os.path.exists(PHASH_FIXTURE)
         and os.path.exists(WAV_FIXTURE)
         and os.path.exists(PNG_FIXTURE)
+        and os.path.exists(GIF_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
@@ -217,6 +243,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     _merge_partition(PHASH_FIXTURE, key, _expected_phash_groups(docs))
     _merge_partition(WAV_FIXTURE, key, _expected_wav_frames(docs))
     _merge_partition(PNG_FIXTURE, key, _expected_png_features(docs))
+    _merge_partition(GIF_FIXTURE, key, _expected_gif_features(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -243,5 +270,11 @@ WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 PNG_ORACLE_SQL = f"""
 SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
 FROM read_parquet('{PNG_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+GIF_ORACLE_SQL = f"""
+SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
+FROM read_parquet('{GIF_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 """

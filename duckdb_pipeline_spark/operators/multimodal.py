@@ -232,6 +232,204 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+_GIF_MAGIC = b"GIF8"
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (variable 3..12-bit codes, LSB-first packing,
+    clear/EOI codes, width growth, clear-and-reset at the 4096-entry
+    cap) — public knowledge (GIF87a spec appendix; Welch 1984).
+
+    Width is driven by an explicit DECODER MODEL (`dec_next`), not by
+    the encoder's own dictionary counter: the decoder assigns one new
+    entry per RECEIVED data code after the first, which includes the
+    encoder's final flush emission (an emission with no encoder-side
+    miss/add). Bumping off the encoder's add counter desyncs exactly
+    when the table size crosses a power of two on that flush — the
+    decoder widens for the next code (possibly EOI) while the encoder
+    does not (found by fixture corpus doc 161: 325-pixel 16-color
+    image whose last add landed on 256). The giflib approach —
+    mirror the decoder's counter — is correct by construction."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    dec_next = clear + 2  # decoder's next free code (its table length)
+    n_data = 0  # data codes emitted since the last clear
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def put_data(code: int) -> None:
+        # after the decoder processes this code it adds one entry
+        # (except for the first code after a clear) and may widen —
+        # mirror that so the NEXT emission uses the decoder's width
+        nonlocal dec_next, width, n_data
+        put(code)
+        n_data += 1
+        if n_data >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put_data(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            dec_next = clear + 2
+            n_data = 0
+        w = bytes([b])
+    if w:
+        put_data(table[w])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode` (standard GIF decoder loop with
+    the KwKwK `code == next_code` case)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) uint8 palette as a
+    GIF87a (global color table, single image, no interlace) — stdlib
+    only; the format is public knowledge (GIF87a specification).
+    Palette size is padded to the next power of two (min 4)."""
+    h, w = indices.shape
+    n = max(4, 1 << int(np.ceil(np.log2(len(palette)))))
+    if np.any(indices >= len(palette)):
+        raise ValueError("index beyond palette")
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    min_code_size = max(2, int(np.log2(n)))
+    lzw = _lzw_encode(indices.astype(np.uint8).tobytes(), min_code_size)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (size_bits << 4) | size_bits, 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a (global color table, first image, no
+    interlace, no local table) to (h, w, 3) uint8 RGB. Extension
+    blocks are skipped; interlace/local-table images raise at the
+    marked extension point."""
+    if payload[:4] != _GIF_MAGIC:
+        raise ValueError("not a GIF payload")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n = 2 << (packed & 0x07)
+    pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+    pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            _, _, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0xC0:
+                raise NotImplementedError("GIF local color table / interlace")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code_size), dtype=np.uint8
+            )
+            if len(idx) != h * w:
+                raise ValueError(f"GIF pixel count {len(idx)} != {h}x{w}")
+            return pal[idx.reshape(h, w)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 def resize_image(pixels: np.ndarray, factor: int) -> np.ndarray:
     """Stride-sampled downscale by an integer factor (nearest-neighbor;
     the point is real pixel-domain work without an image library)."""
@@ -284,6 +482,9 @@ def decode_payload(media_type: str, payload: bytes) -> tuple[float, int]:
         return float(img.mean()), int(img.size)
     if media_type == "image" and payload[:8] == _PNG_MAGIC:
         img = decode_png(payload)
+        return float(img.mean()), int(img.size)
+    if media_type == "image" and payload[:4] == _GIF_MAGIC:
+        img = decode_gif(payload)
         return float(img.mean()), int(img.size)
     if media_type == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
@@ -389,6 +590,22 @@ def synth_png_payload(did: int, nchars: int) -> tuple[str, bytes]:
     w = 9 + nchars % 23
     px = rng.integers(0, 256, size=(11, w, 3), dtype=np.uint8)
     return "image", encode_png(px, filter_type=did % 5)
+
+
+def synth_gif_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic GIF payload for one document (round-9 fourth
+    codec): content-seeded indexed pixels over a content-seeded
+    palette; palette size cycles 4/8/16 per doc_id so every code width
+    (3..5 start) and the width-growth path run distributed. Shared by
+    the Spark kernel AND the pure-pandas fixture generator (the
+    synth_payload contract)."""
+    did, nchars = int(did), int(nchars)
+    rng = np.random.default_rng(did + 11)
+    npal = (4, 8, 16)[did % 3]
+    w = 9 + nchars % 23
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(13, w), dtype=np.uint8)
+    return "image", encode_gif(idx, pal)
 
 
 def synthesize_media(docs: DataFrame, payload_fn=None) -> DataFrame:

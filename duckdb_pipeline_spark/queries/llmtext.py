@@ -210,6 +210,30 @@ def multimodal_png_features(spark, sf_dir):
     )
 
 
+def multimodal_gif_features(spark, sf_dir):
+    """REAL distributed GIF decode (round-9 fourth codec): stdlib-only
+    LZW (variable 3..12-bit codes, clear/EOI, width growth,
+    4096-entry reset — GIF87a spec / Welch 1984, public knowledge) +
+    global-color-table indexed pixels. The synthesized corpus cycles
+    palette sizes 4/8/16 per doc_id so every starting code width and
+    the width-growth path run distributed. Oracle: DuckDB scan of the
+    independently-built pure-pandas fixture (fixtures_mm.py),
+    corpus_key-dispatched like BMP/WAV/PNG; codec correctness is
+    additionally pinned by hand-built reference-byte pytests."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        extract_features,
+        synth_gif_payload,
+        synthesize_media,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return extract_features(
+        synthesize_media(docs, payload_fn=synth_gif_payload), decode_stub=False
+    )
+
+
 def text_udtf_sentences(spark, sf_dir):
     """Python UDTF (table function) — the one UDF shape the rest of
     the engine doesn't exercise (scalar pandas UDFs and grouped/map
@@ -910,6 +934,11 @@ QUERIES = {
         multimodal_png_features,
         _fixtures_mm.PNG_ORACLE_SQL,
         "real PNG decode (stdlib zlib + all five unfilters; fixture oracle)",
+    ),
+    "multimodal_gif_features": QuerySpec(
+        multimodal_gif_features,
+        _fixtures_mm.GIF_ORACLE_SQL,
+        "real GIF decode (stdlib LZW + global color table; fixture oracle)",
     ),
     "text_repetition_stats": QuerySpec(
         text_repetition_stats, REPETITION_SQL, "Gopher-style repetition filters"

@@ -313,3 +313,89 @@ def test_png_roundtrip_all_filters_and_dispatch():
     mean, dim = decode_payload("image", encode_png(px, filter_type=4))
     assert dim == px.size
     assert abs(mean - px.mean()) < 1e-9
+
+
+def test_gif_lzw_hand_built_reference_bytes():
+    """Pin the LZW stream for data [0,1,1,0] at min_code_size=2,
+    hand-derived from the GIF87a spec: CLEAR(4)@3b, 0@3b, 1@3b, 1@3b,
+    then the decoder's table hits 8 on the FLUSH code's add, so the
+    flush 0 and EOI(5) are read at 4 bits — the width-at-flush
+    boundary that drove the decoder-model encoder design. LSB-first
+    packing gives bytes 44 02 05."""
+    from duckdb_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    data = bytes([0, 1, 1, 0])
+    enc = _lzw_encode(data, 2)
+    assert enc == bytes.fromhex("440205")
+    assert _lzw_decode(enc, 2) == data
+
+
+def test_gif_lzw_flush_on_power_of_two_boundary_regression():
+    """Regression: fixture doc 161 (16-color, 325 px) made the
+    decoder's final add land exactly on table size 256, widening EOI
+    to 9 bits while an encoder-counter-driven width stayed at 8
+    ('LZW stream truncated'). The decoder-model encoder must handle
+    every such boundary."""
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(161 + 11)
+    rng.integers(0, 256, (16, 3), dtype=np.uint8)  # palette draw (stream position)
+    data = rng.integers(0, 16, (13, 25), dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data, 4), 4) == data
+
+
+def test_gif_roundtrip_palettes_and_dispatch():
+    """encode->decode is identity across palette sizes (every starting
+    code width), including the >4096-entry reset path; decode_payload
+    dispatches on the GIF magic."""
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        decode_payload,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    for npal in (4, 8, 16, 64):
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=(37, 41), dtype=np.uint8)
+        out = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(out, pal[idx])
+    # low-entropy 90x90 grows the dictionary past 4096 (reset path)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = (np.arange(90 * 90).reshape(90, 90) % 3).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    mean, dim = decode_payload("image", encode_gif(idx, pal))
+    assert dim == 90 * 90 * 3
+    assert abs(mean - float(pal[idx].mean())) < 1e-12
+
+
+def test_gif_decode_skips_extension_blocks():
+    """A GIF89a-style extension block (0x21 label + sub-blocks) before
+    the image descriptor is skipped — decoders must tolerate metadata
+    blocks they don't use."""
+    import numpy as np
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 7), dtype=np.uint8)
+    payload = encode_gif(idx, pal)
+    # splice a graphic-control-style extension after the color table
+    head = 13 + 4 * 3
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    spliced = payload[:head] + ext + payload[head:]
+    assert np.array_equal(decode_gif(spliced), pal[idx])
