@@ -219,3 +219,38 @@ def test_png_roundtrip_any_shape_any_filter(h, w, seed, ft):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert (decode_png(encode_png(px, filter_type=ft)) == px).all()
+
+
+@given(
+    mcs=st.integers(2, 8),
+    data=st.binary(min_size=0, max_size=2000),
+)
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_any_stream(mcs, data):
+    """_lzw_decode(_lzw_encode(x)) == x for arbitrary byte streams
+    (values masked into the palette range) at every GIF starting code
+    size — exercises width growth, the KwKwK case, and (for
+    low-entropy draws) the 4096-entry reset."""
+    from duckdb_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    masked = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decode(_lzw_encode(masked, mcs), mcs) == masked
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 24),
+    npal=st.sampled_from([4, 8, 16, 32]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_any_shape(h, w, npal, seed):
+    from duckdb_pipeline_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
