@@ -1312,6 +1312,87 @@ SELECT vec_id, nbr_id, rk, cosine, cell FROM rk WHERE rk <= 3
 """
 
 
+def knn_recall_ivf_audit(spark, sf_dir):
+    """Recall@3 of the IVF cell-blocked k-NN join against the exact
+    block-nested-loop join — the audit that closes the kNN family
+    (`ann_recall_report` precedent: every approximate path ships with
+    its measured recall). Output: one row (n_vectors, n_true,
+    n_retrieved, n_hit, recall) where n_hit counts exact top-3 edges
+    the IVF join also retrieved. Measured ~0.26-0.28 on this corpus —
+    the synthetic embeddings are UNIFORM random, the adversarial case
+    for cell pruning (no cluster structure, so a true neighbor lands
+    in the same cell roughly at chance); clustered real embeddings sit
+    far higher, and the knobs are the standard IVF ones (fewer cells,
+    multi-probe). Quantifying exactly this tradeoff is the audit's
+    job. Both joins run on the skinny edge
+    lists; the audit join keys on (vec_id, nbr_id) — edge-sized, never
+    corpus-sized."""
+    exact = _knn_topk(spark, sf_dir).select("vec_id", "nbr_id")
+    from ..operators.similarity import knn_join_within_cells
+
+    approx = knn_join_within_cells(
+        load(spark, sf_dir, "embeddings"), n_cells=8, k=3
+    ).select("vec_id", "nbr_id")
+    hit = exact.join(approx, ["vec_id", "nbr_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_retrieved")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_vectors",
+            "n_true",
+            "n_retrieved",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+KNN_RECALL_SQL = f"""
+WITH {_KNN_CTES},
+exact_knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM rk WHERE rk <= 3),
+cells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT a.vec_id, a.cell_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY a.score DESC, a.cell_id) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell_id, CAST(SUM(
+               CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+             ) AS BIGINT) AS score
+      FROM embeddings e,
+           (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8) c,
+           UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+      WHERE e.embedding IS NOT NULL
+      GROUP BY e.vec_id, c.cell_id
+    ) a
+  ) r WHERE rn = 1
+),
+approx AS MATERIALIZED (
+  SELECT s.vec_id, s.nbr_id FROM (
+    SELECT p.vec_id, p.nbr_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id ORDER BY p.cosine DESC, p.nbr_id) AS rk
+    FROM scored p
+    JOIN cells ca ON ca.vec_id = p.vec_id
+    JOIN cells cb ON cb.vec_id = p.nbr_id AND cb.cell = ca.cell
+  ) s WHERE s.rk <= 3
+),
+m AS (
+  SELECT count(*) AS n_hit
+  FROM exact_knn e JOIN approx a USING (vec_id, nbr_id)
+)
+SELECT (SELECT count(DISTINCT vec_id) FROM exact_knn) AS n_vectors,
+       (SELECT count(*) FROM exact_knn) AS n_true,
+       (SELECT count(*) FROM approx) AS n_retrieved,
+       m.n_hit AS n_hit,
+       CAST(m.n_hit AS DOUBLE) / (SELECT count(*) FROM exact_knn) AS recall
+FROM m
+"""
+
+
 def knn_graph_components(spark, sf_dir):
     """Mutual-kNN graph clustering: an edge joins two vectors that
     appear in EACH OTHER'S 3-NN lists (the mutual filter prunes hub
@@ -1389,6 +1470,11 @@ QUERIES = {
         knn_join_topk_ivf,
         KNN_IVF_SQL,
         "IVF cell-blocked approximate k-NN join (the exact join's scale swap)",
+    ),
+    "knn_recall_ivf_audit": QuerySpec(
+        knn_recall_ivf_audit,
+        KNN_RECALL_SQL,
+        "recall@3 of the IVF kNN join vs the exact join (one-row audit)",
     ),
     "embedding_gram_matrix": QuerySpec(
         embedding_gram_matrix,
