@@ -461,7 +461,79 @@ FROM documents"""
 )
 
 
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: for each key family a pipeline
+    shuffles on (events.user_id, lineitem.l_suppkey, orders.o_custkey),
+    one row of distribution stats — row/key counts, the hottest key's
+    count, exact interpolated p50/p99 of the per-key counts, and
+    hot_key_factor = max_cnt / mean_cnt (how many times the average
+    partition the hottest key's rows are). This is the report that
+    decides whether a join needs salting (`join_salted_skew`,
+    `agg_salted_hot_keys`) or AQE skew splitting suffices — run it
+    BEFORE the 100 TB shuffle, not after it straggles.
+
+    Scale shape: per family ONE groupBy(key) count plus a singleton
+    aggregation of the (skinny) count column; the three families run
+    as one union, concurrently."""
+    branches = []
+    for family, table, key in [
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]:
+        counts = (
+            load(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        branches.append(
+            counts.agg(
+                F.lit(family).alias("key_family"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_cnt"),
+                F.expr("percentile(c, array(0.5, 0.99))").alias("_p"),
+            ).select(
+                "key_family",
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                F.col("_p")[0].alias("p50_cnt"),
+                F.col("_p")[1].alias("p99_cnt"),
+                F.expr(
+                    "CAST(max_cnt AS DOUBLE) * n_keys / n_rows"
+                ).alias("hot_key_factor"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+KEY_SKEW_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{family}' AS key_family, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+       CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS hot_key_factor
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_cnt,
+         quantile_cont(c, 0.5) AS p50_cnt, quantile_cont(c, 0.99) AS p99_cnt
+  FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key}) t
+) s"""
+    for family, table, key in [
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+)
+
+
 QUERIES = {
+    "profile_key_skew": QuerySpec(
+        profile_key_skew,
+        KEY_SKEW_SQL,
+        "join-key skew diagnostic (hot-key factor, count percentiles) per key family",
+    ),
     "profile_table_summary": QuerySpec(
         profile_table_summary,
         PROFILE_SQL,
