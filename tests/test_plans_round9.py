@@ -1,0 +1,37 @@
+"""Later-round-9 physical-plan pins: the kNN join family's shuffle
+discipline. The exact join must move only signature/edge-sized data
+through its Exchanges and must contain NO join operator anywhere (the
+block-nested-loop replaces the join); the IVF variant adds only the
+one cell-group Exchange."""
+
+from duckdb_pipeline_spark.queries import collect_all
+from tests.test_plans import plan_text
+from tests.test_plans_round7 import _shuffle_exchanges
+
+
+def _plan(spark, sf_dir, name):
+    return plan_text(collect_all()[name].fn(spark, sf_dir), "simple")
+
+
+def test_knn_join_topk_plan_two_exchanges_no_join(spark, sf_dir):
+    """Exact kNN join: exactly TWO shuffle Exchanges — the (ablk,bblk)
+    group for the block kernel and the per-id window merge — and no
+    join operator (SortMergeJoin/BroadcastHashJoin/ShuffledHashJoin/
+    CartesianProduct) anywhere: the pair space exists only inside the
+    numpy kernel, never as a plan edge."""
+    plan = _plan(spark, sf_dir, "knn_join_topk")
+    assert _shuffle_exchanges(plan) == 2, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} leaked into the kNN plan:\n{plan}"
+
+
+def test_knn_join_ivf_plan_single_group_exchange_no_join(spark, sf_dir):
+    """IVF kNN join: the assignment is a map (no Exchange); the only
+    shuffle is the cell group; ranks are final in-kernel so there is
+    no merge window. One Exchange, no joins."""
+    plan = _plan(spark, sf_dir, "knn_join_topk_ivf")
+    assert _shuffle_exchanges(plan) == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} leaked into the IVF kNN plan:\n{plan}"
