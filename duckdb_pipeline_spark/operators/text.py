@@ -33,9 +33,16 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality score from length / stopword / uniqueness
-    ratios (the standard LLM-corpus filtering features)."""
+    ratios (the standard LLM-corpus filtering features). ``keep``
+    carries extra input columns through the projection (e.g. a dup
+    flag for calibration reports)."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
@@ -44,6 +51,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_tok.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("unique_ratio"),

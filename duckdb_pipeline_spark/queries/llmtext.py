@@ -210,6 +210,70 @@ def multimodal_png_features(spark, sf_dir):
     )
 
 
+def quality_dup_calibration(spark, sf_dir):
+    """Signal-calibration report: equi-width quality-score buckets
+    (floor(score*10)) × exact-duplicate rate over the planted dup
+    corpus — the validation a curation pipeline runs before trusting a
+    quality threshold (are low-quality docs actually likelier to be
+    duplicated? is the signal flat?). Buckets are MAP-SIDE (no global
+    sort — the ntile alternative needs a single-partition window);
+    the dup flag rides ONE md5-keyed window; the report aggregation is
+    the only other Exchange."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+    from .dedup import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    flagged = corpus.withColumn(
+        "is_dup", (F.count(F.lit(1)).over(w) >= 2).cast("long")
+    )
+    scored = quality_score(flagged, keep=("is_dup",))
+    return (
+        scored.select(
+            F.floor(F.col("quality_score") * 10).cast("int").alias("bucket"),
+            "is_dup",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+def _quality_dup_sql() -> str:
+    from .dedup import CORPUS_CTE
+
+    return f"""
+WITH {CORPUS_CTE},
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN count(*) OVER (PARTITION BY md5(text)) >= 2 THEN 1 ELSE 0 END AS is_dup
+  FROM corpus
+),
+q AS (
+  SELECT is_dup,
+         0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({STOPWORD_SQL_LIST}, x))) AS DOUBLE) / len(toks))
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS quality_score
+  FROM t
+)
+SELECT CAST(floor(quality_score * 10) AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       CAST(SUM(is_dup) AS DOUBLE) / count(*) AS dup_rate
+FROM q GROUP BY floor(quality_score * 10)
+"""
+
+
 def multimodal_gif_features(spark, sf_dir):
     """REAL distributed GIF decode (round-9 fourth codec): stdlib-only
     LZW (variable 3..12-bit codes, clear/EOI, width growth,
@@ -939,6 +1003,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "quality_dup_calibration": QuerySpec(
+        quality_dup_calibration,
+        _quality_dup_sql(),
+        "quality-score buckets x exact-dup rate (signal calibration report)",
     ),
     "text_repetition_stats": QuerySpec(
         text_repetition_stats, REPETITION_SQL, "Gopher-style repetition filters"
