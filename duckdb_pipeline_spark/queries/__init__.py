@@ -103,6 +103,19 @@ PRIORITY: tuple[str, ...] = (
     "window_first_last",
     "pivot_status_by_priority",
     "unpivot_part_measures",
+    # ---- round-10 window candidates (lead the next rotation):
+    # (a) the 7 r1-green stragglers the 50-cap cut this round
+    # (window_lag_delta, window_moving_avg, topk_orders_global,
+    # sample_hash_deterministic, join_null_safe, agg_listagg_sorted,
+    # agg_salted_hot_keys) + retention_cohorts_bucketed;
+    # (b) the 13 queries added AFTER this round's window froze, all
+    # locally oracle-green at sf0.001+sf0.01: dedup_jaccard_prefix,
+    # corpus_shard_shuffle, knn_join_topk, knn_label_purity,
+    # knn_graph_components, knn_join_topk_ivf, knn_recall_ivf_audit,
+    # split_leakage_audit, profile_table_summary, profile_key_skew,
+    # multimodal_gif_features, quality_dup_calibration (+ the
+    # quality_score keep= passthrough consumers re-checked).
+    #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,
     # graph_pagerank, dedup_incremental_probe, dedup_cluster_canonical,
