@@ -592,16 +592,25 @@ def ivf_write_index(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> None:
     """Build the IVF index: assign every vector its cell (same exact
     integer-IP argmax as `ivf_topk_vectorized`) and write the table
     parquet-partitioned by cell id. One pass over the data; the
     assignment is a pure Arrow-batch map. Run once per corpus version —
-    the ANN query path (`ivf_topk_pruned`) then partition-prunes."""
+    the ANN query path (`ivf_topk_pruned`) then partition-prunes.
+
+    ``centroids``: explicit (n_cells, dim) float64 matrix for corpora
+    whose ids are not dense from 0 (e.g. a SUBSET slice being indexed
+    for incremental probing — `knn_probe_index` re-reads the same
+    matrix as the index's lowest-id rows, so pass those)."""
     import numpy as np
     import pandas as pd
 
-    C, _ = _ivf_centroids_and_query(embeddings, None, n_cells, id_col, vec_col)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype="float64")
+    else:
+        C, _ = _ivf_centroids_and_query(embeddings, None, n_cells, id_col, vec_col)
 
     def assign(batches):
         for pdf in batches:
@@ -1231,4 +1240,138 @@ def knn_join_within_cells(
 
     return assigned.groupBy("cell").applyInPandas(
         cell_topk, "vec_id long, nbr_id long, rk int, cosine double, cell int"
+    )
+
+
+def knn_probe_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN SERVING against a persisted cell-partitioned IVF
+    index (`ivf_write_index` layout) — the operational shape
+    `dedup_incremental_probe` established for near-dup: the ingested
+    corpus is indexed ONCE; each new batch is assigned its n_probe
+    nearest cells map-side (centroids re-read from the index's own
+    lowest-id rows — the same matrix the index was built with), and
+    ONLY the probed partitions are scanned (`cell IN (...)` with the
+    probe list collected from the batch — bounded by n_cells rows,
+    never corpus-sized). Candidates meet the batch in one per-cell
+    Arrow kernel; ONE per-id window merges the ≤ n_probe partial
+    top-ks. The index text/vectors outside probed cells are never
+    read.
+
+    Exactness contract: same fixed-point arithmetic and (cosine desc,
+    id asc) tiebreak as the whole kNN family; probe-cell selection
+    ties resolve to the lowest cell id (stable argsort on -score),
+    mirroring the oracle's (score DESC, cell_id) rank."""
+    import numpy as np
+    import pandas as pd
+
+    idx = spark.read.parquet(index_path)
+    crows = (
+        idx.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype="float64") for r in crows])
+
+    def assign(batches):
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = (
+                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(order.shape[1])].copy()
+            out["cell"] = order.reshape(-1).astype("int32")
+            yield out
+
+    bat = (
+        batch.select(id_col, vec_col)
+        .mapInPandas(assign, f"{id_col} long, {vec_col} array<float>, cell int")
+        .persist()
+    )
+    probe_cells = [int(r["cell"]) for r in bat.select("cell").distinct().collect()]
+
+    a = bat.select(
+        "cell",
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    b = idx.where(F.col("cell").isin(probe_cells)).select(
+        "cell",
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    both = a.unionByName(b)
+
+    def cell_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        A = pdf[pdf["side"] == 0]
+        Bp = pdf[pdf["side"] == 1].sort_values("id")
+        if A.empty or Bp.empty:
+            return empty
+        ids_a = A["id"].to_numpy()
+        ids_b = Bp["id"].to_numpy()
+        Va = np.stack(A["vec"].to_numpy()).astype("float64")
+        Vb = np.stack(Bp["vec"].to_numpy()).astype("float64")
+        ra = np.sqrt(
+            np.floor(Va * Va * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        rb = np.sqrt(
+            np.floor(Vb * Vb * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        keep_n = min(k, len(ids_b))
+        frames = []
+        chunk = 256  # bound the pair matrix: O(chunk x |cell| x dim)
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            dots = (
+                np.floor(Va[lo:hi, None, :] * Vb[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            cos = dots.astype("float64") / (ra[lo:hi, None] * rb[None, :])
+            sel = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
+            m = hi - lo
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids_a[lo:hi], keep_n),
+                        "nbr_id": ids_b[sel].reshape(-1),
+                        "cosine": cos[
+                            np.repeat(np.arange(m), keep_n), sel.reshape(-1)
+                        ],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    from pyspark.sql import Window
+
+    part = both.groupBy("cell").applyInPandas(
+        cell_probe, "vec_id long, nbr_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("vec_id", "nbr_id", F.col("rk").cast("int").alias("rk"), "cosine")
     )

@@ -112,9 +112,10 @@ PRIORITY: tuple[str, ...] = (
     # locally oracle-green at sf0.001+sf0.01: dedup_jaccard_prefix,
     # corpus_shard_shuffle, knn_join_topk, knn_label_purity,
     # knn_graph_components, knn_join_topk_ivf, knn_recall_ivf_audit,
-    # split_leakage_audit, profile_table_summary, profile_key_skew,
-    # multimodal_gif_features, quality_dup_calibration (+ the
-    # quality_score keep= passthrough consumers re-checked).
+    # knn_incremental_probe, split_leakage_audit,
+    # profile_table_summary, profile_key_skew, multimodal_gif_features,
+    # quality_dup_calibration (+ the quality_score keep= passthrough
+    # consumers re-checked).
     #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,

@@ -1393,6 +1393,134 @@ FROM m
 """
 
 
+def _ensure_probe_index(spark, sf_dir: str, n_cells: int = 8) -> str:
+    """Persisted IVF index over the 'already-ingested' corpus slice
+    (vec_id % 20 != 0) for the incremental probe — the band-index
+    ensure pattern: (size, mtime) stamp + scheme version; absolute-dir
+    hash in the label."""
+    import hashlib
+    import json
+
+    from ..operators.similarity import ivf_write_index
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
+    path = os.path.join(repo, ".scratch", "ivfprobe", label)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = {"size": st.st_size, "mtime_ns": st.st_mtime_ns, "scheme": "ivf-fp-v1"}
+    marker = os.path.join(path, "_SRC.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return path
+    except (OSError, ValueError):
+        pass
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 != 0)
+    # subset ids are not dense from 0: centroids = the slice's own
+    # lowest-id vectors (bounded n_cells-row collect; knn_probe_index
+    # re-reads the same rows from the index at probe time)
+    import numpy as np
+
+    crows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect()
+    C = np.stack([np.asarray(r["embedding"], dtype="float64") for r in crows])
+    ivf_write_index(emb, path, n_cells=n_cells, centroids=C)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return path
+
+
+def knn_incremental_probe(spark, sf_dir):
+    """Incremental ANN — the operational serving shape beside
+    `dedup_incremental_probe`: the ingested corpus (vec_id % 20 != 0)
+    is IVF-indexed once into a cell-partitioned persisted layout; each
+    NEW batch (vec_id % 20 == 0) is probed against it — map-side
+    2-probe cell assignment, a scan of only the probed partitions,
+    exact in-cell rerank, one edge-sized merge window. Output:
+    (vec_id, nbr_id, rk, cosine) — each new vector's top-3 ANN among
+    the already-indexed corpus, without rescanning it."""
+    from ..operators.similarity import knn_probe_index
+
+    idx = _ensure_probe_index(spark, sf_dir, n_cells=8)
+    batch = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    return knn_probe_index(spark, idx, batch, k=3, n_cells=8, n_probe=2)
+
+
+KNN_PROBE_SQL = f"""
+WITH idxv AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 20 <> 0 AND embedding IS NOT NULL
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM idxv ORDER BY vec_id LIMIT 8) t
+),
+iscore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM idxv e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+icells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM iscore) WHERE rn = 1
+),
+batch AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 20 = 0 AND embedding IS NOT NULL
+),
+bscore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM batch e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+bcells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM bscore) WHERE rn <= 2
+),
+cpairs AS (
+  SELECT b.vec_id AS vec_id, i.vec_id AS nbr_id, eb.embedding AS ea, ei.embedding AS eb2
+  FROM bcells b
+  JOIN icells i ON i.cell = b.cell
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN embeddings ei ON ei.vec_id = i.vec_id
+),
+terms AS (
+  SELECT vec_id, nbr_id,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb2[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb2[u.i] AS DOUBLE) * CAST(eb2[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
+  FROM cpairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, nbr_id, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY vec_id, nbr_id
+),
+rk AS (
+  SELECT vec_id, nbr_id,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) DESC,
+                    nbr_id) AS INTEGER) AS rk
+  FROM sums
+)
+SELECT vec_id, nbr_id, rk, cosine FROM rk WHERE rk <= 3
+"""
+
+
 def knn_graph_components(spark, sf_dir):
     """Mutual-kNN graph clustering: an edge joins two vectors that
     appear in EACH OTHER'S 3-NN lists (the mutual filter prunes hub
@@ -1475,6 +1603,11 @@ QUERIES = {
         knn_recall_ivf_audit,
         KNN_RECALL_SQL,
         "recall@3 of the IVF kNN join vs the exact join (one-row audit)",
+    ),
+    "knn_incremental_probe": QuerySpec(
+        knn_incremental_probe,
+        KNN_PROBE_SQL,
+        "batch ANN serving against the persisted IVF index (probed partitions only)",
     ),
     "embedding_gram_matrix": QuerySpec(
         embedding_gram_matrix,

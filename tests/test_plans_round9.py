@@ -35,3 +35,16 @@ def test_knn_join_ivf_plan_single_group_exchange_no_join(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, f"{op} leaked into the IVF kNN plan:\n{plan}"
+
+
+def test_knn_incremental_probe_scan_is_partition_pruned(spark, sf_dir):
+    """The incremental probe must read only the probed index
+    partitions (PartitionFilters on cell) and contain no join
+    operator — the batch meets its candidates in the per-cell group
+    kernel."""
+    plan = _plan(spark, sf_dir, "knn_incremental_probe")
+    part_filters = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part_filters
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} leaked into the probe plan:\n{plan}"
