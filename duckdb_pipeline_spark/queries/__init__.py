@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
 
 def collect_all() -> dict[str, QuerySpec]:
     from . import (
+        analytics,
         bucketed,
         curation,
         dedup,
@@ -168,6 +169,7 @@ def collect_all() -> dict[str, QuerySpec]:
         quality,
         curation,
         streaming_like,
+        analytics,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
