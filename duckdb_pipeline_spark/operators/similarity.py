@@ -1375,3 +1375,176 @@ def knn_probe_index(
         .where(F.col("rk") <= k)
         .select("vec_id", "nbr_id", F.col("rk").cast("int").alias("rk"), "cosine")
     )
+
+
+def pq_train_partials(
+    embeddings: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+    emit_inertia: bool = False,
+) -> DataFrame:
+    """Fused assign-and-partially-update kernel for one PQ (product
+    quantization) training iteration — `lloyd_step_partials` run over
+    ALL M subspaces in ONE corpus pass: each task splits its rows into
+    M contiguous subvectors, assigns each subvector to the nearest of
+    K broadcast codewords of its subspace (exact fixed-point squared
+    L2 — floor((x-c)^2 * SCALE) int64 sums over the subspace dims,
+    ties to the LOWER code), and folds member components into
+    per-(subspace, code) fixed-point sums. The only shuffle moves
+    M * K * (d/M) = K * d numbers per task — training M codebooks
+    costs the same shuffle volume as training one k-means.
+
+    `codebooks` is an (M, K, d/M) float64 array, codes 0..K-1 per
+    subspace. Output rows (m, code, i, s, n): i is the 1-based
+    component index WITHIN the subspace. ``emit_inertia=True`` adds
+    one (m, code=-1, i=0) row per task and subspace carrying the
+    task's exact int64 sum of assigned distances (the per-subspace
+    quantization-error partial the trainer's audit aggregates).
+    NULL embeddings drop out."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.asarray(codebooks, dtype="float64")
+    m_sub, k, ds = CB.shape
+
+    def fold(batches):
+        sums = np.zeros((m_sub, k, ds), dtype="int64")
+        counts = np.zeros((m_sub, k), dtype="int64")
+        inertia = np.zeros(m_sub, dtype="int64")
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            V = np.stack(col.to_numpy()).astype("float64")
+            for lo in range(0, len(V), chunk):
+                W = V[lo : lo + chunk]
+                Wf = np.floor(W * float(SCALE)).astype("int64")
+                for m in range(m_sub):
+                    Wm = W[:, m * ds : (m + 1) * ds]
+                    D = (
+                        np.floor(
+                            (Wm[:, None, :] - CB[m][None, :, :]) ** 2
+                            * float(SCALE)
+                        )
+                        .astype("int64")
+                        .sum(axis=2)
+                    )
+                    a = D.argmin(axis=1)
+                    if emit_inertia:
+                        inertia[m] += int(D.min(axis=1).sum())
+                    Wmf = Wf[:, m * ds : (m + 1) * ds]
+                    for c in range(k):
+                        sel = a == c
+                        if sel.any():
+                            sums[m, c] += Wmf[sel].sum(axis=0)
+                            counts[m, c] += int(sel.sum())
+        frames = []
+        for m in range(m_sub):
+            hit = counts[m] > 0
+            if hit.any():
+                codes = np.repeat(np.arange(k, dtype="int64")[hit], ds)
+                comp = np.tile(np.arange(1, ds + 1, dtype="int32"), int(hit.sum()))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "m": np.full(len(codes), m, dtype="int32"),
+                            "code": codes,
+                            "i": comp,
+                            "s": sums[m][hit].reshape(-1),
+                            "n": np.repeat(counts[m][hit], ds),
+                        }
+                    )
+                )
+            if emit_inertia and counts[m].sum() > 0:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "m": pd.Series([m], dtype="int32"),
+                            "code": pd.Series([-1], dtype="int64"),
+                            "i": pd.Series([0], dtype="int32"),
+                            "s": pd.Series([int(inertia[m])], dtype="int64"),
+                            "n": pd.Series([int(counts[m].sum())], dtype="int64"),
+                        }
+                    )
+                )
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "m": pd.Series([], dtype="int32"),
+                    "code": pd.Series([], dtype="int64"),
+                    "i": pd.Series([], dtype="int32"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    return embeddings.select(vec_col).mapInPandas(
+        fold, "m int, code long, i int, s long, n long"
+    )
+
+
+def pq_adc_distances(
+    embeddings: DataFrame,
+    codebooks,
+    query,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """PQ encode + asymmetric-distance scoring fused in one map-only
+    pass (the FAISS ADC serving shape with a TRAINED codebook): each
+    row's M subvectors are assigned to their nearest codewords (exact
+    fixed-point squared L2, ties to the lower code) and the distance
+    to the broadcast query is the integer sum of M lookup-table
+    entries LUT[m][code] = floor-exact d2(query subvector, codeword) —
+    computed once driver-side from K*d bounded numbers, never per row.
+    Emits (id, adc_dist); no shuffle, TakeOrdered finishes the top-k
+    at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.asarray(codebooks, dtype="float64")
+    m_sub, k, ds = CB.shape
+    q = np.asarray(query, dtype="float64")
+    lut = np.zeros((m_sub, k), dtype="int64")
+    for m in range(m_sub):
+        qm = q[m * ds : (m + 1) * ds]
+        lut[m] = (
+            np.floor((qm[None, :] - CB[m]) ** 2 * float(SCALE))
+            .astype("int64")
+            .sum(axis=1)
+        )
+
+    def score(batches):
+        for pdf in batches:
+            keep = pdf[vec_col].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            for lo in range(0, len(V), chunk):
+                W = V[lo : lo + chunk]
+                dist = np.zeros(len(W), dtype="int64")
+                for m in range(m_sub):
+                    Wm = W[:, m * ds : (m + 1) * ds]
+                    D = (
+                        np.floor(
+                            (Wm[:, None, :] - CB[m][None, :, :]) ** 2
+                            * float(SCALE)
+                        )
+                        .astype("int64")
+                        .sum(axis=2)
+                    )
+                    dist += lut[m][D.argmin(axis=1)]
+                yield pd.DataFrame(
+                    {"vec_id": ids[lo : lo + chunk], "adc_dist": dist}
+                )
+
+    return embeddings.select(
+        F.col(id_col).alias(id_col), vec_col
+    ).mapInPandas(score, f"{id_col} long, adc_dist long")

@@ -1659,3 +1659,247 @@ QUERIES = {
         similarity_topk_ivf, IVF_TOPK_SQL, "IVF probed-cell approximate top-k"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: trained-codebook compression (FAISS PQ shape)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_R = 4, 16, 2
+_PQ_DS = 16  # d=64 split into 4 contiguous 16-dim subspaces
+
+
+def _pq_seed_codebooks(emb):
+    """Deterministic PQ seeding (the kmeans_train_audit convention):
+    codeword j of every subspace is vector j's subvector, j < K.
+    Returns an (M, K, d/M) float64 array plus the non-null corpus
+    size bound check left to the caller."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    )
+    S0 = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    return np.stack(
+        [S0[:, m * _PQ_DS : (m + 1) * _PQ_DS] for m in range(_PQ_M)]
+    )
+
+
+def _pq_apply_update(CB, rows):
+    """One exact Lloyd update from aggregated kernel partials:
+    c = (s_fp / SCALE) / n in float64 — the same two-rounding tree the
+    oracle's CAST(SUM AS DOUBLE) / 1e9 / count(*) evaluates (exact
+    while s_fp < 2^53; ~9e3 unit-norm members per codeword at scale 9
+    times 1e9 headroom — the kmeans_lloyd_step envelope). Codewords
+    with no members keep their seed (standard Lloyd)."""
+    CBn = CB.copy()
+    for r in rows:
+        if r["code"] >= 0:
+            CBn[int(r["m"]), int(r["code"]), int(r["i"]) - 1] = (
+                int(r["s"]) / float(S)
+            ) / int(r["n"])
+    return CBn
+
+
+def pq_train_codebooks(spark, sf_dir):
+    """Product-quantization codebook TRAINING (the third iterative
+    trainer beside BPE and k-means): M independent k-means problems —
+    one per contiguous embedding subspace — trained simultaneously,
+    each iteration ONE corpus pass through the fused
+    `pq_train_partials` kernel (operators/similarity.py): assign
+    every subvector to its nearest codeword, fold exact fixed-point
+    component sums, shuffle only M*K*(d/M) = K*d numbers per task.
+    The driver collects K*d + M aggregated rows per iteration and
+    broadcasts the updated codebooks back — never the corpus.
+
+    Audit output (kmeans_train_audit pattern): per subspace, the
+    EXACT initial-assignment quantization error inertia0_fp
+    (SQL-expressible — the oracle recomputes it from the seed
+    codebooks), the corpus size, and verdict booleans for the Lloyd
+    trajectory (error strictly decreased after the first update;
+    every iteration conserved members). Codebook floats themselves
+    are engine-private trainer state, like the k-means centroids."""
+    import numpy as np
+
+    from ..operators.similarity import pq_train_partials
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    CB = _pq_seed_codebooks(emb)
+    inert = []
+    n_vec = None
+    members_ok = [True] * _PQ_M
+    for _ in range(_PQ_R):
+        rows = (
+            pq_train_partials(emb, CB, emit_inertia=True)
+            .groupBy("m", "code", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        it = np.zeros(_PQ_M, dtype="int64")
+        for r in rows:
+            if r["code"] == -1:
+                it[int(r["m"])] = int(r["s"])
+        for m in range(_PQ_M):
+            members = sum(
+                int(r["n"]) for r in rows
+                if int(r["m"]) == m and r["code"] >= 0 and int(r["i"]) == 1
+            )
+            if n_vec is None:
+                n_vec = members
+            members_ok[m] = members_ok[m] and members == n_vec
+        inert.append(it)
+        CB = _pq_apply_update(CB, rows)
+    return spark.createDataFrame(
+        [
+            (
+                m,
+                int(inert[0][m]),
+                int(n_vec),
+                bool(inert[-1][m] < inert[0][m]),
+                bool(members_ok[m]),
+            )
+            for m in range(_PQ_M)
+        ],
+        "m long, inertia0_fp long, n_vectors long,"
+        " inertia_decreased boolean, members_conserved boolean",
+    )
+
+
+_PQ_SUB_SQL = f"""
+sub AS (
+  SELECT e.vec_id, s.m, u.u,
+         CAST(e.embedding[s.m * {_PQ_DS} + u.u] AS DOUBLE) AS x
+  FROM embeddings e,
+       UNNEST(range(0, {_PQ_M})) AS s(m),
+       UNNEST(range(1, {_PQ_DS} + 1)) AS u(u)
+  WHERE e.embedding IS NOT NULL
+),
+seedc AS (
+  SELECT m, vec_id AS code, u, x AS c FROM sub WHERE vec_id < {_PQ_K}
+)
+"""
+
+PQ_TRAIN_SQL = f"""
+WITH {_PQ_SUB_SQL},
+d0 AS (
+  SELECT sub.vec_id, sub.m, seedc.code,
+         SUM(CAST(floor((sub.x - seedc.c) * (sub.x - seedc.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM sub JOIN seedc ON sub.m = seedc.m AND sub.u = seedc.u
+  GROUP BY 1, 2, 3
+),
+best AS (SELECT vec_id, m, min(d2) AS d2 FROM d0 GROUP BY 1, 2)
+SELECT m, CAST(SUM(d2) AS BIGINT) AS inertia0_fp,
+       (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL)
+         AS n_vectors,
+       TRUE AS inertia_decreased, TRUE AS members_conserved
+FROM best GROUP BY m
+"""
+
+
+def similarity_pq_adc_topk(spark, sf_dir):
+    """Top-10 nearest neighbors of vector 0 under TRAINED product
+    quantization — the full FAISS-PQ serving stack: one exact Lloyd
+    update refines the seed codebooks (R=1, so the oracle can replay
+    the training in SQL and the whole path stays hash-checked,
+    codebooks included — unlike the audit-style trainer above), every
+    vector is encoded to M codes, and the query distance is the
+    integer sum of M LUT entries built driver-side from K*d bounded
+    numbers (`pq_adc_distances`). Map-only scan + TakeOrdered: no
+    shuffle of corpus data at any scale, and the serving arithmetic
+    touches M*K lookup cells per row instead of d floats."""
+    import numpy as np
+
+    from ..operators.similarity import pq_adc_distances, pq_train_partials
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    empty = emb.select(
+        "vec_id", F.lit(0).cast("long").alias("adc_dist")
+    ).where(F.lit(False))
+    if qrow is None or qrow["embedding"] is None:
+        return empty
+    CB = _pq_seed_codebooks(emb)
+    rows = (
+        pq_train_partials(emb, CB)
+        .groupBy("m", "code", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    CB1 = _pq_apply_update(CB, rows)
+    q = np.asarray(qrow["embedding"], dtype="float64")
+    return (
+        pq_adc_distances(emb, CB1, q)
+        .where(F.col("vec_id") != 0)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+PQ_ADC_TOPK_SQL = f"""
+WITH {_PQ_SUB_SQL},
+d0 AS (
+  SELECT sub.vec_id, sub.m, seedc.code,
+         SUM(CAST(floor((sub.x - seedc.c) * (sub.x - seedc.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM sub JOIN seedc ON sub.m = seedc.m AND sub.u = seedc.u
+  GROUP BY 1, 2, 3
+),
+assign0 AS (
+  SELECT vec_id, m, code FROM d0
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+),
+upd AS (
+  SELECT a.m, a.code, s.u,
+         (CAST(SUM(CAST(floor(s.x * {S}) AS BIGINT)) AS DOUBLE) / {S}.0)
+           / count(*) AS c1
+  FROM assign0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+),
+cb1 AS (
+  SELECT sc.m, sc.code, sc.u, COALESCE(upd.c1, sc.c) AS c
+  FROM seedc sc LEFT JOIN upd
+    ON upd.m = sc.m AND upd.code = sc.code AND upd.u = sc.u
+),
+d1 AS (
+  SELECT sub.vec_id, sub.m, cb1.code,
+         SUM(CAST(floor((sub.x - cb1.c) * (sub.x - cb1.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM sub JOIN cb1 ON sub.m = cb1.m AND sub.u = cb1.u
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, code FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+),
+qsub AS (SELECT m, u, x FROM sub WHERE vec_id = 0),
+lut AS (
+  SELECT cb1.m, cb1.code,
+         SUM(CAST(floor((qsub.x - cb1.c) * (qsub.x - cb1.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM cb1 JOIN qsub ON qsub.m = cb1.m AND qsub.u = cb1.u
+  GROUP BY 1, 2
+)
+SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_dist
+FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+WHERE enc.vec_id <> 0
+GROUP BY enc.vec_id
+ORDER BY adc_dist, enc.vec_id
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "pq_train_codebooks": QuerySpec(
+            pq_train_codebooks,
+            PQ_TRAIN_SQL,
+            "product-quantization codebook training (M subspace k-means in one pass/iter)",
+        ),
+        "similarity_pq_adc_topk": QuerySpec(
+            similarity_pq_adc_topk,
+            PQ_ADC_TOPK_SQL,
+            "trained-PQ ADC top-k, full path hash-checked incl. the codebook update",
+        ),
+    }
+)
