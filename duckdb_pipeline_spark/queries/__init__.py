@@ -115,7 +115,11 @@ PRIORITY: tuple[str, ...] = (
     # knn_incremental_probe, split_leakage_audit,
     # profile_table_summary, profile_key_skew, multimodal_gif_features,
     # quality_dup_calibration (+ the quality_score keep= passthrough
-    # consumers re-checked).
+    # consumers re-checked);
+    # (c) the later-session additions, locally oracle-green at
+    # sf0.001+sf0.01: stats_regression_by_group, stats_welch_ttest,
+    # quality_auc_audit, market_basket_lift, layout_pruning_audit,
+    # pq_train_codebooks, similarity_pq_adc_topk, similarity_ivf_pq_topk.
     #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,

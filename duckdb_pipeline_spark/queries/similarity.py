@@ -1903,3 +1903,144 @@ QUERIES.update(
         ),
     }
 )
+
+
+def similarity_ivf_pq_topk(spark, sf_dir):
+    """The COMPLETE FAISS IVF-PQ production stack, every stage
+    hash-checked: IVF cell pruning over the persisted cell-partitioned
+    index (`_ensure_ivf_index` — the scan reads ONLY the n_probe
+    partitions, plan shape as similarity_ivf_adc_topk) feeding
+    TRAINED product-quantization ranking (`similarity_pq_adc_topk`'s
+    R=1 codebooks, trained corpus-wide in one kernel pass + one
+    bounded driver update, replayed in SQL by the oracle).
+
+    vs similarity_ivf_adc_topk: that stack ranks with a per-dim
+    uniform SCALAR grid (no training); this one ranks with the
+    k-means-trained vector codebook — higher fidelity per byte, the
+    trade FAISS calls IVFADC. Plan: two bounded driver collects
+    (centroids + K*d codebook partials), then ONE partition-pruned
+    map-only scan and TakeOrdered — no corpus shuffle at any scale."""
+    import numpy as np
+
+    from ..operators.similarity import SCALE as _SC
+    from ..operators.similarity import (
+        _ivf_centroids_and_query,
+        pq_adc_distances,
+        pq_train_partials,
+    )
+
+    n_cells, n_probe = 8, 2
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx_path = _ensure_ivf_index(spark, sf_dir, n_cells=n_cells)
+    C, qv = _ivf_centroids_and_query(emb, 0, n_cells, "vec_id", "embedding")
+    empty = emb.select(
+        "vec_id", F.lit(0).cast("long").alias("adc_dist")
+    ).where(F.lit(False))
+    if qv is None:
+        return empty
+    qs = np.floor(qv[None, :] * C * _SC).astype("int64").sum(axis=1)
+    probe = [int(c) for c in np.lexsort((np.arange(len(qs)), -qs))[:n_probe]]
+
+    CB = _pq_seed_codebooks(emb)
+    rows = (
+        pq_train_partials(emb, CB)
+        .groupBy("m", "code", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    CB1 = _pq_apply_update(CB, rows)
+    probed = spark.read.parquet(idx_path).where(F.col("cell").isin(probe))
+    return (
+        pq_adc_distances(probed, CB1, qv)
+        .where(F.col("vec_id") != 0)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+IVF_PQ_TOPK_SQL = f"""
+WITH {_PQ_SUB_SQL},
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE)
+                      * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  GROUP BY e.vec_id, c.cell_id
+),
+cells AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore) WHERE rn = 1
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT cell_id, row_number() OVER (ORDER BY score DESC, cell_id) AS rn
+    FROM ascore WHERE vec_id = 0) WHERE rn <= 2
+),
+d0 AS (
+  SELECT sub.vec_id, sub.m, seedc.code,
+         SUM(CAST(floor((sub.x - seedc.c) * (sub.x - seedc.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM sub JOIN seedc ON sub.m = seedc.m AND sub.u = seedc.u
+  GROUP BY 1, 2, 3
+),
+assign0 AS (
+  SELECT vec_id, m, code FROM d0
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+),
+upd AS (
+  SELECT a.m, a.code, s.u,
+         (CAST(SUM(CAST(floor(s.x * {S}) AS BIGINT)) AS DOUBLE) / {S}.0)
+           / count(*) AS c1
+  FROM assign0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+),
+cb1 AS (
+  SELECT sc.m, sc.code, sc.u, COALESCE(upd.c1, sc.c) AS c
+  FROM seedc sc LEFT JOIN upd
+    ON upd.m = sc.m AND upd.code = sc.code AND upd.u = sc.u
+),
+d1 AS (
+  SELECT sub.vec_id, sub.m, cb1.code,
+         SUM(CAST(floor((sub.x - cb1.c) * (sub.x - cb1.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM sub JOIN cb1 ON sub.m = cb1.m AND sub.u = cb1.u
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, code FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+),
+qsub AS (SELECT m, u, x FROM sub WHERE vec_id = 0),
+lut AS (
+  SELECT cb1.m, cb1.code,
+         SUM(CAST(floor((qsub.x - cb1.c) * (qsub.x - cb1.c) * {S})
+                  AS BIGINT)) AS d2
+  FROM cb1 JOIN qsub ON qsub.m = cb1.m AND qsub.u = cb1.u
+  GROUP BY 1, 2
+)
+SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_dist
+FROM enc
+JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+JOIN cells cl ON cl.vec_id = enc.vec_id
+WHERE enc.vec_id <> 0 AND cl.cell IN (SELECT cell_id FROM probe)
+GROUP BY enc.vec_id
+ORDER BY adc_dist, enc.vec_id
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "similarity_ivf_pq_topk": QuerySpec(
+            similarity_ivf_pq_topk,
+            IVF_PQ_TOPK_SQL,
+            "complete IVF-PQ ANN stack: partition-pruned scan + trained-codebook ADC",
+        ),
+    }
+)
