@@ -27,6 +27,32 @@ from . import QuerySpec
 from .common import load
 
 _DEC = "decimal(38,0)"
+_M20 = (1 << 20) - 1
+
+
+def _limb_aggs(u, tag: str):
+    """Exact sum of a nonnegative integer-valued long expression u <
+    2^53 WITHOUT a decimal accumulator: three base-2^20 limb sums stay
+    on Spark's long-backed aggregation fast path (the dsum_fp lesson —
+    a per-row decimal(38,0) cast measured 2.51 s vs 0.83 s for these
+    three squared-term sums at sf10). Envelope: the top limb is
+    u >> 40 < 2^13, so each limb sum holds ~1.1e15 rows per group."""
+    return [
+        F.sum(F.shiftright(u, 40)).alias(f"{tag}a"),
+        F.sum(F.shiftright(u, 20).bitwiseAND(F.lit(_M20))).alias(f"{tag}b"),
+        F.sum(u.bitwiseAND(F.lit(_M20))).alias(f"{tag}c"),
+    ]
+
+
+def _limb_total(tag: str):
+    """Per-GROUP exact recombination of the three limb sums into the
+    decimal(38,0) total (identical to the oracle's HUGEINT sum);
+    decimal arithmetic now runs once per group, not once per row."""
+    return (
+        F.col(f"{tag}a").cast(_DEC) * F.lit(1 << 40).cast(_DEC)
+        + F.col(f"{tag}b").cast(_DEC) * F.lit(1 << 20).cast(_DEC)
+        + F.col(f"{tag}c").cast(_DEC)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -43,11 +69,12 @@ def stats_regression_by_group(spark, sf_dir):
     partials, and the closed-form solution is one shared IEEE tree.
 
     This is the distributed model-fitting shape that scales: ONE
-    shuffle on the group key moving six numbers per group, never the
-    rows; the same sufficient-statistics pattern fits millions of
-    per-entity micro-models (one group each) at 100 TB. Exactness
-    envelope: Syy is the widest sum (~1e14 per row) — decimal(38,0)
-    carries ~1e24 rows per group before overflow."""
+    shuffle on the group key moving a dozen longs per group, never
+    the rows; the same sufficient-statistics pattern fits millions of
+    per-entity micro-models (one group each) at 100 TB. The squared
+    terms accumulate as base-2^20 limb sums (_limb_aggs — all-long
+    map-side partials, sf10 A/B 2.51 -> 0.83 s) and recombine into
+    exact decimal(38,0) per group."""
     li = load(spark, sf_dir, "lineitem")
     x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
@@ -55,9 +82,14 @@ def stats_regression_by_group(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum((x * x).cast(_DEC)).alias("sxx"),
-        F.sum((y * y).cast(_DEC)).alias("syy"),
-        F.sum((x * y).cast(_DEC)).alias("sxy"),
+        *_limb_aggs(x * x, "xx"),
+        *_limb_aggs(y * y, "yy"),
+        *_limb_aggs(x * y, "xy"),
+    ).select(
+        "l_returnflag", "n", "sx", "sy",
+        _limb_total("xx").alias("sxx"),
+        _limb_total("yy").alias("syy"),
+        _limb_total("xy").alias("sxy"),
     )
     n = F.col("n")
     sx, sy = F.col("sx").cast(_DEC), F.col("sy").cast(_DEC)
@@ -118,8 +150,8 @@ def stats_welch_ttest(spark, sf_dir):
     Scale shape: one partial-aggregated scan, a 2-row conditional
     pivot, zero joins. Fixed point is scale-2 (the event values carry
     two decimal digits, the agg_corr_exact precedent): xi <= ~3.3e4,
-    so xi*xi stays a long per row and the decimal(38,0) accumulator
-    carries ~1e28 rows per arm."""
+    so xi*xi stays a long per row; squared sums ride the all-long
+    limb path (_limb_aggs) and recombine exactly per arm."""
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
     )
@@ -127,8 +159,8 @@ def stats_welch_ttest(spark, sf_dir):
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xi).alias("sx"),
-        F.sum((xi * xi).cast(_DEC)).alias("sxx"),
-    )
+        *_limb_aggs(xi * xi, "xx"),
+    ).select("event_type", "n", "sx", _limb_total("xx").alias("sxx"))
     p = g.agg(
         F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("sx"))).alias("sx1"),
@@ -298,32 +330,65 @@ def market_basket_lift(spark, sf_dir):
     corpus shuffles twice on bounded keys (order, then pair) and the
     quadratic term is bounded by max basket size, not corpus size.
     Output: pairs seen in >= 5 orders with exact counts and
-    lift = P(ab) / (P(a)P(b)) as one IEEE tree on exact longs."""
+    lift = P(ab) / (P(a)P(b)) as one IEEE tree on exact longs.
+
+    Plan shape (the overlap_matrix bit_or trick; sf1 A/B: 2.57 s
+    collect_set(string) vs 2.83 s collect_set(int) vs 1.73 s this):
+    each order's basket folds into ONE int64 BITMASK — bit_or is
+    whole-stage-codegen'd with map-side partials, so the only
+    fact-sized Exchange moves (orderkey, long) — then baskets
+    DEDUPLICATE BY MASK VALUE before any pair expansion: pairs, brand
+    totals and the order count all expand from the distinct-mask
+    histogram (a few thousand rows however large the corpus).
+    Envelope: brand vocabulary <= 64 bits (here 25); wider vocabs
+    take the collect_set path this replaced."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    ob = (
+    brands = sorted(
+        r["p_brand"] for r in part.select("p_brand").distinct().collect()
+    )
+    n_b = len(brands)
+    bmap = F.create_map(
+        *[F.lit(x) for b, i in zip(brands, range(n_b)) for x in (b, i)]
+    )
+    masks = (
         li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                 li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .select(
+            F.col("l_orderkey").alias("o"),
+            bmap[F.col("p_brand")].cast("int").alias("bid"),
+        )
+        .withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), bid)"))
+        .groupBy("o")
+        .agg(F.bit_or("bit").alias("mask"))
     )
-    baskets = ob.groupBy("o").agg(F.sort_array(F.collect_set("b")).alias("bs"))
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(bs, (x, i) ->"
-                " transform(slice(bs, i + 2, size(bs)), y ->"
-                " struct(x AS ba, y AS bb))))"
-            )
-        ).alias("p")
-    ).select("p.ba", "p.bb")
-    pc = pairs.groupBy("ba", "bb").agg(F.count(F.lit(1)).alias("pair_orders"))
-    bc = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    n_orders = ob.agg(F.countDistinct("o").alias("n_orders"))
+    bym = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    set_bits = f"filter(sequence(0, {n_b - 1}), a -> ((mask >> a) & 1) = 1)"
+    pc = (
+        bym.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform({set_bits}, a ->"
+                    f" transform(filter({set_bits}, b2 -> b2 > a),"
+                    " b2 -> struct(a AS ai, b2 AS bi))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.ai", "p.bi")
+        .agg(F.sum("cnt").alias("pair_orders"))
+    )
+    bc = (
+        bym.select("cnt", F.explode(F.expr(set_bits)).alias("bi"))
+        .groupBy("bi")
+        .agg(F.sum("cnt").alias("nb"))
+    )
+    n_orders = bym.agg(F.sum("cnt").alias("n_orders"))
+    barr = F.array(*[F.lit(b) for b in brands])
     out = (
-        pc.join(F.broadcast(bc.withColumnRenamed("b", "ba")
-                            .withColumnRenamed("nb", "na")), "ba")
-        .join(F.broadcast(bc.withColumnRenamed("b", "bb")), "bb")
+        pc.join(F.broadcast(bc.withColumnRenamed("bi", "ai")
+                            .withColumnRenamed("nb", "na")), "ai")
+        .join(F.broadcast(bc), "bi")
         .crossJoin(F.broadcast(n_orders))
         .where(F.col("pair_orders") >= 5)
     )
@@ -331,8 +396,12 @@ def market_basket_lift(spark, sf_dir):
         F.col("pair_orders").cast("double") * F.col("n_orders").cast("double")
     ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
     return out.select(
-        "ba", "bb", "pair_orders", F.col("na").alias("orders_a"),
-        F.col("nb").alias("orders_b"), lift.alias("lift"),
+        F.element_at(barr, F.col("ai") + 1).alias("ba"),
+        F.element_at(barr, F.col("bi") + 1).alias("bb"),
+        "pair_orders",
+        F.col("na").alias("orders_a"),
+        F.col("nb").alias("orders_b"),
+        lift.alias("lift"),
     )
 
 
@@ -397,6 +466,12 @@ def layout_pruning_audit(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     z = F.expr(_z_expr_sql("l_partkey", "l_suppkey"))
     maxk = li.agg(F.max("l_orderkey").alias("maxk"))
+    # Two column-pruned branch scans, one per layout. The single-scan
+    # alternative (explode of a 2-struct array carrying both chunk
+    # ids) was A/B'd and REJECTED at sf1: 0.56 -> 0.85 s — the explode
+    # allocates per-row structs and evaluates BOTH chunk expressions
+    # on every row, costing more than the second column-pruned pass
+    # here; on an IO-bound cluster the one-pass variant is the swap.
     zchunk = li.select(
         F.lit("zorder").alias("layout"),
         F.shiftright(z, 2 * _ZBITS - 5).alias("chunk"),
