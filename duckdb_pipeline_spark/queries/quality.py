@@ -394,6 +394,65 @@ FROM j
 """
 
 
+
+def quality_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiering (Wenzek et al. 2020): per
+    language, rank every document by its bigram-LM cross-entropy
+    (`text_bigram_xent` — already bitwise cross-engine) and cut the
+    ranking into head/middle/tail thirds; report each (lang, bucket)
+    cell's size and exact xent min/max/mean. This is the query that
+    decides which slice of a crawl becomes training data.
+
+    Determinism: the rank order is (xent, doc_id) — xent values are
+    hash-checked identical cross-engine, doc_id breaks ties — and
+    ntile's equal-split semantics match on both engines. The bucket
+    mean uses the decimal-exact sum (xent carries 6 decimals by
+    construction).
+
+    Scale shape: scoring is the bigram-xent pipeline (one corpus
+    explode, broadcast LM tables); bucketing adds one Exchange on
+    lang plus a per-lang window. A total per-lang sort is the honest
+    cost of EXACT tertiles — CCNet's production shortcut (approximate
+    percentile thresholds, then a map-side bucket assignment) drops
+    the sort at the price of boundary error, and this exact query is
+    the audit that validates those thresholds."""
+    from pyspark.sql import Window
+
+    xent = text_bigram_xent(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = xent.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    b = j.select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("xent").alias("xent_min"),
+            F.max("xent").alias("xent_max"),
+            (dsum("xent") / F.count(F.lit(1))).alias("xent_mean"),
+        )
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH xent AS ({TEXT_BIGRAM_XENT_SQL}),
+j AS (
+  SELECT d.lang, x.xent, x.doc_id
+  FROM xent x JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT lang, xent,
+         CAST(ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id)
+              AS INTEGER) AS bucket
+  FROM j
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       min(xent) AS xent_min, max(xent) AS xent_max,
+       ({DSUM('xent')} / COUNT(*)) AS xent_mean
+FROM b GROUP BY lang, bucket
+"""
+
+
 QUERIES = {
     "quality_gopher_repetition": QuerySpec(
         quality_gopher_repetition,
@@ -404,6 +463,11 @@ QUERIES = {
         text_unigram_xent,
         UNIGRAM_XENT_SQL,
         "per-doc cross-entropy under the corpus unigram LM (perplexity-filter proxy)",
+    ),
+    "quality_perplexity_buckets": QuerySpec(
+        quality_perplexity_buckets,
+        PERPLEXITY_BUCKETS_SQL,
+        "CCNet perplexity head/middle/tail tiers per language (exact tertiles)",
     ),
     "text_bigram_xent": QuerySpec(
         text_bigram_xent,

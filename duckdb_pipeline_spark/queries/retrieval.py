@@ -189,7 +189,137 @@ WHERE rnk <= 3
 """
 
 
+_MRR_Q = 16  # probe docs 0..15; query = the doc's first 3 tokens
+
+
+def search_mrr_audit(spark, sf_dir):
+    """Self-retrieval rank audit (the retrieval-quality gate): for
+    each of the first ``_MRR_Q`` documents, issue its own first three
+    tokens as a disjunctive BM25 query and report the rank of the
+    source document among all candidates — the planted-relevance MRR
+    protocol with integer output (per-query rank + hit@10; reciprocal
+    means are one division away and deliberately not emitted, keeping
+    every column exact).
+
+    Determinism: scores reuse the search_docs_bm25 formula (rounded
+    to 4 decimals on both engines — module doc) and rank is computed
+    EXACTLY as 1 + |{docs scoring strictly higher, or equal with a
+    lower id}| — an integer aggregation, no dense window needed.
+
+    Scale shape: postings are restricted to the probe vocabulary
+    (<= Q*3 tokens, broadcast) BEFORE any shuffle, so the corpus
+    never moves; per-(query, doc) scores aggregate once; the self
+    scores (Q rows) broadcast back for the rank count. Q scales to
+    thousands of probes before any stage stops being broadcast-sized."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    qterms = (
+        base.where(F.col("doc_id") < _MRR_Q)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.expr("slice(t, 1, 3)")).alias("token"),
+        )
+        .distinct()
+    )
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    tf = (
+        base.select("doc_id", F.explode("t").alias("token"))
+        .join(F.broadcast(qterms.select("token").distinct()), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+    )
+    pair = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id", "doc_id",
+            (idf * ((F.col("tf") * F.lit(2.2)) / norm)).alias("s"),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(dsum("s"), 4).alias("score"))
+    )
+    self_s = (
+        pair.where(F.col("q_id") == F.col("doc_id"))
+        .select("q_id", F.col("score").alias("self_score"))
+    )
+    ranked = pair.join(F.broadcast(self_s), "q_id")
+    better = (F.col("score") > F.col("self_score")) | (
+        (F.col("score") == F.col("self_score")) & (F.col("doc_id") < F.col("q_id"))
+    )
+    out = ranked.groupBy("q_id").agg(
+        (F.sum(F.when(better, 1).otherwise(0)) + 1).alias("self_rank")
+    )
+    return out.select(
+        "q_id", "self_rank", (F.col("self_rank") <= 10).alias("hit_at_10")
+    )
+
+
+MRR_AUDIT_SQL = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+qterms AS (
+  SELECT DISTINCT b.doc_id AS q_id, u.token
+  FROM base b, UNNEST(b.t[1:3]) AS u(token)
+  WHERE b.doc_id < {_MRR_Q}
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM base)
+  WHERE token IN (SELECT DISTINCT token FROM qterms)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+pair AS (
+  SELECT q.q_id, t.doc_id,
+         round({DSUM("(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))) * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))))")}, 4) AS score
+  FROM tf t
+  JOIN qterms q USING (token)
+  JOIN dfreq f USING (token)
+  JOIN dl d USING (doc_id), stats s
+  GROUP BY q.q_id, t.doc_id
+),
+self_s AS (
+  SELECT q_id, score AS self_score FROM pair WHERE q_id = doc_id
+)
+SELECT p.q_id,
+       CAST(SUM(CASE WHEN p.score > s.self_score
+                       OR (p.score = s.self_score AND p.doc_id < p.q_id)
+                THEN 1 ELSE 0 END) + 1 AS BIGINT) AS self_rank,
+       (CAST(SUM(CASE WHEN p.score > s.self_score
+                        OR (p.score = s.self_score AND p.doc_id < p.q_id)
+                 THEN 1 ELSE 0 END) + 1 AS BIGINT) <= 10) AS hit_at_10
+FROM pair p JOIN self_s s USING (q_id)
+GROUP BY p.q_id
+"""
+
+
 QUERIES = {
+    "search_mrr_audit": QuerySpec(
+        search_mrr_audit,
+        MRR_AUDIT_SQL,
+        "planted self-retrieval rank audit of BM25 (exact integer ranks, hit@10)",
+    ),
     "search_docs_bm25": QuerySpec(
         search_docs_bm25, BM25_SQL, "BM25 ranked retrieval (k1=1.2, b=0.75)"
     ),
