@@ -24,7 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .common import load
+from .common import DSUM, dsum, load
 
 _DEC = "decimal(38,0)"
 _M20 = (1 << 20) - 1
@@ -559,3 +559,166 @@ QUERIES = {
         "z-order vs insert-order chunk min/max data-skipping effectiveness",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2_independence: contingency-table independence test
+# ---------------------------------------------------------------------------
+
+_CHI2_TERM = (
+    "(CAST(o AS DOUBLE)"
+    " - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE))"
+    " * (CAST(o AS DOUBLE)"
+    " - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE))"
+    " / ((CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+
+
+def stats_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between event type and
+    hour-of-day — the drift/seasonality readout for an event stream.
+    The contingency table is ONE exact integer aggregation (type x
+    hour, bounded cells with map-side partials); marginals re-derive
+    from the cells (two tiny broadcast aggregates, no second scan);
+    chi2 = sum (o - e)^2 / e with e = row*col/total — every factor an
+    exact long cast to double, the per-cell terms summed with the
+    decimal-exact idiom so association order cannot reorder ulps.
+    Output: one row (n, dof, chi2)."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    cols_m = cells.groupBy("hh").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "hh")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("rn").cast("double") * F.col("cn").cast("double")
+    ) / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    out = j.agg(
+        F.max("n").alias("n"),
+        (
+            (F.countDistinct("event_type") - F.lit(1))
+            * (F.countDistinct("hh") - F.lit(1))
+        ).alias("dof"),
+        dsum(term).alias("chi2"),
+    )
+    return out.select("n", "dof", "chi2")
+
+
+CHI2_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hh, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rows_m AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cols_m AS (SELECT hh, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+j AS (
+  SELECT c.o, r.rn, cm.cn, t.n, c.event_type, c.hh
+  FROM cells c JOIN rows_m r USING (event_type)
+  JOIN cols_m cm USING (hh) CROSS JOIN tot t
+)
+SELECT max(n) AS n,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT hh) - 1)
+            AS BIGINT) AS dof,
+       {DSUM(_CHI2_TERM)} AS chi2
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_ks_test: two-sample Kolmogorov-Smirnov distance, exact
+# ---------------------------------------------------------------------------
+
+
+def quality_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the length
+    distributions of two sources (src0 vs src1) — the
+    distribution-shift audit run before mixing a new crawl slice into
+    training data. Kept EXACT end to end: the CDF gap at each distinct
+    length is |cum0*n1 - cum1*n0| (cross-multiplied integers — no
+    float CDFs), the max is an integer max, and the statistic is ONE
+    final IEEE division. Output: (n0, n1, d_num, ks_d).
+
+    Scale shape: one groupBy collapses the corpus to the distinct
+    length spine (map-side partials), one cumulative window over that
+    bounded spine (the quality_auc_audit precedent), one global max."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    by_len = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_len.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    # cross-multiplied gap needs n0/n1 per row: broadcast the totals
+    totals = by_len.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "n0",
+        "n1",
+        F.abs(
+            F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+        ).alias("g"),
+    )
+    out = gaps.groupBy("n0", "n1").agg(F.max("g").alias("d_num"))
+    return out.select(
+        "n0",
+        "n1",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+KS_SQL = """
+WITH by_len AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars
+),
+cum AS (
+  SELECT SUM(c0) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+         SUM(c1) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+  FROM by_len
+),
+totals AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1 FROM by_len)
+SELECT t.n0, t.n1,
+       CAST(max(abs(c.cum0 * t.n1 - c.cum1 * t.n0)) AS BIGINT) AS d_num,
+       CAST(max(abs(c.cum0 * t.n1 - c.cum1 * t.n0)) AS DOUBLE)
+         / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)) AS ks_d
+FROM cum c CROSS JOIN totals t
+GROUP BY t.n0, t.n1
+"""
+
+
+QUERIES.update(
+    {
+        "stats_chi2_independence": QuerySpec(
+            stats_chi2_independence,
+            CHI2_SQL,
+            "chi-square independence test (event type x hour) from exact counts",
+        ),
+        "quality_ks_test": QuerySpec(
+            quality_ks_test,
+            KS_SQL,
+            "exact two-sample Kolmogorov-Smirnov distance between source length CDFs",
+        ),
+    }
+)
