@@ -325,6 +325,74 @@ def dedup_components_star(spark, sf_dir):
     return cc.join(sizes, "component").select("doc_id", "component", "component_size")
 
 
+def dedup_components_incremental(spark, sf_dir):
+    """INCREMENTAL connected-components maintenance — the operational
+    shape for dedup state at 100 TB (the dedup_incremental_probe
+    precedent, applied to the component labels instead of the band
+    index): the corpus is split into the already-labeled OLD state
+    (doc_id % 10 != 0; labels persisted in production, rebuilt inline
+    here) and an arriving NEW batch. Instead of recomputing components
+    over the full graph, new edges are CONTRACTED onto the old
+    component labels (an old endpoint is replaced by its label via one
+    left join; an unlabeled old endpoint stands for itself), min-label
+    propagation runs only on this delta graph — sized by the batch and
+    the components it touches, independent of total corpus size — and
+    untouched components keep their labels with zero recompute.
+
+    Label algebra: an old component's label is its min member id, so
+    min-label over the contracted graph yields the global min member
+    — the final labels are IDENTICAL to a full batch recompute, and
+    the ORACLE IS the full recompute (DEDUP_COMPONENTS_SQL, shared
+    with dedup_components): incrementality itself is hash-checked.
+
+    Output contract matches dedup_components: (doc_id, component,
+    component_size) over every node of the full pair graph — the
+    union of (a) relabeled old members, (b) new-batch nodes, (c) old
+    nodes first touched by a new edge."""
+    pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir)).persist()
+
+    def _new(c):
+        return F.pmod(F.col(c), F.lit(10)) == 0
+
+    old_pairs = pairs.where(~_new("doc_a") & ~_new("doc_b"))
+    new_pairs = pairs.where(_new("doc_a") | _new("doc_b"))
+    old_cc = connected_components(old_pairs).persist()  # persisted state in prod
+
+    lab = old_cc.select(F.col("doc_id").alias("id"), F.col("component").alias("lb"))
+    contracted = new_pairs
+    for side in ("doc_a", "doc_b"):
+        contracted = (
+            contracted.join(
+                lab.withColumnRenamed("id", side).withColumnRenamed("lb", f"lb_{side}"),
+                side,
+                "left",
+            )
+            .withColumn(side, F.coalesce(f"lb_{side}", side))
+            .drop(f"lb_{side}")
+        )
+    delta = connected_components(contracted).select(
+        F.col("doc_id").alias("node"), F.col("component").alias("new_lb")
+    ).persist()
+
+    old_final = (
+        old_cc.join(delta, old_cc.component == delta.node, "left")
+        .select("doc_id", F.coalesce("new_lb", "component").alias("component"))
+    )
+    new_nodes = delta.where(F.pmod(F.col("node"), F.lit(10)) == 0).select(
+        F.col("node").alias("doc_id"), F.col("new_lb").alias("component")
+    )
+    touched_old = (
+        delta.where(F.pmod(F.col("node"), F.lit(10)) != 0)
+        .join(old_cc.select(F.col("doc_id").alias("node")), "node", "left_anti")
+        .select(F.col("node").alias("doc_id"), F.col("new_lb").alias("component"))
+    )
+    cc = old_final.unionByName(new_nodes).unionByName(touched_old)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return cc.join(sizes, "component").select("doc_id", "component", "component_size")
+
+
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 fixed iterations, damping 0.85) over the verified
     near-dup pair graph -- the keeper-selection signal a dedup pipeline
@@ -1452,6 +1520,11 @@ QUERIES = {
         dedup_components_star,
         DEDUP_COMPONENTS_SQL,
         "near-dup components via star contraction (diameter-independent rounds)",
+    ),
+    "dedup_components_incremental": QuerySpec(
+        dedup_components_incremental,
+        DEDUP_COMPONENTS_SQL,
+        "incremental component maintenance (delta graph contracted onto old labels); oracle = full recompute",
     ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
