@@ -42,6 +42,7 @@ PHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_phash_groups.parquet")
 WAV_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_wav_frames.parquet")
 PNG_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_png_features.parquet")
 GIF_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_gif_features.parquet")
+VIDEO_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_video_frames.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -193,6 +194,39 @@ def _expected_gif_features(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _expected_video_frames(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_video_framesample:
+    doc_id < 300 -> synthesize animated GIF -> decode all frames ->
+    every 2nd frame's aHash."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        ahash_pixels,
+        decode_gif_frames,
+        synth_video_payload,
+    )
+
+    rows = []
+    sel = docs[docs["doc_id"] < 300].sort_values("doc_id")
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        _, payload = synth_video_payload(did, nchars)
+        frames = decode_gif_frames(payload)
+        for fno in range(0, len(frames), 2):
+            rows.append(
+                (
+                    int(did),
+                    fno,
+                    len(frames),
+                    int(np.uint64(ahash_pixels(frames[fno])).astype(np.int64)),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["media_id", "frame_no", "n_frames", "ahash"]
+    ).astype(
+        {"media_id": "int64", "frame_no": "int32", "n_frames": "int32", "ahash": "int64"}
+    )
+
+
 def corpus_key(docs: pd.DataFrame) -> int:
     """Content-sensitive dispatch scalar; the SQL twin is
     ``count(*) + sum(doc_id * n_chars)`` over the documents view."""
@@ -220,7 +254,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     # file must invalidate per-sf stamps written before it existed
     # (the file-exists check alone passes once any sf dir built it,
     # leaving other sf dirs' corpus_key partitions missing)
-    dig = _digest(src) + ":fxv4"
+    dig = _digest(src) + ":fxv5"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -235,6 +269,7 @@ def ensure_fixtures(sf_dir: str) -> None:
         and os.path.exists(WAV_FIXTURE)
         and os.path.exists(PNG_FIXTURE)
         and os.path.exists(GIF_FIXTURE)
+        and os.path.exists(VIDEO_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
@@ -244,6 +279,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     _merge_partition(WAV_FIXTURE, key, _expected_wav_frames(docs))
     _merge_partition(PNG_FIXTURE, key, _expected_png_features(docs))
     _merge_partition(GIF_FIXTURE, key, _expected_gif_features(docs))
+    _merge_partition(VIDEO_FIXTURE, key, _expected_video_frames(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -276,5 +312,11 @@ WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 GIF_ORACLE_SQL = f"""
 SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
 FROM read_parquet('{GIF_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+VIDEO_ORACLE_SQL = f"""
+SELECT media_id, frame_no, n_frames, ahash
+FROM read_parquet('{VIDEO_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 """

@@ -430,6 +430,163 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def encode_gif_animated(
+    frames: list, palette: np.ndarray, delay_cs: int = 4
+) -> bytes:
+    """Encode a list of same-shape (h, w) uint8 index arrays as a
+    GIF89a ANIMATION (global color table, one graphic control
+    extension + full-frame image block per frame, no interlace) —
+    stdlib only; the container is public knowledge (GIF89a
+    specification). This is the repo's VIDEO container: a real
+    multi-frame format the frame-sampling path can decode."""
+    h, w = frames[0].shape
+    n = max(4, 1 << int(np.ceil(np.log2(len(palette)))))
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    min_code_size = max(2, int(np.log2(n)))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (size_bits << 4) | size_bits, 0, 0)
+        + pal.tobytes()
+    )
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("animation frames must share one shape")
+        if np.any(fr >= len(palette)):
+            raise ValueError("index beyond palette")
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([0, delay_cs & 0xFF, (delay_cs >> 8) & 0xFF, 0])
+            + b"\x00"
+        )
+        lzw = _lzw_encode(fr.astype(np.uint8).tobytes(), min_code_size)
+        blocks = b"".join(
+            bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code_size])
+            + blocks
+            + b"\x00"
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> np.ndarray:
+    """Decode EVERY frame of a GIF87a/89a animation (global color
+    table, full-frame images, no interlace/local tables) to an
+    (n_frames, h, w, 3) uint8 array. Partial-frame/disposal composites
+    raise at the marked extension point — the synthesized corpus
+    writes full frames only."""
+    if payload[:4] != _GIF_MAGIC:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n = 2 << (packed & 0x07)
+    pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+    pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if ipacked & 0xC0 or (left, top, w, h) != (0, 0, sw, sh):
+                raise NotImplementedError(
+                    "GIF local color table / interlace / partial frame"
+                )
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code_size), dtype=np.uint8
+            )
+            if len(idx) != h * w:
+                raise ValueError(f"GIF pixel count {len(idx)} != {h}x{w}")
+            frames.append(pal[idx.reshape(h, w)])
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return np.stack(frames)
+
+
+def synth_video_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic animated-GIF payload for one document: a
+    content-seeded base frame rolled horizontally per frame (motion
+    that stays inside the palette), 2-6 frames per doc, palette size
+    cycling 4/8/16. Shared by the Spark kernel AND the pure-pandas
+    fixture generator (the synth_payload contract)."""
+    did, nchars = int(did), int(nchars)
+    rng = np.random.default_rng(did + 23)
+    npal = (4, 8, 16)[did % 3]
+    w = 9 + nchars % 17
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    base = rng.integers(0, npal, size=(11, w), dtype=np.uint8)
+    n_frames = 2 + did % 5
+    frames = [np.roll(base, f, axis=1) for f in range(n_frames)]
+    return "video", encode_gif_animated(frames, pal)
+
+
+def video_frame_hashes(
+    df: DataFrame, stride: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sample every video payload (decode the animation, keep
+    every ``stride``-th frame) and emit one perceptual-hash row per
+    sampled frame — the video analog of audio's sample_frames ->
+    feature pipeline, one Arrow-batched map pass, non-video rows
+    dropped. Output: (media_id, frame_no, n_frames, ahash)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, nfs, hs = [], [], [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf[payload_col]
+            ):
+                if mtype != "video":
+                    continue
+                frames = decode_gif_frames(bytes(payload))
+                for fno in range(0, len(frames), stride):
+                    ids.append(int(mid))
+                    fnos.append(fno)
+                    nfs.append(len(frames))
+                    hs.append(
+                        np.uint64(ahash_pixels(frames[fno])).astype(np.int64)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "ahash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        _hash, "media_id long, frame_no int, n_frames int, ahash long"
+    )
+
+
 def resize_image(pixels: np.ndarray, factor: int) -> np.ndarray:
     """Stride-sampled downscale by an integer factor (nearest-neighbor;
     the point is real pixel-domain work without an image library)."""

@@ -298,6 +298,32 @@ def multimodal_gif_features(spark, sf_dir):
     )
 
 
+def multimodal_video_framesample(spark, sf_dir):
+    """VIDEO frame sampling (fifth media path): the corpus synthesizes
+    real multi-frame GIF89a ANIMATIONS (operators.multimodal.
+    encode_gif_animated — full container round-trip, stdlib only),
+    and the kernel decodes each animation, keeps every 2nd frame, and
+    emits one perceptual-hash row per sampled frame — the
+    decode -> frame-sample -> feature-extract pipeline a multimodal
+    training-data flow runs, in ONE Arrow-batched map pass with no
+    shuffle before the (bounded) result. Oracle: DuckDB scan of the
+    independently-built pure-pandas fixture, corpus_key-dispatched
+    like BMP/WAV/PNG/GIF; container correctness is pinned by
+    roundtrip pytests."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        synth_video_payload,
+        synthesize_media,
+        video_frame_hashes,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return video_frame_hashes(
+        synthesize_media(docs, payload_fn=synth_video_payload), stride=2
+    )
+
+
 def text_udtf_sentences(spark, sf_dir):
     """Python UDTF (table function) — the one UDF shape the rest of
     the engine doesn't exercise (scalar pandas UDFs and grouped/map
@@ -1003,6 +1029,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "multimodal_video_framesample": QuerySpec(
+        multimodal_video_framesample,
+        _fixtures_mm.VIDEO_ORACLE_SQL,
+        "animated-GIF video frame sampling + per-frame aHash (fixture oracle)",
     ),
     "quality_dup_calibration": QuerySpec(
         quality_dup_calibration,

@@ -254,3 +254,36 @@ def test_gif_roundtrip_any_shape(h, w, npal, seed):
     pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
     idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
     assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 20),
+    npal=st.sampled_from([4, 8, 16]),
+    n_frames=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_animation_roundtrip(h, w, npal, n_frames, seed):
+    """decode_gif_frames(encode_gif_animated(frames)) reproduces every
+    frame's RGB pixels in order, for arbitrary shapes/palettes/frame
+    counts; decode_gif (single-frame reader) must still return frame 0
+    of an animation."""
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    payload = encode_gif_animated(frames, pal)
+    dec = decode_gif_frames(payload)
+    assert dec.shape == (n_frames, h, w, 3)
+    for i, fr in enumerate(frames):
+        assert (dec[i] == pal[fr]).all()
+    assert (decode_gif(payload) == pal[frames[0]]).all()
