@@ -1548,3 +1548,65 @@ def pq_adc_distances(
     return embeddings.select(
         F.col(id_col).alias(id_col), vec_col
     ).mapInPandas(score, f"{id_col} long, adc_dist long")
+
+
+def farthest_point_partials(
+    embeddings: DataFrame,
+    seeds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """One round of farthest-point (Gonzalez k-center) seeding: each
+    task computes every row's EXACT min fixed-point squared L2 to the
+    broadcast seed set and emits only its LOCAL argmax row (max
+    min-distance, ties to the LOWER id) — one (md, id) pair per task,
+    so the driver reduction is bounded by task count, never corpus
+    size. The global argmax under the same (md desc, id asc) rule is
+    the next seed; exact integer distances make the whole seeding
+    trajectory bit-reproducible and SQL-replayable."""
+    import numpy as np
+    import pandas as pd
+
+    S0 = np.asarray(seeds, dtype="float64")
+
+    def fold(batches):
+        best_md = -1
+        best_id = -1
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            for lo in range(0, len(V), chunk):
+                W = V[lo : lo + chunk]
+                D = (
+                    np.floor((W[:, None, :] - S0[None, :, :]) ** 2 * float(SCALE))
+                    .astype("int64")
+                    .sum(axis=2)
+                    .min(axis=1)
+                )
+                sub_ids = ids[lo : lo + chunk]
+                order = np.lexsort((sub_ids, -D))
+                cand_md, cand_id = int(D[order[0]]), int(sub_ids[order[0]])
+                if cand_md > best_md or (
+                    cand_md == best_md and cand_id < best_id
+                ):
+                    best_md, best_id = cand_md, cand_id
+        if best_id >= 0:
+            yield pd.DataFrame(
+                {
+                    "md": pd.Series([best_md], dtype="int64"),
+                    "vid": pd.Series([best_id], dtype="int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "md": pd.Series([], dtype="int64"),
+                    "vid": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fold, "md long, vid long")

@@ -2044,3 +2044,99 @@ QUERIES.update(
         ),
     }
 )
+
+
+_FPS_R = 4  # total seeds: vec 0 + 3 farthest-point rounds
+
+
+def kmeans_seed_farthest(spark, sf_dir):
+    """Farthest-point (Gonzalez k-center) seeding for the k-means /
+    PQ trainers — the principled replacement for first-K seeding:
+    seed 0 is vector 0; each round adds the vector maximizing its
+    exact min fixed-point distance to the chosen set (ties to the
+    lower id). Every round is ONE corpus pass through
+    `farthest_point_partials` (operators/similarity.py), which emits
+    one (max-min-distance, id) candidate PER TASK — the driver
+    reduction is bounded by task count, and the selected trajectory
+    is exact integers end to end, so the ORACLE REPLAYS THE FULL
+    SEEDING in SQL (unrolled rounds) and every output row is
+    hash-checked: (round, seed_id, d2_fp = the seed's min distance to
+    its predecessors)."""
+    import numpy as np
+
+    from ..operators.similarity import farthest_point_partials
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q0 = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    empty = spark.createDataFrame([], "round int, seed_id long, d2_fp long")
+    if q0 is None or q0["embedding"] is None:
+        return empty
+    seeds = [np.asarray(q0["embedding"], dtype="float64")]
+    out = [(0, 0, 0)]
+    for r in range(1, _FPS_R):
+        rows = farthest_point_partials(emb, np.stack(seeds)).collect()
+        best = min(rows, key=lambda x: (-int(x["md"]), int(x["vid"])))
+        sid, md = int(best["vid"]), int(best["md"])
+        out.append((r, sid, md))
+        srow = emb.where(F.col("vec_id") == sid).select("embedding").first()
+        seeds.append(np.asarray(srow["embedding"], dtype="float64"))
+    return spark.createDataFrame(out, "round int, seed_id long, d2_fp long")
+
+
+def _fps_dist(v: str, s: str) -> str:
+    return (
+        f"(SELECT CAST(SUM(CAST(floor((CAST({v}.embedding[u.i] AS DOUBLE)"
+        f" - CAST({s}.se[u.i] AS DOUBLE))"
+        f" * (CAST({v}.embedding[u.i] AS DOUBLE)"
+        f" - CAST({s}.se[u.i] AS DOUBLE)) * {S}) AS BIGINT)) AS BIGINT)"
+        f" FROM UNNEST(range(1, len({v}.embedding) + 1)) AS u(i))"
+    )
+
+
+def _fps_sql() -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        f"""m1 AS (
+  SELECT v.vec_id, {_fps_dist('v', 's')} AS md
+  FROM e v, (SELECT embedding AS se FROM e WHERE vec_id = 0) s
+)""",
+        """p1 AS (
+  SELECT vec_id, md FROM m1
+  QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+)""",
+    ]
+    for r in range(2, _FPS_R):
+        parts.append(f"""m{r} AS (
+  SELECT v.vec_id, least(m{r-1}.md, {_fps_dist('v', 's')}) AS md
+  FROM e v
+  JOIN m{r-1} ON m{r-1}.vec_id = v.vec_id,
+  (SELECT e2.embedding AS se FROM e e2
+   JOIN p{r-1} ON e2.vec_id = p{r-1}.vec_id) s
+)""")
+        parts.append(f"""p{r} AS (
+  SELECT vec_id, md FROM m{r}
+  QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+)""")
+    selects = ["SELECT 0 AS round, CAST(0 AS BIGINT) AS seed_id,"
+               " CAST(0 AS BIGINT) AS d2_fp"]
+    for r in range(1, _FPS_R):
+        selects.append(
+            f"SELECT {r} AS round, CAST(vec_id AS BIGINT) AS seed_id,"
+            f" CAST(md AS BIGINT) AS d2_fp FROM p{r}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+KMEANS_SEED_SQL = _fps_sql()
+
+
+QUERIES.update(
+    {
+        "kmeans_seed_farthest": QuerySpec(
+            kmeans_seed_farthest,
+            KMEANS_SEED_SQL,
+            "farthest-point (Gonzalez) seeding trajectory, exact ints, SQL-replayed oracle",
+        ),
+    }
+)
