@@ -517,6 +517,92 @@ JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 """
 
 
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor Jaccard LINK PREDICTION over the near-dup pair
+    graph: every 2-hop pair (u, w) scored by
+    |N(u) n N(w)| / |N(u) u N(w)| with an ``is_edge`` flag — the
+    "these two docs are probably also duplicates" signal a dedup
+    pipeline uses to patch LSH misses: a high-Jaccard NON-edge is a
+    candidate missed pair. (On this synthetic corpus the planted dup
+    families are cliques, so the audit's finding is that every
+    high-Jaccard wedge is already an edge — zero missed pairs, which
+    is itself the verdict.) Output: (u, w, common, deg_u, deg_w,
+    is_edge, jaccard), u < w.
+
+    Scale shape: everything lives on the DERIVED pair graph (bounded
+    by banding): symmetric edges self-join once on the shared middle
+    (the standard 2-hop wedge enumeration), degrees are one edge-sized
+    aggregation broadcast back, the existing-edge anti-join removes
+    known pairs, and jaccard = common / (deg_u + deg_w - common) is
+    one IEEE tree on exact integer counts."""
+    pairs = (
+        minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wedge = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(edges.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    flagged = wedge.join(
+        pairs.select(
+            F.col("doc_a").alias("u"),
+            F.col("doc_b").alias("w"),
+            F.lit(True).alias("is_edge"),
+        ),
+        ["u", "w"],
+        "left",
+    ).withColumn("is_edge", F.coalesce("is_edge", F.lit(False)))
+    out = (
+        flagged.join(F.broadcast(deg.withColumnRenamed("a", "u")
+                                 .withColumnRenamed("deg", "deg_u")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("a", "w")
+                          .withColumnRenamed("deg", "deg_w")), "w")
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("deg_u") + F.col("deg_w") - F.col("common")
+    ).cast("double")
+    return out.select(
+        "u", "w", "common", "deg_u", "deg_w", "is_edge", jac.alias("jaccard")
+    )
+
+
+LINK_PREDICTION_SQL = f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+wedge AS (
+  SELECT e1.a AS u, e2.b AS w, count(*) AS common
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+  WHERE e1.a < e2.b
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT wdg.*, (p.doc_a IS NOT NULL) AS is_edge
+  FROM wedge wdg
+  LEFT JOIN p ON p.doc_a = wdg.u AND p.doc_b = wdg.w
+)
+SELECT n.u, n.w, CAST(n.common AS BIGINT) AS common,
+       CAST(du.deg AS BIGINT) AS deg_u, CAST(dw.deg AS BIGINT) AS deg_w,
+       n.is_edge,
+       CAST(n.common AS DOUBLE)
+         / CAST(du.deg + dw.deg - n.common AS DOUBLE) AS jaccard
+FROM flagged n
+JOIN deg du ON du.a = n.u
+JOIN deg dw ON dw.a = n.w
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Decontamination check: n-gram CONTAINMENT of held-out docs in
     training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
@@ -1520,6 +1606,11 @@ QUERIES = {
         dedup_components_star,
         DEDUP_COMPONENTS_SQL,
         "near-dup components via star contraction (diameter-independent rounds)",
+    ),
+    "graph_link_prediction": QuerySpec(
+        graph_link_prediction,
+        LINK_PREDICTION_SQL,
+        "common-neighbor Jaccard link prediction over the near-dup graph (LSH-miss patching)",
     ),
     "dedup_components_incremental": QuerySpec(
         dedup_components_incremental,
