@@ -122,7 +122,8 @@ PRIORITY: tuple[str, ...] = (
     # pq_train_codebooks, similarity_pq_adc_topk, similarity_ivf_pq_topk,
     # quality_perplexity_buckets, search_mrr_audit,
     # stats_chi2_independence, quality_ks_test, dedup_components_incremental,
-    # multimodal_video_framesample, kmeans_seed_farthest, graph_link_prediction.
+    # multimodal_video_framesample, kmeans_seed_farthest,
+    # graph_link_prediction, timeseries_cusum_drift.
     #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,

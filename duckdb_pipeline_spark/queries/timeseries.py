@@ -659,6 +659,107 @@ GROUP BY d.attr_value, day
 """
 
 
+def timeseries_cusum_drift(spark, sf_dir):
+    """CUSUM change-point detection per event type — the drift monitor
+    a feature pipeline runs over its input stream. Kept EXACT: the
+    classical cusum_k = sum_{j<=k}(x_j - mean) is rational, so both
+    engines compute n * cusum_k = n * prefix_sum_k - k * total — pure
+    int64 arithmetic on scale-2 fixed-point values (no float mean
+    subtraction, no drift). Output per type: n, the max |scaled
+    cusum| (exact), the timestamp where it peaks (earliest on ties),
+    and the unscaled peak as ONE final IEEE division.
+
+    Scale shape: one groupBy computes each type's totals; the prefix
+    sum is one window per type ordered by (ts, event_id) — a per-type
+    total order, the honest cost of an exact change-point (the
+    streaming shortcut is a windowed approximate CUSUM; this exact
+    query is its audit, the CCNet-tertiles precedent). Envelope:
+    n * prefix_sum <= 9.2e18 bounds n * sum|x| at ~3e5-row types for
+    scale-2 values <= 330 — the audit runs per partition-day at real
+    scale, not over an unbounded stream."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    xi = F.floor(F.col("value") * 100 + F.lit(0.5))
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(xi).alias("sx")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pref = ev.select(
+        "event_type",
+        "ts",
+        F.sum(xi).over(w).alias("ps"),
+        F.row_number().over(wk).alias("k"),
+    )
+    scaled = (
+        pref.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "ts",
+            F.col("n").alias("tot_n"),
+            F.abs(F.col("n") * F.col("ps") - F.col("k") * F.col("sx")).alias("sc"),
+        )
+    )
+    scaled = scaled.persist()
+    mx = scaled.groupBy("event_type").agg(
+        F.max("tot_n").alias("n"), F.max("sc").alias("max_scaled")
+    )
+    best = (
+        scaled.alias("s")
+        .join(
+            F.broadcast(mx.alias("m")),
+            (F.col("s.event_type") == F.col("m.event_type"))
+            & (F.col("s.sc") == F.col("m.max_scaled")),
+        )
+        .groupBy(F.col("m.event_type").alias("event_type"), "n", "max_scaled")
+        .agg(F.min("ts").alias("ts_at_peak"))
+    )
+    return best.select(
+        "event_type", "n", "max_scaled", "ts_at_peak",
+        (
+            F.col("max_scaled").cast("double")
+            / F.lit(100.0)
+            / F.col("n").cast("double")
+        ).alias("peak_cusum"),
+    )
+
+
+CUSUM_SQL = """
+WITH tot AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sx
+  FROM events GROUP BY event_type
+),
+pref AS (
+  SELECT event_type, ts,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k
+  FROM events
+),
+scaled AS (
+  SELECT p.event_type, p.ts, t.n,
+         abs(t.n * p.ps - p.k * t.sx) AS sc
+  FROM pref p JOIN tot t USING (event_type)
+),
+mx AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(sc) AS BIGINT) AS max_scaled
+  FROM scaled GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.max_scaled,
+       (SELECT min(s.ts) FROM scaled s
+        WHERE s.event_type = m.event_type AND s.sc = m.max_scaled)
+         AS ts_at_peak,
+       CAST(m.max_scaled AS DOUBLE) / 100.0 / CAST(m.n AS DOUBLE)
+         AS peak_cusum
+FROM mx m
+"""
+
+
 QUERIES = {
     "scd2_user_attributes": QuerySpec(
         scd2_user_attributes,
@@ -685,6 +786,11 @@ QUERIES = {
         retention_cohorts, RETENTION_SQL, "daily-cohort retention matrix"
     ),
     "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
+    "timeseries_cusum_drift": QuerySpec(
+        timeseries_cusum_drift,
+        CUSUM_SQL,
+        "exact CUSUM change-point per event type (integer n*cusum, no float mean)",
+    ),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_SQL, "exact-sum Pearson corr"),
     "sample_hash_deterministic": QuerySpec(
         sample_hash_deterministic, SAMPLE_SQL, "deterministic hash sample"
