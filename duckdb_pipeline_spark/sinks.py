@@ -330,3 +330,86 @@ def write_zorder_parquet(
         zdf.repartitionByRange(num_files, "_z") if num_files else zdf.repartitionByRange("_z")
     )
     ranged.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: snapshot isolation / time travel over plain parquet
+# ---------------------------------------------------------------------------
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Append a new immutable SNAPSHOT of a table: data lands in
+    ``<root>/v=<n>/`` and a manifest line (version, row files) commits
+    it by an atomic rename — readers either see the whole version or
+    none of it (the minimal Iceberg/Delta commit protocol over plain
+    parquet, no table-format library). Returns the new version number.
+
+    Writers are single-process here (the reference's cron model); a
+    multi-writer deployment would CAS the manifest rename. Old
+    versions stay byte-identical forever — time travel is a directory
+    choice, not a reconstruction."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(root, exist_ok=True)
+    manifest = _os.path.join(root, "_versions.json")
+    versions = []
+    if _os.path.exists(manifest):
+        with open(manifest) as f:
+            versions = _json.load(f)
+    v = (versions[-1]["version"] + 1) if versions else 1
+    vdir = _os.path.join(root, f"v={v}")
+    df.write.mode("errorifexists").parquet(vdir)
+    files = sorted(
+        fn for fn in _os.listdir(vdir) if fn.endswith(".parquet")
+    )
+    versions.append({"version": v, "dir": f"v={v}", "files": files})
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(versions, f, indent=1)
+    _os.replace(tmp, manifest)  # atomic commit
+    return v
+
+
+def read_version(spark, root: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the requested (default: latest) committed
+    snapshot. Uncommitted/partially-written version dirs are invisible
+    because resolution goes through the manifest, never a directory
+    listing."""
+    import json as _json
+    import os as _os
+
+    manifest = _os.path.join(root, "_versions.json")
+    with open(manifest) as f:
+        versions = _json.load(f)
+    if not versions:
+        raise ValueError(f"no committed versions under {root}")
+    if version is None:
+        entry = versions[-1]
+    else:
+        matches = [e for e in versions if e["version"] == version]
+        if not matches:
+            raise ValueError(f"version {version} not committed under {root}")
+        entry = matches[0]
+    return spark.read.parquet(_os.path.join(root, entry["dir"]))
+
+
+def vacuum_versions(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots: manifest commits
+    first (readers stop resolving the pruned versions), then the data
+    dirs are removed. Returns the pruned version numbers."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    manifest = _os.path.join(root, "_versions.json")
+    with open(manifest) as f:
+        versions = _json.load(f)
+    pruned, kept = versions[:-keep] if keep else versions, versions[-keep:] if keep else []
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(kept, f, indent=1)
+    _os.replace(tmp, manifest)
+    for e in pruned:
+        _shutil.rmtree(_os.path.join(root, e["dir"]), ignore_errors=True)
+    return [e["version"] for e in pruned]

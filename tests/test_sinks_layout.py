@@ -209,3 +209,46 @@ def test_morton_spread_matches_bit_reference(spark):
     got = {(r.a, r.b): r.z for r in df.select("a", "b", z.alias("z")).collect()}
     for a, b in pairs:
         assert got[(a, b)] == ref(a, b)
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """write_version commits immutable snapshots: old versions stay
+    byte-identical after new writes, read_version resolves by manifest
+    (default latest), and vacuum prunes from the manifest before the
+    data dirs."""
+    import os
+
+    from duckdb_pipeline_spark.sinks import (
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    root = str(tmp_path / "vt")
+    d1 = spark.range(5).withColumnRenamed("id", "k")
+    d2 = spark.range(8).withColumnRenamed("id", "k")
+    assert write_version(d1, root) == 1
+    v1_files = {
+        f: os.path.getmtime(os.path.join(root, "v=1", f))
+        for f in os.listdir(os.path.join(root, "v=1"))
+        if f.endswith(".parquet")
+    }
+    assert write_version(d2, root) == 2
+    # v1 untouched by the v2 commit
+    for f, mt in v1_files.items():
+        p = os.path.join(root, "v=1", f)
+        assert os.path.getmtime(p) == mt
+    assert read_version(spark, root).count() == 8          # latest
+    assert read_version(spark, root, 1).count() == 5       # time travel
+    # an uncommitted dir is invisible
+    os.makedirs(os.path.join(root, "v=9"), exist_ok=True)
+    assert read_version(spark, root).count() == 8
+    assert write_version(d1, root) == 3
+    assert vacuum_versions(root, keep=1) == [1, 2]
+    assert read_version(spark, root).count() == 5
+    assert not os.path.exists(os.path.join(root, "v=1"))
+    try:
+        read_version(spark, root, 2)
+        raise AssertionError("pruned version must not resolve")
+    except ValueError:
+        pass
