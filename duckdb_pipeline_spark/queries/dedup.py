@@ -334,10 +334,15 @@ def dedup_components_incremental(spark, sf_dir):
     here) and an arriving NEW batch. Instead of recomputing components
     over the full graph, new edges are CONTRACTED onto the old
     component labels (an old endpoint is replaced by its label via one
-    left join; an unlabeled old endpoint stands for itself), min-label
-    propagation runs only on this delta graph — sized by the batch and
-    the components it touches, independent of total corpus size — and
-    untouched components keep their labels with zero recompute.
+    left join; an unlabeled old endpoint stands for itself),
+    star-contraction components run only on this delta graph — sized
+    by the batch and the components it touches, independent of total
+    corpus size — and untouched components keep their labels with zero
+    recompute. Star contraction (not min-label propagation) because
+    the scaled corpus really does produce long chains: at sf10 the
+    perturbed near-dup graph holds a component of diameter > 25 and
+    min-label failed its convergence guard there (measured this
+    round); the star variant's round budget is O(log^2 n) regardless.
 
     Label algebra: an old component's label is its min member id, so
     min-label over the contracted graph yields the global min member
@@ -349,6 +354,8 @@ def dedup_components_incremental(spark, sf_dir):
     component_size) over every node of the full pair graph — the
     union of (a) relabeled old members, (b) new-batch nodes, (c) old
     nodes first touched by a new edge."""
+    from ..operators.dedup import connected_components_star
+
     pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir)).persist()
 
     def _new(c):
@@ -356,7 +363,7 @@ def dedup_components_incremental(spark, sf_dir):
 
     old_pairs = pairs.where(~_new("doc_a") & ~_new("doc_b"))
     new_pairs = pairs.where(_new("doc_a") | _new("doc_b"))
-    old_cc = connected_components(old_pairs).persist()  # persisted state in prod
+    old_cc = connected_components_star(old_pairs).persist()  # persisted state in prod
 
     lab = old_cc.select(F.col("doc_id").alias("id"), F.col("component").alias("lb"))
     contracted = new_pairs
@@ -370,7 +377,7 @@ def dedup_components_incremental(spark, sf_dir):
             .withColumn(side, F.coalesce(f"lb_{side}", side))
             .drop(f"lb_{side}")
         )
-    delta = connected_components(contracted).select(
+    delta = connected_components_star(contracted).select(
         F.col("doc_id").alias("node"), F.col("component").alias("new_lb")
     ).persist()
 
