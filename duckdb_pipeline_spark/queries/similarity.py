@@ -2140,3 +2140,91 @@ QUERIES.update(
         ),
     }
 )
+
+
+def similarity_pq_recall_audit(spark, sf_dir):
+    """Recall@10 of trained-PQ ADC serving against the EXACT
+    fixed-point L2 top-10 (query = vector 0) — the audit that
+    quantifies what the 16x compression costs in ranking quality (the
+    knn_recall_ivf_audit pattern for the PQ family). Both sides are
+    exact-integer rankings, so the one-row verdict is hash-checked:
+    (k, n_hits, recall).
+
+    Scale shape: the exact side is one map-only Arrow pass (per-row
+    exact d2 to the broadcast query, TakeOrdered), the PQ side is the
+    similarity_pq_adc_topk pipeline; the intersection joins two 10-row
+    sets."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    empty = spark.createDataFrame([], "k int, n_hits long, recall double")
+    if qrow is None or qrow["embedding"] is None:
+        return empty
+    q = np.asarray(qrow["embedding"], dtype="float64")
+
+    def exact(batches):
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["embedding"])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d2 = (
+                np.floor((V - q[None, :]) ** 2 * float(S))
+                .astype("int64")
+                .sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "d2": d2}
+            )
+
+    exact_top = (
+        emb.mapInPandas(exact, "vec_id long, d2 long")
+        .where(F.col("vec_id") != 0)
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    pq_top = similarity_pq_adc_topk(spark, sf_dir).select("vec_id")
+    hits = exact_top.join(pq_top, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall"),
+    )
+
+
+PQ_RECALL_SQL = f"""
+WITH exact_d AS (
+  SELECT e.vec_id,
+         (SELECT CAST(SUM(CAST(floor((CAST(e.embedding[u.i] AS DOUBLE)
+                                      - CAST(q.embedding[u.i] AS DOUBLE))
+                                     * (CAST(e.embedding[u.i] AS DOUBLE)
+                                        - CAST(q.embedding[u.i] AS DOUBLE))
+                                     * {S}) AS BIGINT)) AS BIGINT)
+          FROM UNNEST(range(1, len(e.embedding) + 1)) AS u(i)) AS d2
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.embedding IS NOT NULL AND e.vec_id <> 0
+),
+exact_top AS (
+  SELECT vec_id FROM exact_d ORDER BY d2, vec_id LIMIT 10
+),
+pq_top AS (SELECT vec_id FROM ({PQ_ADC_TOPK_SQL}) z)
+SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE) / 10.0 AS recall
+FROM exact_top JOIN pq_top USING (vec_id)
+"""
+
+
+QUERIES.update(
+    {
+        "similarity_pq_recall_audit": QuerySpec(
+            similarity_pq_recall_audit,
+            PQ_RECALL_SQL,
+            "recall@10 of trained-PQ ADC vs the exact fixed-point L2 ranking",
+        ),
+    }
+)
