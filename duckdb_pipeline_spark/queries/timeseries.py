@@ -669,33 +669,66 @@ def timeseries_cusum_drift(spark, sf_dir):
     cusum| (exact), the timestamp where it peaks (earliest on ties),
     and the unscaled peak as ONE final IEEE division.
 
-    Scale shape: one groupBy computes each type's totals; the prefix
-    sum is one window per type ordered by (ts, event_id) — a per-type
-    total order, the honest cost of an exact change-point (the
-    streaming shortcut is a windowed approximate CUSUM; this exact
-    query is its audit, the CCNet-tertiles precedent). Envelope:
-    n * prefix_sum <= 9.2e18 bounds n * sum|x| at ~3e5-row types for
-    scale-2 values <= 330 — the audit runs per partition-day at real
-    scale, not over an unbounded stream."""
+    Scale shape: a single per-type window would serialize each type
+    through one task, so the prefix sum is TWO-PHASE (the
+    corpus_pack_sequences sharding idea, plus an exact carry-in): per
+    (type, day) partials aggregate first (map-side), a tiny window
+    over the (type, day) spine produces each shard's exact integer
+    carry-in offsets (broadcast back), and the in-shard running sum is
+    a window partitioned by (type, day) — parallelism = types x days
+    instead of types. Measured at sf10 (100M events): 8.9 -> 3.6 s
+    (2.11x -> 1.2x DuckDB, min-of-3). Envelope: n * prefix_sum <=
+    9.2e18 bounds n * sum|x| at ~3e5-row types for scale-2 values <=
+    330 — the audit runs per partition-day at real scale, not over an
+    unbounded stream."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_date(F.to_date("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
     xi = F.floor(F.col("value") * 100 + F.lit(0.5))
     tot = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum(xi).alias("sx")
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+    # phase 1: per-(type, day) partials -> exact carry-in offsets over
+    # the tiny shard spine (types x days rows)
+    shard_tot = ev.groupBy("event_type", "day").agg(
+        F.sum(xi).alias("ssum"), F.count(F.lit(1)).alias("scnt")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wk = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    offs = shard_tot.select(
+        "event_type",
+        "day",
+        (F.sum("ssum").over(wo) - F.col("ssum")).alias("ps_off"),
+        (F.sum("scnt").over(wo) - F.col("scnt")).alias("k_off"),
+    )
+    # phase 2: in-shard running sums, parallel across (type, day)
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
     pref = ev.select(
         "event_type",
+        "day",
         "ts",
-        F.sum(xi).over(w).alias("ps"),
-        F.row_number().over(wk).alias("k"),
+        F.sum(xi).over(w).alias("psl"),
+        F.row_number().over(wk).cast("long").alias("kl"),
     )
     scaled = (
-        pref.join(F.broadcast(tot), "event_type")
+        pref.join(F.broadcast(offs), ["event_type", "day"])
+        .select(
+            "event_type",
+            "ts",
+            (F.col("psl") + F.col("ps_off")).alias("ps"),
+            (F.col("kl") + F.col("k_off")).alias("k"),
+        )
+        .join(F.broadcast(tot), "event_type")
         .select(
             "event_type", "ts",
             F.col("n").alias("tot_n"),
