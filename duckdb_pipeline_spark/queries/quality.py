@@ -453,6 +453,97 @@ FROM b GROUP BY lang, bucket
 """
 
 
+def quality_zipf_audit(spark, sf_dir):
+    """Zipf's-law corpus-health audit: OLS slope of log-frequency on
+    log-rank over the top 1000 tokens — natural text sits near
+    slope -1; synthetic/templated corpora drift flat or steep, so
+    this one-row readout is a cheap authenticity signal. Determinism:
+    ln is rounded to 6 decimals on both engines (the bigram-xent
+    precedent) and converted to integer MICRO-units, so the OLS
+    sufficient statistics are exact longs and slope / intercept / r2
+    are one shared IEEE tree (slope and r2 are scale-invariant; the
+    intercept rescales by 1e-6 at the end).
+
+    Scale shape: one token explode collapses map-side to the vocab
+    spine; ranking is one window over the bounded vocab (cnt desc,
+    token); the regression folds 1000 rows."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rank"),
+    ).where(F.col("rank") <= 1000)
+    xi = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    yi = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    numxy = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope = numxy / denx
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n
+    ) / F.lit(1e6)
+    return g.select(
+        F.col("n").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept"),
+        ((numxy * numxy) / (denx * deny)).alias("r2"),
+    )
+
+
+ZIPF_SQL = """
+WITH counts AS (
+  SELECT u.tok, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents) u
+  GROUP BY u.tok
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM counts
+  QUALIFY rank <= 1000
+),
+m AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xi,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS yi
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx, CAST(SUM(yi * yi) AS BIGINT) AS syy,
+         CAST(SUM(xi * yi) AS BIGINT) AS sxy
+  FROM m
+)
+SELECT n AS n_tokens,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+       ((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6 AS intercept,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+FROM s
+"""
+
+
 QUERIES = {
     "quality_gopher_repetition": QuerySpec(
         quality_gopher_repetition,
@@ -463,6 +554,11 @@ QUERIES = {
         text_unigram_xent,
         UNIGRAM_XENT_SQL,
         "per-doc cross-entropy under the corpus unigram LM (perplexity-filter proxy)",
+    ),
+    "quality_zipf_audit": QuerySpec(
+        quality_zipf_audit,
+        ZIPF_SQL,
+        "Zipf-slope OLS over the top-1000 token frequencies (corpus authenticity)",
     ),
     "quality_perplexity_buckets": QuerySpec(
         quality_perplexity_buckets,

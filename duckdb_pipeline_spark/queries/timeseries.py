@@ -793,6 +793,52 @@ FROM mx m
 """
 
 
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current) with exact counts — the
+    behavioral-model readout next to funnel_top_paths' raw journeys
+    (paths count specific trigrams; this normalizes ALL pairwise
+    transitions into a stochastic matrix). Output: (cur, nxt, n, p)
+    where p = n / row_total is ONE IEEE divide on exact longs.
+
+    Scale shape: one user-keyed window (lead), one bounded groupBy
+    (|types|^2 cells), row totals re-derived from the cells and
+    broadcast back — the corpus shuffles once on user_id."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(row_tot), "cur")
+        .select(
+            "cur", "nxt", "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+        )
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+cells AS (
+  SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+row_tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY cur)
+SELECT c.cur, c.nxt, c.n, CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM cells c JOIN row_tot t USING (cur)
+"""
+
+
 QUERIES = {
     "scd2_user_attributes": QuerySpec(
         scd2_user_attributes,
@@ -819,6 +865,11 @@ QUERIES = {
         retention_cohorts, RETENTION_SQL, "daily-cohort retention matrix"
     ),
     "timeseries_gap_fill": QuerySpec(timeseries_gap_fill, GAP_FILL_SQL, "hourly spine zero-fill"),
+    "events_markov_transitions": QuerySpec(
+        events_markov_transitions,
+        MARKOV_SQL,
+        "first-order Markov transition matrix over user event streams",
+    ),
     "timeseries_cusum_drift": QuerySpec(
         timeseries_cusum_drift,
         CUSUM_SQL,
