@@ -528,7 +528,128 @@ FROM (
 )
 
 
+def quality_expectations_gate(spark, sf_dir):
+    """Expectations-style DATA QUALITY GATE (the Great-Expectations /
+    dbt-test shape): a fixed suite of declarative checks evaluated in
+    ONE pass per table, each emitting (table, check, observed, passed)
+    — the admission gate a pipeline runs before promoting a batch to
+    silver. Checks: primary-key uniqueness, null counts, enum-domain
+    containment, value ranges, referential orphans. All observations
+    are exact integer counts; `passed` is an integer comparison — the
+    whole report is hash-checked.
+
+    Scale shape: one aggregation per table (map-side partials; the
+    uniqueness check rides countDistinct's partial aggregation) plus
+    one broadcast-probe anti-join count for the referential check —
+    no row-level materialization of violations (a debugging variant
+    would sample them; the gate only counts)."""
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    ev_checks = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_pk"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_user"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad_enum"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+    )
+    ord_checks = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+    def rows(df, table, checks):
+        r = df.select(
+            F.lit(table).alias("tbl"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col(col).cast("long").alias("observed"),
+                    )
+                    for name, col in checks
+                ]
+            ).alias("cs"),
+        ).select("tbl", F.explode("cs").alias("c"))
+        return r.select(
+            "tbl",
+            F.col("c.check").alias("check"),
+            F.col("c.observed").alias("observed"),
+            (F.col("c.observed") == 0).alias("passed"),
+        )
+
+    out = rows(
+        ev_checks,
+        "events",
+        [("pk_unique", "dup_pk"), ("user_not_null", "null_user"),
+         ("event_type_domain", "bad_enum"), ("value_nonnegative", "neg_value")],
+    ).unionByName(
+        rows(
+            ord_checks,
+            "orders",
+            [("pk_unique", "dup_pk"), ("price_positive", "bad_price")],
+        )
+    ).unionByName(
+        rows(orphans, "orders", [("custkey_references_customer", "n_orphans")])
+    )
+    return out
+
+
+EXPECTATIONS_SQL = """
+WITH ev AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT event_id) AS dup_pk,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+         SUM(CASE WHEN event_type NOT IN
+               ('view', 'click', 'purchase', 'signup', 'error')
+             THEN 1 ELSE 0 END) AS bad_enum,
+         SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value
+  FROM events
+),
+o AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT o_orderkey) AS dup_pk,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+  FROM orders
+),
+orph AS (
+  SELECT count(*) AS n_orphans FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT 'events' AS tbl, 'pk_unique' AS "check",
+       CAST(dup_pk AS BIGINT) AS observed, dup_pk = 0 AS passed FROM ev
+UNION ALL SELECT 'events', 'user_not_null', CAST(null_user AS BIGINT), null_user = 0 FROM ev
+UNION ALL SELECT 'events', 'event_type_domain', CAST(bad_enum AS BIGINT), bad_enum = 0 FROM ev
+UNION ALL SELECT 'events', 'value_nonnegative', CAST(neg_value AS BIGINT), neg_value = 0 FROM ev
+UNION ALL SELECT 'orders', 'pk_unique', CAST(dup_pk AS BIGINT), dup_pk = 0 FROM o
+UNION ALL SELECT 'orders', 'price_positive', CAST(bad_price AS BIGINT), bad_price = 0 FROM o
+UNION ALL SELECT 'orders', 'custkey_references_customer',
+       CAST(n_orphans AS BIGINT), n_orphans = 0 FROM orph
+"""
+
+
 QUERIES = {
+    "quality_expectations_gate": QuerySpec(
+        quality_expectations_gate,
+        EXPECTATIONS_SQL,
+        "expectations-style data-quality gate (pk/nulls/domain/range/referential) in one pass per table",
+    ),
     "profile_key_skew": QuerySpec(
         profile_key_skew,
         KEY_SKEW_SQL,

@@ -413,3 +413,52 @@ def vacuum_versions(root: str, keep: int = 2) -> list[int]:
     for e in pruned:
         _shutil.rmtree(_os.path.join(root, e["dir"]), ignore_errors=True)
     return [e["version"] for e in pruned]
+
+
+def read_version_diff(
+    spark, root: str, v_old: int, v_new: int, keys: list[str]
+) -> DataFrame:
+    """CDC between two committed snapshots of a versioned table: one
+    full outer join on the key columns classifies every row as
+    insert / delete / update (any non-key column changed) / unchanged,
+    and the unchanged rows are dropped. This is the incremental-read
+    primitive a downstream consumer uses instead of reprocessing the
+    whole new snapshot. Returns the NEW-side row (OLD side for
+    deletes) plus a ``_change`` column.
+
+    Scale shape: one key-partitioned join of the two snapshots —
+    the honest cost of snapshot CDC without a table format that
+    records deltas at write time (write_version could be extended to
+    store per-commit delta files; the diff would then be a metadata
+    read)."""
+    old = read_version(spark, root, v_old)
+    new = read_version(spark, root, v_new)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_ov_{c}") for c in val_cols],
+    )
+    cond = [F.col(k) == F.col(f"_ok_{k}") for k in keys]
+    j = new.join(o, cond, "full_outer")
+    is_insert = F.col(f"_ok_{keys[0]}").isNull()
+    is_delete = F.col(keys[0]).isNull()
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_ov_{c}"))
+    change = (
+        F.when(is_insert, F.lit("insert"))
+        .when(is_delete, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(is_delete, F.col(f"_ov_{c}")).otherwise(F.col(c)).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("_change", change)
+        .where(F.col("_change").isNotNull())
+        .select(*out_keys, *out_vals, "_change")
+    )

@@ -252,3 +252,32 @@ def test_versioned_table_time_travel(spark, tmp_path):
         raise AssertionError("pruned version must not resolve")
     except ValueError:
         pass
+
+
+def test_read_version_diff_cdc(spark, tmp_path):
+    """Snapshot CDC: inserts/deletes/updates classified by the keyed
+    full-outer diff; unchanged rows dropped."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pipeline_spark.sinks import read_version_diff, write_version
+
+    root = str(tmp_path / "cdc")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", 30.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    write_version(v1, root)
+    write_version(v2, root)
+    diff = {
+        int(r["k"]): r["_change"]
+        for r in read_version_diff(spark, root, 1, 2, ["k"]).collect()
+    }
+    assert diff == {1: "delete", 3: "update", 4: "insert"}
+    # update rows carry the NEW values; deletes carry the old
+    rows = {
+        (int(r["k"]), r["_change"]): r["s"]
+        for r in read_version_diff(spark, root, 1, 2, ["k"]).collect()
+    }
+    assert rows[(3, "update")] == "c2" and rows[(1, "delete")] == "a"
