@@ -43,6 +43,7 @@ WAV_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_wav_frames.parquet")
 PNG_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_png_features.parquet")
 GIF_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_gif_features.parquet")
 VIDEO_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_video_frames.parquet")
+AHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_ahash_values.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -194,6 +195,40 @@ def _expected_gif_features(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _expected_ahash_values(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas per-media aHash table for the Hamming near-dup
+    oracle: originals (even doc_id < 400), metadata re-encodes
+    (+1e6), and top-left-quarter darkened near-dups (+2e6)."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        ahash_pixels,
+        decode_bmp,
+        encode_bmp,
+        synth_payload,
+    )
+
+    sel = docs[(docs["doc_id"] < 400) & (docs["doc_id"] % 2 == 0)].sort_values("doc_id")
+    ids, hashes = [], []
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        _, payload = synth_payload(did, nchars)
+        px = decode_bmp(payload)
+        ids.append(int(did))
+        hashes.append(int(np.uint64(ahash_pixels(px)).astype(np.int64)))
+        px2 = decode_bmp(encode_bmp(px, ppm=5670))
+        ids.append(int(did) + 1_000_000)
+        hashes.append(int(np.uint64(ahash_pixels(px2)).astype(np.int64)))
+        px3 = px.copy()
+        h, w = px3.shape[:2]
+        px3[: h // 2, : w // 2] = px3[: h // 2, : w // 2] // 2
+        px3 = decode_bmp(encode_bmp(px3))
+        ids.append(int(did) + 2_000_000)
+        hashes.append(int(np.uint64(ahash_pixels(px3)).astype(np.int64)))
+    return pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
+        {"media_id": "int64", "ahash": "int64"}
+    )
+
+
 def _expected_video_frames(docs: pd.DataFrame) -> pd.DataFrame:
     """Pure-pandas twin of queries.llmtext.multimodal_video_framesample:
     doc_id < 300 -> synthesize animated GIF -> decode all frames ->
@@ -254,7 +289,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     # file must invalidate per-sf stamps written before it existed
     # (the file-exists check alone passes once any sf dir built it,
     # leaving other sf dirs' corpus_key partitions missing)
-    dig = _digest(src) + ":fxv5"
+    dig = _digest(src) + ":fxv6"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -270,6 +305,7 @@ def ensure_fixtures(sf_dir: str) -> None:
         and os.path.exists(PNG_FIXTURE)
         and os.path.exists(GIF_FIXTURE)
         and os.path.exists(VIDEO_FIXTURE)
+        and os.path.exists(AHASH_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
@@ -280,6 +316,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     _merge_partition(PNG_FIXTURE, key, _expected_png_features(docs))
     _merge_partition(GIF_FIXTURE, key, _expected_gif_features(docs))
     _merge_partition(VIDEO_FIXTURE, key, _expected_video_frames(docs))
+    _merge_partition(AHASH_FIXTURE, key, _expected_ahash_values(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -313,6 +350,27 @@ GIF_ORACLE_SQL = f"""
 SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
 FROM read_parquet('{GIF_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+PHASH_NEARDUP_ORACLE_SQL = f"""
+WITH h AS (
+  SELECT media_id, ahash
+  FROM read_parquet('{AHASH_FIXTURE}')
+  WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+),
+bands AS (
+  SELECT media_id, ahash, b.b AS band,
+         (ahash >> (16 * b.b)) & 65535 AS bval
+  FROM h, UNNEST(range(0, 4)) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         x.ahash AS ha, y.ahash AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bval = y.bval AND x.media_id < y.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8
 """
 
 VIDEO_ORACLE_SQL = f"""

@@ -857,6 +857,32 @@ def wav_frame_stats(
     )
 
 
+def perturb_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministically NEAR-duplicate every image payload: halve the
+    intensity of the top-left quarter and re-encode — pixels differ,
+    block structure mostly survives, so the aHash lands a FEW bits
+    away from the original (the crop/brightness-edit near-dup case
+    that exact pixel hashing misses and Hamming-banded LSH catches).
+    Non-image rows pass through unchanged."""
+
+    def _pt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mtype, payload in zip(pdf["media_type"], pdf[payload_col]):
+                if mtype != "image":
+                    out.append(payload)
+                    continue
+                px = decode_bmp(bytes(payload)).copy()
+                h, w = px.shape[:2]
+                px[: h // 2, : w // 2] = px[: h // 2, : w // 2] // 2
+                out.append(encode_bmp(px))
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_pt, schema=df.schema)
+
+
 def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(media_id, ahash) for every decodable image payload in a media
     frame — one Arrow-batched map pass, non-image rows dropped. The

@@ -124,7 +124,8 @@ PRIORITY: tuple[str, ...] = (
     # stats_chi2_independence, quality_ks_test, dedup_components_incremental,
     # multimodal_video_framesample, kmeans_seed_farthest,
     # graph_link_prediction, timeseries_cusum_drift, similarity_pq_recall_audit,
-    # events_markov_transitions, quality_zipf_audit, quality_expectations_gate.
+    # events_markov_transitions, quality_zipf_audit, quality_expectations_gate,
+    # multimodal_phash_neardup.
     #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,

@@ -298,6 +298,65 @@ def multimodal_gif_features(spark, sf_dir):
     )
 
 
+def multimodal_phash_neardup(spark, sf_dir):
+    """Perceptual NEAR-duplicate image pairs via Hamming-banded LSH
+    over the aHash: the 64-bit hash splits into four 16-bit bands,
+    candidates share a band (never all-pairs — the MinHash banding
+    discipline applied to image hashes), and candidates verify by
+    popcount(xor) <= 8. The corpus is originals + metadata re-encodes
+    (Hamming 0) + top-left-quarter DARKENED near-dups (Hamming > 0 —
+    the brightness-edit case exact pixel hashing misses; planted by
+    `perturb_images`). Decode is not SQL-expressible, so the oracle
+    replays the BANDING AND VERIFY in SQL over the independently-
+    computed per-media aHash fixture — the LSH logic itself is
+    hash-checked, not just the hashes. Output: (id_a, id_b, hamming).
+
+    Scale shape: one Arrow decode+hash pass, a 4x map-side band
+    explode, one groupBy-free band self-join on (band, bval) — the
+    similarity-family banding shape end to end."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        image_ahash,
+        perturb_images,
+        reencode_images,
+        synthesize_media,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 2 == 0)
+    )
+    media = synthesize_media(docs)
+    copies = reencode_images(media).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    nears = perturb_images(media).withColumn(
+        "media_id", F.col("media_id") + F.lit(2_000_000)
+    )
+    hashes = image_ahash(media.unionByName(copies).unionByName(nears))
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("bval", F.expr("shiftright(ahash, 16 * band) & CAST(65535 AS BIGINT)"))
+    x = bands.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "bval"
+    )
+    y = bands.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "bval"
+    )
+    cand = (
+        x.join(y, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= 8).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
+
+
 def multimodal_video_framesample(spark, sf_dir):
     """VIDEO frame sampling (fifth media path): the corpus synthesizes
     real multi-frame GIF89a ANIMATIONS (operators.multimodal.
@@ -1029,6 +1088,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "multimodal_phash_neardup": QuerySpec(
+        multimodal_phash_neardup,
+        _fixtures_mm.PHASH_NEARDUP_ORACLE_SQL,
+        "Hamming-banded LSH near-dup image pairs over real decoded aHashes",
     ),
     "multimodal_video_framesample": QuerySpec(
         multimodal_video_framesample,
