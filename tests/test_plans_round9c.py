@@ -73,3 +73,41 @@ def test_pruning_audit_no_sort_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     agg_part = plan.split("HashAggregate")[0]
     assert "Sort" not in agg_part, plan
+
+
+def test_cusum_no_single_partition_window(spark, sf_dir):
+    """The CUSUM prefix sum must stay sharded: every Window operator's
+    partition spec includes the day shard (no per-type single-task
+    window), and the plan contains no 'Window ... PARTITION BY
+    event_type#x ORDER' without day."""
+    plan = _plan(spark, sf_dir, "timeseries_cusum_drift")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "event_type" in spec and "unix_date" not in spec and "day" not in spec:
+            raise AssertionError(f"unsharded per-type window:\n{m.group(0)}")
+
+
+def test_markov_single_user_window_bounded_joins(spark, sf_dir):
+    """Markov transitions: one user-keyed window; the row-total join
+    broadcasts (no shuffle join)."""
+    plan = _plan(spark, sf_dir, "events_markov_transitions")
+    for op in _JOIN_OPS:
+        assert op not in plan, f"{op} in markov plan:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_expectations_gate_no_shuffle_joins(spark, sf_dir):
+    """The referential check must broadcast the dimension side."""
+    plan = _plan(spark, sf_dir, "quality_expectations_gate")
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert op not in plan, f"{op} in gate plan:\n{plan}"
+
+
+def test_phash_neardup_band_join_only(spark, sf_dir):
+    """Image near-dup pairs: the only join is the band-key self-join —
+    no cartesian, no nested-loop (never all-pairs)."""
+    plan = _plan(spark, sf_dir, "multimodal_phash_neardup")
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} in phash near-dup plan:\n{plan}"
