@@ -964,6 +964,41 @@ FROM orders
 """
 
 
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar coverage (shift, and/or/xor, not, popcount) —
+    the ops the engine's own kernels lean on (Morton interleave,
+    limb sums, Bloom probes, SimHash bands) surfaced as first-class
+    user functions; exact integer semantics on both engines."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    k = F.col("l_orderkey")
+    p2 = F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(p2).alias("k_and_p"),
+        k.bitwiseOR(p2).alias("k_or_p"),
+        k.bitwiseXOR(p2).alias("k_xor_p"),
+        F.bitwise_not(k).alias("k_not"),
+        F.bit_count(k).alias("k_bits"),
+        F.expr("getbit(l_orderkey, 4)").alias("bit4"),
+    )
+
+
+SCALAR_BITWISE_SQL = """
+SELECT l_orderkey,
+       l_orderkey << 3 AS shl3,
+       l_orderkey >> 2 AS shr2,
+       l_orderkey & l_partkey AS k_and_p,
+       l_orderkey | l_partkey AS k_or_p,
+       xor(l_orderkey, l_partkey) AS k_xor_p,
+       ~l_orderkey AS k_not,
+       CAST(bit_count(l_orderkey) AS INTEGER) AS k_bits,
+       CAST(get_bit(l_orderkey::BIT, 63 - 4) AS BIGINT) AS bit4
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
 def scalar_math_funcs(spark, sf_dir):
     """Math function coverage (IEEE-deterministic ops only: +,*,/,
     sqrt, power-of-2; no libm transcendentals in oracle-checked
@@ -1190,6 +1225,9 @@ QUERIES = {
     "scalar_string_funcs": QuerySpec(scalar_string_funcs, SCALAR_STR_SQL, "string scalar coverage"),
     "scalar_date_funcs": QuerySpec(scalar_date_funcs, SCALAR_DATE_SQL, "date scalar coverage"),
     "scalar_math_funcs": QuerySpec(scalar_math_funcs, SCALAR_MATH_SQL, "math scalar coverage"),
+    "scalar_bitwise_funcs": QuerySpec(
+        scalar_bitwise_funcs, SCALAR_BITWISE_SQL, "bitwise scalar coverage (shift/and/or/xor/not/popcount/getbit)"
+    ),
     "case_bucketing": QuerySpec(case_bucketing, CASE_SQL, "CASE WHEN buckets"),
     "coalesce_nullif": QuerySpec(coalesce_nullif, COALESCE_SQL, "null handling"),
     "scalar_subquery_filter": QuerySpec(scalar_subquery_filter, SCALAR_SUBQ_SQL, "scalar subquery"),

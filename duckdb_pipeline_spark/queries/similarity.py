@@ -2228,3 +2228,74 @@ QUERIES.update(
         ),
     }
 )
+
+
+def embedding_sim_calibration(spark, sf_dir):
+    """Similarity-signal calibration (the quality_dup_calibration
+    pattern for embeddings): bucket the exact 3-NN edges by cosine
+    decile and report the same-label rate per bucket — if the
+    embedding space is healthy the rate rises monotonically with
+    cosine, and the bucket where it crosses a target precision IS the
+    near-dup / retrieval threshold. Buckets floor the hash-checked
+    deterministic cosine (floor(c*10)), counts are exact longs, the
+    rate is one IEEE divide.
+
+    Scale shape: everything lives on the skinny kNN edge list (n*k
+    rows); labels join in twice (broadcast-size), one bounded bucket
+    groupBy."""
+    knn = _knn_topk(spark, sf_dir)
+    labs = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = (
+        knn.join(labs, "vec_id")
+        .join(
+            labs.select(
+                F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+            ),
+            "nbr_id",
+        )
+    )
+    bucket = F.floor(F.col("cosine") * 10).cast("int")
+    out = e.groupBy(bucket.alias("cos_bucket")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("label") == F.col("nbr_label")).cast("long")).alias(
+            "n_same_label"
+        ),
+    )
+    return out.select(
+        "cos_bucket",
+        "n_edges",
+        "n_same_label",
+        (
+            F.col("n_same_label").cast("double") / F.col("n_edges").cast("double")
+        ).alias("same_label_rate"),
+    )
+
+
+SIM_CALIBRATION_SQL = f"""
+WITH {_KNN_CTES},
+e AS (
+  SELECT r.vec_id, r.nbr_id, r.cosine, a.label, b.label AS nbr_label
+  FROM rk r
+  JOIN embeddings a ON a.vec_id = r.vec_id
+  JOIN embeddings b ON b.vec_id = r.nbr_id
+  WHERE r.rk <= 3
+)
+SELECT CAST(floor(cosine * 10) AS INTEGER) AS cos_bucket,
+       count(*) AS n_edges,
+       CAST(SUM(CASE WHEN label = nbr_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       CAST(SUM(CASE WHEN label = nbr_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS same_label_rate
+FROM e GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "embedding_sim_calibration": QuerySpec(
+            embedding_sim_calibration,
+            SIM_CALIBRATION_SQL,
+            "cosine-decile x same-label-rate calibration of the kNN edge list",
+        ),
+    }
+)
