@@ -2299,3 +2299,169 @@ QUERIES.update(
         ),
     }
 )
+
+
+def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
+    """Build (once) the PERSISTED IVF-PQ index — the FAISS index file,
+    as a lakehouse table: PQ codebooks train once (R=1, the
+    similarity_pq_adc_topk recipe), every vector stores ONLY its cell
+    assignment and M uint8 codes (16x compression: 4 codes vs 64
+    floats), partitioned by cell. Codebooks land beside the data as
+    JSON so serving never retrains or touches the raw vectors.
+    Same content-hash staleness stamp as `_ensure_ivf_index`."""
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.similarity import SCALE as _SC
+    from ..operators.similarity import (
+        _ivf_centroids_and_query,
+        pq_train_partials,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
+    path = os.path.join(repo, ".scratch", "ivfpq", label)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest(), "v": 1}
+    marker = os.path.join(path, "_SRC.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return path
+    except (OSError, ValueError):
+        pass
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    CB = _pq_seed_codebooks(emb)
+    rows = (
+        pq_train_partials(emb, CB)
+        .groupBy("m", "code", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    CB1 = _pq_apply_update(CB, rows)
+    C, _ = _ivf_centroids_and_query(emb, 0, 8, "vec_id", "embedding")
+
+    import pandas as pd
+
+    def encode(batches):
+        m_sub, k, ds = CB1.shape
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["embedding"])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            cells = (
+                np.floor(V[:, None, :] * C[None, :, :] * float(_SC))
+                .astype("int64")
+                .sum(axis=2)
+            )
+            # argmax score, ties to the lower cell id (lexsort idiom)
+            order_cells = np.lexsort(
+                (np.tile(np.arange(len(C)), (len(V), 1)), -cells), axis=1
+            )[:, 0]
+            codes = np.zeros((len(V), m_sub), dtype="int32")
+            for m in range(m_sub):
+                Wm = V[:, m * ds : (m + 1) * ds]
+                D = (
+                    np.floor(
+                        (Wm[:, None, :] - CB1[m][None, :, :]) ** 2 * float(_SC)
+                    )
+                    .astype("int64")
+                    .sum(axis=2)
+                )
+                codes[:, m] = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": order_cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_CODEBOOKS.json"), "w") as fh:
+        json.dump(CB1.tolist(), fh)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return path
+
+
+def similarity_ivf_pq_topk_indexed(spark, sf_dir):
+    """IVF-PQ serving against the PERSISTED compressed index — the
+    true production read path: the index build (`_ensure_ivfpq_index`)
+    already paid for training, cell assignment and PQ encoding, so a
+    query costs (a) one bounded driver fetch (centroids from the
+    corpus head + codebooks from the index metadata), (b) a
+    partition-pruned scan of the n_probe cells reading ONLY (vec_id,
+    4 codes) — 16x fewer bytes than the vectors — and (c) an in-plan
+    LUT fold over M=4 array elements; TakeOrdered finishes. No
+    re-encoding, no Python stage, no shuffle. Identical result set to
+    `similarity_ivf_pq_topk` (shared oracle): the at-rest index is an
+    equivalence-preserving layout change, like the bucketed twins."""
+    import numpy as np
+
+    from ..operators.similarity import SCALE as _SC
+    from ..operators.similarity import _ivf_centroids_and_query
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx_path = _ensure_ivfpq_index(spark, sf_dir)
+    C, qv = _ivf_centroids_and_query(emb, 0, 8, "vec_id", "embedding")
+    empty = emb.select(
+        "vec_id", F.lit(0).cast("long").alias("adc_dist")
+    ).where(F.lit(False))
+    if qv is None:
+        return empty
+    with open(os.path.join(idx_path, "_CODEBOOKS.json")) as fh:
+        CB1 = np.asarray(json.load(fh), dtype="float64")
+    m_sub, k, ds = CB1.shape
+    qs = np.floor(qv[None, :] * C * _SC).astype("int64").sum(axis=1)
+    probe = [int(c) for c in np.lexsort((np.arange(len(qs)), -qs))[:2]]
+    lut = np.zeros((m_sub, k), dtype="int64")
+    for m in range(m_sub):
+        qm = qv[m * ds : (m + 1) * ds]
+        lut[m] = (
+            np.floor((qm[None, :] - CB1[m]) ** 2 * float(_SC))
+            .astype("int64")
+            .sum(axis=1)
+        )
+    lut_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in lut[m]) + ")"
+            for m in range(m_sub)
+        )
+        + ")"
+    )
+    dist = F.expr(
+        f"aggregate(zip_with(codes, {lut_sql}, (c, row) -> row[c]),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    probed = spark.read.parquet(idx_path).where(F.col("cell").isin(probe))
+    return (
+        probed.where(F.col("vec_id") != 0)
+        .select("vec_id", dist.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES.update(
+    {
+        "similarity_ivf_pq_topk_indexed": QuerySpec(
+            similarity_ivf_pq_topk_indexed,
+            IVF_PQ_TOPK_SQL,  # identical semantics, at-rest layout twin
+            "IVF-PQ serving from the PERSISTED compressed index (codes at rest, no re-encode)",
+        ),
+    }
+)

@@ -111,3 +111,18 @@ def test_phash_neardup_band_join_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_phash_neardup")
     for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, f"{op} in phash near-dup plan:\n{plan}"
+
+
+def test_ivfpq_indexed_serving_plan(spark, sf_dir):
+    """Persisted IVF-PQ serving: partition-pruned scan of the code
+    table (PartitionFilters on cell), zero Exchanges, no joins, no
+    Python stage (the LUT fold is an in-plan expression — the plan
+    must not contain ArrowEvalPython / MapInPandas / BatchEvalPython)."""
+    plan = _plan(spark, sf_dir, "similarity_ivf_pq_topk_indexed")
+    part_filters = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part_filters
+    assert _shuffle_exchanges(plan) == 0, plan
+    for op in _JOIN_OPS + ("BroadcastHashJoin",):
+        assert op not in plan, f"{op} in the indexed IVF-PQ plan:\n{plan}"
+    for py in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert py not in plan, f"{py} in the indexed serving plan:\n{plan}"
