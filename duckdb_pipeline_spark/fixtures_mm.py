@@ -44,6 +44,7 @@ PNG_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_png_features.parquet")
 GIF_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_gif_features.parquet")
 VIDEO_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_video_frames.parquet")
 AHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_ahash_values.parquet")
+RESIZE_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_resize_audit.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -229,6 +230,42 @@ def _expected_ahash_values(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _expected_resize_audit(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_resize_audit:
+    even doc_id < 200 -> BMP -> aHash(original) vs aHash(2x
+    stride-downscale) -> Hamming."""
+    import numpy as np
+
+    from .operators.multimodal import (
+        ahash_pixels,
+        decode_bmp,
+        resize_image,
+        synth_payload,
+    )
+
+    sel = docs[(docs["doc_id"] < 200) & (docs["doc_id"] % 2 == 0)].sort_values("doc_id")
+    rows = []
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        _, payload = synth_payload(did, nchars)
+        px = decode_bmp(payload)
+        h0 = np.uint64(ahash_pixels(px))
+        h1 = np.uint64(ahash_pixels(resize_image(px, 2)))
+        rows.append(
+            (
+                int(did),
+                int(h0.astype(np.int64)),
+                int(h1.astype(np.int64)),
+                int(bin(int(h0 ^ h1)).count("1")),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["media_id", "ahash_full", "ahash_half", "hamming"]
+    ).astype(
+        {"media_id": "int64", "ahash_full": "int64",
+         "ahash_half": "int64", "hamming": "int64"}
+    )
+
+
 def _expected_video_frames(docs: pd.DataFrame) -> pd.DataFrame:
     """Pure-pandas twin of queries.llmtext.multimodal_video_framesample:
     doc_id < 300 -> synthesize animated GIF -> decode all frames ->
@@ -289,7 +326,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     # file must invalidate per-sf stamps written before it existed
     # (the file-exists check alone passes once any sf dir built it,
     # leaving other sf dirs' corpus_key partitions missing)
-    dig = _digest(src) + ":fxv6"
+    dig = _digest(src) + ":fxv7"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -306,6 +343,7 @@ def ensure_fixtures(sf_dir: str) -> None:
         and os.path.exists(GIF_FIXTURE)
         and os.path.exists(VIDEO_FIXTURE)
         and os.path.exists(AHASH_FIXTURE)
+        and os.path.exists(RESIZE_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
@@ -317,6 +355,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     _merge_partition(GIF_FIXTURE, key, _expected_gif_features(docs))
     _merge_partition(VIDEO_FIXTURE, key, _expected_video_frames(docs))
     _merge_partition(AHASH_FIXTURE, key, _expected_ahash_values(docs))
+    _merge_partition(RESIZE_FIXTURE, key, _expected_resize_audit(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -349,6 +388,12 @@ WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 GIF_ORACLE_SQL = f"""
 SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
 FROM read_parquet('{GIF_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+RESIZE_ORACLE_SQL = f"""
+SELECT media_id, ahash_full, ahash_half, CAST(hamming AS INTEGER) AS hamming
+FROM read_parquet('{RESIZE_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 """
 

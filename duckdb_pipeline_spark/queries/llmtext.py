@@ -298,6 +298,70 @@ def multimodal_gif_features(spark, sf_dir):
     )
 
 
+def multimodal_resize_audit(spark, sf_dir):
+    """Resize-invariance audit of the perceptual hash: decode each
+    image, stride-downscale by 2 (`resize_image` — the thumbnail /
+    preprocessing step every multimodal pipeline runs), and compare
+    aHash(full) vs aHash(half) by Hamming distance — small distances
+    certify that block-mean hashing survives resampling, i.e. that
+    thumbnail dedup against the full-resolution corpus is sound. One
+    Arrow decode-resize-hash pass; oracle = the independently-built
+    pure-pandas fixture (hash values AND distances hash-checked)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        ahash_pixels,
+        decode_bmp,
+        resize_image,
+        synth_payload,
+        synthesize_media,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 0)
+    )
+    media = synthesize_media(docs)
+
+    def _audit(batches):
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "image":
+                    continue
+                px = decode_bmp(bytes(payload))
+                h0 = np.uint64(ahash_pixels(px))
+                h1 = np.uint64(ahash_pixels(resize_image(px, 2)))
+                rows.append(
+                    (
+                        int(mid),
+                        int(h0.astype(np.int64)),
+                        int(h1.astype(np.int64)),
+                        int(bin(int(h0 ^ h1)).count("1")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ahash_full", "ahash_half", "hamming"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "ahash_full": "int64",
+                    "ahash_half": "int64",
+                    "hamming": "int64",
+                }
+            )
+
+    return media.mapInPandas(
+        _audit,
+        "media_id long, ahash_full long, ahash_half long, hamming long",
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def multimodal_phash_neardup(spark, sf_dir):
     """Perceptual NEAR-duplicate image pairs via Hamming-banded LSH
     over the aHash: the 64-bit hash splits into four 16-bit bands,
@@ -1088,6 +1152,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "multimodal_resize_audit": QuerySpec(
+        multimodal_resize_audit,
+        _fixtures_mm.RESIZE_ORACLE_SQL,
+        "aHash resize-invariance audit (full vs 2x stride-downscale; fixture oracle)",
     ),
     "multimodal_phash_neardup": QuerySpec(
         multimodal_phash_neardup,
