@@ -2331,7 +2331,7 @@ def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
     with open(src, "rb") as fh:
         for chunk in iter(lambda: fh.read(1 << 20), b""):
             h.update(chunk)
-    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest(), "v": 1}
+    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest(), "v": 2}
     marker = os.path.join(path, "_SRC.json")
     try:
         with open(marker) as fh:
@@ -2351,7 +2351,30 @@ def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
     CB1 = _pq_apply_update(CB, rows)
     C, _ = _ivf_centroids_and_query(emb, 0, 8, "vec_id", "embedding")
 
+    coded = _ivfpq_encode(emb, CB1, C)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_CODEBOOKS.json"), "w") as fh:
+        json.dump(CB1.tolist(), fh)
+    with open(os.path.join(path, "_CENTROIDS.json"), "w") as fh:
+        json.dump(np.asarray(C, dtype="float64").tolist(), fh)
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return path
+
+
+def _ivfpq_encode(emb, CB1, C):
+    """Shared IVF-PQ encoding kernel: cell = argmax fixed-point dot
+    score (ties to the lower cell id), codes = per-subspace exact-int
+    argmin — the same arithmetic at build time and append time, so an
+    appended vector gets byte-identical rows to a full rebuild under
+    the same frozen codebooks/centroids."""
+    import numpy as np
     import pandas as pd
+
+    from ..operators.similarity import SCALE as _SC
+
+    CB1 = np.asarray(CB1, dtype="float64")
+    C = np.asarray(C, dtype="float64")
 
     def encode(batches):
         m_sub, k, ds = CB1.shape
@@ -2388,13 +2411,42 @@ def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
                 }
             )
 
-    coded = emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
-    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
-    with open(os.path.join(path, "_CODEBOOKS.json"), "w") as fh:
-        json.dump(CB1.tolist(), fh)
-    with open(marker, "w") as fh:
-        json.dump(stamp, fh)
-    return path
+    return emb.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+
+
+def ivfpq_append_batch(spark, emb_batch, idx_path: str, batch_id: str) -> int:
+    """INCREMENTAL maintenance of the persisted IVF-PQ index (the
+    operational triplet's third member, beside the band-index and
+    IVF probes): a new vector batch is encoded under the index's
+    FROZEN codebooks and centroids (read from metadata — training
+    never reruns; that is the index contract, and periodic full
+    rebuilds are the re-training path) and appended into the same
+    cell-partitioned layout. A manifest of applied batch_ids makes
+    replays no-ops (the write_bucketed_table idempotence precedent).
+    Returns the number of rows appended (0 on replay)."""
+    import numpy as np
+
+    manifest = os.path.join(idx_path, "_BATCHES.json")
+    applied = []
+    try:
+        with open(manifest) as fh:
+            applied = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if batch_id in applied:
+        return 0
+    with open(os.path.join(idx_path, "_CODEBOOKS.json")) as fh:
+        CB1 = np.asarray(json.load(fh), dtype="float64")
+    with open(os.path.join(idx_path, "_CENTROIDS.json")) as fh:
+        C = np.asarray(json.load(fh), dtype="float64")
+    coded = _ivfpq_encode(emb_batch.select("vec_id", "embedding"), CB1, C)
+    n = coded.count()
+    coded.write.mode("append").partitionBy("cell").parquet(idx_path)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(applied + [batch_id], fh)
+    os.replace(tmp, manifest)
+    return n
 
 
 def similarity_ivf_pq_topk_indexed(spark, sf_dir):

@@ -90,3 +90,54 @@ def test_video_frame_hashes_partition_invariant(spark):
     # stride-2 sampling really halves the frames (ceil division)
     for mid, fno, nf, _ in frames[1]:
         assert fno % 2 == 0 and fno < nf
+
+
+def test_ivfpq_append_batch_incremental(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ maintenance: appended vectors get
+    byte-identical index rows to a full encode under the same frozen
+    codebooks/centroids; a replayed batch_id is a no-op."""
+    import json
+    import os
+
+    from duckdb_pipeline_spark.queries.similarity import (
+        _ensure_ivfpq_index,
+        ivfpq_append_batch,
+    )
+
+    idx = _ensure_ivfpq_index(spark, sf_dir)
+    base = spark.read.parquet(idx)
+    n0 = base.count()
+    # new batch: planted vectors with fresh ids
+    rng = np.random.RandomState(5)
+    rows = [
+        (10_000 + i, [float(x) for x in rng.uniform(-1, 1, 64).astype("float32")])
+        for i in range(20)
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    appended = ivfpq_append_batch(spark, batch, idx, "b1")
+    assert appended == 20
+    after = spark.read.parquet(idx)
+    assert after.count() == n0 + 20
+    # every id exactly once
+    assert after.groupBy("vec_id").count().where("count > 1").count() == 0
+    # replay is a no-op
+    assert ivfpq_append_batch(spark, batch, idx, "b1") == 0
+    assert spark.read.parquet(idx).count() == n0 + 20
+    # appended codes equal a local re-encode under the frozen metadata
+    from duckdb_pipeline_spark.queries.similarity import _ivfpq_encode
+
+    CB1 = np.asarray(json.load(open(os.path.join(idx, "_CODEBOOKS.json"))), "float64")
+    C = np.asarray(json.load(open(os.path.join(idx, "_CENTROIDS.json"))), "float64")
+    want = {
+        int(r["vec_id"]): (int(r["cell"]), list(r["codes"]))
+        for r in _ivfpq_encode(batch, CB1, C).collect()
+    }
+    got = {
+        int(r["vec_id"]): (int(r["cell"]), list(r["codes"]))
+        for r in after.where(F.col("vec_id") >= 10_000).collect()
+    }
+    assert got == want
+    # leave the shared index clean for other tests/queries
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
