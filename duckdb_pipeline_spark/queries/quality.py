@@ -544,6 +544,118 @@ FROM s
 """
 
 
+_LR_LR = 0.0078125  # 2^-7: exact binary literal on both engines
+_LR_ROUNDS = 2
+
+
+def quality_logreg_train(spark, sf_dir):
+    """Logistic-regression TRAINING (the fourth iterative trainer,
+    beside BPE / k-means / PQ), fully SQL-replayable: gradient descent
+    on P(lang = 'en' | length, token-count features) where every
+    per-row sigmoid is rounded to 6 decimals and converted to integer
+    micro-units (the bigram-xent determinism idiom), so each round's
+    gradient is an EXACT integer aggregation and the weight update is
+    one shared IEEE tree — the oracle unrolls both rounds in SQL and
+    the FINAL WEIGHTS themselves are hash-checked, not just audited.
+
+    Scale shape: each round is ONE map-side-partial aggregation
+    producing 3 longs; the driver applies the update and broadcasts
+    the next weights inside the next plan (the k-means loop shape).
+    Output: (n, n_pos, w0, w1, w2, n_correct) — n_correct counts
+    final-round predictions (z > 0) against labels, exact ints."""
+    docs = load(spark, sf_dir, "documents").select("text", "lang", "n_chars")
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.expr("n_chars div 100").cast("long").alias("f1"),
+        F.expr("size(split(text, ' ')) div 10").cast("long").alias("f2"),
+    )
+    n_row = feats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    ).first()
+    n, n_pos = int(n_row["n"]), int(n_row["n_pos"])
+    w = [0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("f1") + F.lit(w[2]) * F.col("f2")
+        sm = F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * 1e6 + F.lit(0.5))
+        resid = sm - F.col("y") * F.lit(1_000_000)
+        g = feats.agg(
+            F.sum(resid).alias("g0"),
+            F.sum(resid * F.col("f1")).alias("g1"),
+            F.sum(resid * F.col("f2")).alias("g2"),
+        ).first()
+        w = [
+            w[i] - _LR_LR * (float(int(g[f"g{i}"])) / 1e6 / n)
+            for i in range(3)
+        ]
+    zf = F.lit(w[0]) + F.lit(w[1]) * F.col("f1") + F.lit(w[2]) * F.col("f2")
+    pred = (zf > 0).cast("int")
+    acc = feats.agg(
+        F.sum((pred == F.col("y")).cast("long")).alias("n_correct")
+    )
+    return acc.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        "n_correct",
+    )
+
+
+def _lr_sql() -> str:
+    sig = (
+        "CAST(floor(1.0 / (1.0 + exp(-({z}))) * 1e6 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        """feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(n_chars // 100 AS BIGINT) AS f1,
+         CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS f2
+  FROM documents
+)""",
+        "tot AS (SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM feats)",
+        f"""g1 AS (
+  SELECT SUM({sig.format(z='0.0')} - y * 1000000) AS g0,
+         SUM(({sig.format(z='0.0')} - y * 1000000) * f1) AS g1,
+         SUM(({sig.format(z='0.0')} - y * 1000000) * f2) AS g2
+  FROM feats
+)""",
+        f"""w1 AS (
+  SELECT 0.0 - {_LR_LR!r} * (CAST(g0 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w0,
+         0.0 - {_LR_LR!r} * (CAST(g1 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w1,
+         0.0 - {_LR_LR!r} * (CAST(g2 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w2
+  FROM g1
+)""",
+    ]
+    z2 = "w1.w0 + w1.w1 * f.f1 + w1.w2 * f.f2"
+    parts.append(f"""g2r AS (
+  SELECT SUM({sig.format(z=z2)} - f.y * 1000000) AS g0,
+         SUM(({sig.format(z=z2)} - f.y * 1000000) * f.f1) AS g1,
+         SUM(({sig.format(z=z2)} - f.y * 1000000) * f.f2) AS g2
+  FROM feats f, w1
+)""")
+    parts.append(f"""w2t AS (
+  SELECT w1.w0 - {_LR_LR!r} * (CAST(g2r.g0 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w0,
+         w1.w1 - {_LR_LR!r} * (CAST(g2r.g1 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w1,
+         w1.w2 - {_LR_LR!r} * (CAST(g2r.g2 AS DOUBLE) / 1e6 / (SELECT n FROM tot)) AS w2
+  FROM w1, g2r
+)""")
+    zf = "w2t.w0 + w2t.w1 * f.f1 + w2t.w2 * f.f2"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT (SELECT n FROM tot) AS n, (SELECT n_pos FROM tot) AS n_pos,
+       w2t.w0 AS w0, w2t.w1 AS w1, w2t.w2 AS w2,
+       (SELECT CAST(SUM(CASE WHEN (CASE WHEN {zf} > 0 THEN 1 ELSE 0 END) = f.y
+                     THEN 1 ELSE 0 END) AS BIGINT)
+        FROM feats f, w2t) AS n_correct
+FROM w2t
+"""
+    )
+
+
+LOGREG_TRAIN_SQL = _lr_sql()
+
+
 QUERIES = {
     "quality_gopher_repetition": QuerySpec(
         quality_gopher_repetition,
@@ -554,6 +666,11 @@ QUERIES = {
         text_unigram_xent,
         UNIGRAM_XENT_SQL,
         "per-doc cross-entropy under the corpus unigram LM (perplexity-filter proxy)",
+    ),
+    "quality_logreg_train": QuerySpec(
+        quality_logreg_train,
+        LOGREG_TRAIN_SQL,
+        "logreg gradient-descent trainer (4th iterative trainer); final weights hash-checked via SQL replay",
     ),
     "quality_zipf_audit": QuerySpec(
         quality_zipf_audit,
