@@ -643,6 +643,9 @@ def decode_payload(media_type: str, payload: bytes) -> tuple[float, int]:
     if media_type == "image" and payload[:4] == _GIF_MAGIC:
         img = decode_gif(payload)
         return float(img.mean()), int(img.size)
+    if media_type == "image" and payload[:3] == b"\xff\xd8\xff":
+        img = decode_jpeg_gray(payload)
+        return float(img.mean()), int(img.size)
     if media_type == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
         return float(np.abs(samples).mean() * 255.0), int(len(samples))
@@ -955,3 +958,317 @@ def reencode_images(df: DataFrame, ppm: int = 5670, payload_col: str = "payload"
             yield pdf
 
     return df.mapInPandas(_re, schema=df.schema)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (grayscale), stdlib/numpy only — fifth real codec.
+# Everything below is public knowledge: ITU-T T.81 (the JPEG spec),
+# including the Annex K example quantization and Huffman tables.
+# --------------------------------------------------------------------------
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+_JPEG_QTAB = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+_JPEG_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _jpeg_build_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_magcat(v: int) -> int:
+    a, s = abs(v), 0
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit grayscale (h, w) array — h, w multiples of 8 —
+    as a BASELINE JPEG (SOI/DQT/SOF0/DHT/SOS/EOI, Annex K tables):
+    level shift, float64 DCT-II, quantize, zigzag, DC-differential +
+    run-length Huffman entropy coding with byte stuffing."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            b = pixels[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            q = np.round(_JPEG_C @ b @ _JPEG_C.T / _JPEG_QTAB).astype(np.int32)
+            zz = q.flatten()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _jpeg_magcat(diff)
+            c, ln = dc_codes[s]
+            wtr.write(c, ln)
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                a = int(zz[k])
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                s = _jpeg_magcat(a)
+                c, ln = ac_codes[(run << 4) | s]
+                wtr.write(c, ln)
+                wtr.write(a if a >= 0 else a + (1 << s) - 1, s)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)
+    data = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in _JPEG_QTAB.flatten()[_JPEG_ZIGZAG]))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.i]
+            self.i += 1
+            if b == 0xFF:
+                if self.d[self.i] != 0:
+                    raise ValueError("unexpected marker in entropy data")
+                self.i += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_build_decode(bits, vals):
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG (one component, one quant +
+    one DC/AC Huffman table pair, no restart markers) to an (h, w)
+    uint8 array. A REAL decoder: quantization and Huffman tables are
+    parsed from the stream's own DQT/DHT segments, not assumed.
+    Multi-component / progressive streams raise at the marked
+    extension point."""
+    if payload[:3] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qtab = None
+    dc_dec = ac_dec = None
+    h = w = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                raise NotImplementedError("16-bit quant table")
+            z = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int32)
+            qtab = np.zeros(64, dtype=np.int32)
+            qtab[_JPEG_ZIGZAG] = z
+            qtab = qtab.reshape(8, 8)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit single-component baseline")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential JPEG")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc_th = body[j]
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                if tc_th >> 4 == 0:
+                    dc_dec = _jpeg_build_decode(bits, vals)
+                else:
+                    ac_dec = _jpeg_build_decode(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDA:
+            data = payload[i + 2 + ln : -2]
+            if qtab is None or dc_dec is None or ac_dec is None or h is None:
+                raise ValueError("SOS before tables/frame header")
+            r = _JpegBitReader(data)
+
+            def read_huff(table):
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | r.bit()
+                    if (length, code) in table:
+                        return table[(length, code)]
+                raise ValueError("bad huffman code")
+
+            def extend(v, s):
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            out = np.zeros((h, w), dtype=np.uint8)
+            prev = 0
+            for by in range(0, h, 8):
+                for bx in range(0, w, 8):
+                    zz = np.zeros(64, dtype=np.int32)
+                    s = read_huff(dc_dec)
+                    prev += extend(r.bits(s), s) if s else 0
+                    zz[0] = prev
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(ac_dec)
+                        if rs == 0:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 15
+                        zz[k] = extend(r.bits(s), s)
+                        k += 1
+                    q = np.zeros(64, dtype=np.int32)
+                    q[_JPEG_ZIGZAG] = zz
+                    p = (
+                        _JPEG_C.T @ (q.reshape(8, 8).astype(np.float64) * qtab)
+                        @ _JPEG_C
+                        + 128.0
+                    )
+                    out[by : by + 8, bx : bx + 8] = np.clip(
+                        np.round(p), 0, 255
+                    ).astype(np.uint8)
+            return out
+        i += 2 + ln
+    raise ValueError("JPEG contains no scan")
+
+
+def synth_jpeg_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic grayscale baseline-JPEG payload for one document:
+    a smooth content-seeded gradient plus seeded low-amplitude noise
+    (realistic spectra — mostly-zero high-frequency coefficients, so
+    run-length coding and the ZRL path both execute). Shared by the
+    Spark kernel AND the pure-pandas fixture generator."""
+    did, nchars = int(did), int(nchars)
+    rng = np.random.default_rng(did + 31)
+    h = 16
+    w = 8 * (2 + nchars % 4)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128.0
+        + 80.0 * np.sin(xx / (3.0 + did % 5))
+        + 40.0 * np.cos(yy / 2.0)
+        + rng.normal(0, 6.0, (h, w))
+    )
+    px = np.clip(np.round(base), 0, 255).astype(np.uint8)
+    return "image", encode_jpeg_gray(px)

@@ -298,6 +298,31 @@ def multimodal_gif_features(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_features(spark, sf_dir):
+    """REAL distributed baseline-JPEG decode (FIFTH codec, closing the
+    last marked codec-library extension point for still images):
+    stdlib/numpy encoder+decoder from the public T.81 spec — float64
+    DCT, Annex K quantization + Huffman tables, DC-differential and
+    run-length entropy coding with byte stuffing; the decoder PARSES
+    the stream's own DQT/DHT/SOF0 segments. The synthesized corpus is
+    smooth gradients + seeded noise so the zero-run/ZRL paths execute.
+    Oracle: corpus_key-dispatched pure-pandas fixture like
+    BMP/WAV/PNG/GIF; codec behavior pinned by hand-math reference
+    pytests (constant-block exactness, spec Huffman codes)."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        extract_features,
+        synth_jpeg_payload,
+        synthesize_media,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 350)
+    return extract_features(
+        synthesize_media(docs, payload_fn=synth_jpeg_payload), decode_stub=False
+    )
+
+
 def multimodal_resize_audit(spark, sf_dir):
     """Resize-invariance audit of the perceptual hash: decode each
     image, stride-downscale by 2 (`resize_image` — the thumbnail /
@@ -1152,6 +1177,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "multimodal_jpeg_features": QuerySpec(
+        multimodal_jpeg_features,
+        _fixtures_mm.JPEG_ORACLE_SQL,
+        "real baseline-JPEG decode (stdlib DCT/Huffman; fixture oracle)",
     ),
     "multimodal_resize_audit": QuerySpec(
         multimodal_resize_audit,

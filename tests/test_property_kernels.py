@@ -287,3 +287,58 @@ def test_gif_animation_roundtrip(h, w, npal, n_frames, seed):
     for i, fr in enumerate(frames):
         assert (dec[i] == pal[fr]).all()
     assert (decode_gif(payload) == pal[frames[0]]).all()
+
+
+def test_jpeg_constant_block_exact_and_hand_reference():
+    """Spec-math pins for the baseline-JPEG codec: (1) a constant
+    block survives exactly (DC quantizes losslessly at Annex K Q[0,0]
+    = 16 for multiples of 128/16 after level shift); (2) the entropy
+    stream for a known DC-only case matches the hand-derived Annex K
+    Huffman codes: DC diff 3 -> category 2 (code '011') + bits '11',
+    EOB '1010' -> byte 0111 1101 0 + 1-padding = 0x7D 0xFF(stuffed)."""
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    const = np.full((8, 8), 176, dtype=np.uint8)  # 176-128=48 -> DC=48*8/16=24? see below
+    rec = decode_jpeg_gray(encode_jpeg_gray(const))
+    assert (rec == 176).all()
+
+    # hand reference: pixels all 134 -> level-shifted 6 -> DC coeff
+    # 8*6=48 -> quantized round(48/16)=3 -> diff 3, category 2,
+    # Annex K DC code for cat 2 = '011', magnitude bits '11',
+    # AC EOB = '1010'; stream = 011 11 1010 + pad '1' = 0111 1101 0...
+    payload = encode_jpeg_gray(np.full((8, 8), 134, dtype=np.uint8))
+    scan = payload[payload.index(b"\xff\xda") + 10 : -2]
+    assert scan[0] == 0b01111101, f"entropy byte {scan[0]:08b}"
+    assert (decode_jpeg_gray(payload) == 134).all()
+
+
+@given(
+    hb=st.integers(1, 3),
+    wb=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_bounded_error(hb, wb, seed):
+    """Lossy roundtrip: smooth content must survive within a small
+    bound (quantization error), any content within a loose one —
+    and re-encoding a decoded image must be a FIXED POINT of the
+    codec within one more pass's error."""
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = 8 * hb, 8 * wb
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.clip(
+        np.round(128 + 70 * np.sin(xx / 4.0) + 30 * np.cos(yy / 3.0)), 0, 255
+    ).astype(np.uint8)
+    rec = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert np.abs(rec.astype(int) - smooth.astype(int)).max() <= 12
+    noisy = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rec2 = decode_jpeg_gray(encode_jpeg_gray(noisy))
+    assert np.abs(rec2.astype(int) - noisy.astype(int)).max() <= 160
