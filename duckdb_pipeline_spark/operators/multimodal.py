@@ -649,6 +649,12 @@ def decode_payload(media_type: str, payload: bytes) -> tuple[float, int]:
     if media_type == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
         return float(np.abs(samples).mean() * 255.0), int(len(samples))
+    if media_type == "audio" and payload[:4] == _FLAC_MAGIC:
+        samples, _ = decode_flac(payload)
+        return (
+            float(np.abs(samples.astype(np.float64) / 32767.0).mean() * 255.0),
+            int(len(samples)),
+        )
     raise NotImplementedError(
         f"decode for media_type={media_type!r} with magic {payload[:4]!r} "
         "requires PIL/soundfile/av — not in this container"
@@ -1272,3 +1278,222 @@ def synth_jpeg_payload(did: int, nchars: int) -> tuple[str, bytes]:
     )
     px = np.clip(np.round(base), 0, 255).astype(np.uint8)
     return "image", encode_jpeg_gray(px)
+
+
+# --------------------------------------------------------------------------
+# FLAC (mono 16-bit, fixed predictors) — sixth real codec, LOSSLESS.
+# Public knowledge: the FLAC format specification (xiph.org) — frame
+# sync/CRC-8/CRC-16 layout, fixed-predictor subframes, Rice residuals.
+# --------------------------------------------------------------------------
+
+_FLAC_MAGIC = b"fLaC"
+
+
+def _flac_crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+class _FlacBW:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def w(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def pad(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+class _FlacBR:
+    def __init__(self, d: bytes):
+        self.d, self.pos = d, 0
+
+    def r(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | ((self.d[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.r(1) == 0:
+            q += 1
+        return q
+
+
+def _flac_fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
+    if order == 0:
+        return s.copy()
+    if order == 1:
+        return s[1:] - s[:-1]
+    return s[2:] - 2 * s[1:-1] + s[:-2]
+
+
+def encode_flac(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a LOSSLESS single-frame FLAC
+    stream: fixed predictor of order 0-2 chosen by residual magnitude,
+    one Rice partition, spec CRC-8 (frame header) and CRC-16 (frame)."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    best = min(
+        range(3),
+        key=lambda o: int(np.abs(_flac_fixed_residual(s, o)).sum())
+        if n > o
+        else 1 << 62,
+    )
+    res = _flac_fixed_residual(s, best)
+    mean = max(1, int(np.abs(res).mean()) if len(res) else 1)
+    k = max(0, min(14, int(np.log2(mean)) + 1))
+    hdr = _FlacBW()
+    hdr.w(0b11111111111110, 14)
+    hdr.w(0, 1)
+    hdr.w(0, 1)          # fixed blocksize strategy
+    hdr.w(0b0111, 4)     # blocksize-1 as 16 bits at header end
+    hdr.w(0b0000, 4)     # sample rate from STREAMINFO
+    hdr.w(0, 4)          # mono
+    hdr.w(0b100, 3)      # 16 bps
+    hdr.w(0, 1)
+    hdr.w(0x00, 8)       # UTF-8 frame number 0
+    hdr.w(n - 1, 16)
+    hdr.pad()
+    hb = bytearray(hdr.buf)
+    hb.append(_flac_crc8(bytes(hb)))
+    body = _FlacBW()
+    body.w(0, 1)
+    body.w(0b001000 | best, 6)
+    body.w(0, 1)
+    for i in range(best):
+        body.w(int(s[i]) & 0xFFFF, 16)
+    body.w(0, 2)   # Rice method: 4-bit parameters
+    body.w(0, 4)   # partition order 0
+    body.w(k, 4)
+    for r in res:
+        u = 2 * int(r) if r >= 0 else -2 * int(r) - 1
+        for _ in range(u >> k):
+            body.w(0, 1)
+        body.w(1, 1)
+        body.w(u & ((1 << k) - 1), k)
+    body.pad()
+    frame = bytes(hb) + bytes(body.buf)
+    frame += _flac_crc16(frame).to_bytes(2, "big")
+    si = _FlacBW()
+    si.w(n, 16)
+    si.w(n, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(rate, 20)
+    si.w(0, 3)    # channels - 1
+    si.w(15, 5)   # bps - 1
+    si.w(n, 36)
+    si.pad()
+    meta = b"\x80" + (34).to_bytes(3, "big") + bytes(si.buf) + b"\x00" * 16
+    return _FLAC_MAGIC + meta + frame
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono 16-bit fixed-predictor FLAC stream (the encoder's
+    feature set; LPC/stereo/multi-frame raise at the marked extension
+    point). Both CRCs are VERIFIED, not skipped. Returns
+    (int64 samples, rate)."""
+    if payload[:4] != _FLAC_MAGIC:
+        raise ValueError("not a FLAC payload")
+    i = 4
+    rate = None
+    while True:
+        h = payload[i]
+        ln = int.from_bytes(payload[i + 1 : i + 4], "big")
+        if h & 0x7F == 0:
+            br = _FlacBR(payload[i + 4 : i + 4 + ln])
+            br.r(16), br.r(16), br.r(24), br.r(24)
+            rate = br.r(20)
+            ch, bps = br.r(3) + 1, br.r(5) + 1
+            if ch != 1 or bps != 16:
+                raise NotImplementedError("only mono 16-bit FLAC")
+        i += 4 + ln
+        if h & 0x80:
+            break
+    frame = payload[i:]
+    br = _FlacBR(frame)
+    if br.r(14) != 0b11111111111110:
+        raise ValueError("bad FLAC frame sync")
+    br.r(1), br.r(1)
+    if br.r(4) != 0b0111:
+        raise NotImplementedError("only 16-bit blocksize-at-end frames")
+    br.r(4), br.r(4)
+    bps_code = br.r(3)
+    br.r(1)
+    if bps_code != 0b100:
+        raise NotImplementedError("only 16-bit sample size")
+    br.r(8)  # frame number (single UTF-8 byte)
+    n = br.r(16) + 1
+    if br.pos % 8:
+        raise ValueError("misaligned FLAC header")
+    if _flac_crc8(frame[: br.pos // 8]) != frame[br.pos // 8]:
+        raise ValueError("FLAC header CRC-8 mismatch")
+    br.r(8)
+    br.r(1)
+    st = br.r(6)
+    br.r(1)
+    if st & 0b111000 != 0b001000:
+        raise NotImplementedError("only fixed-predictor subframes")
+    order = st & 7
+    out = []
+    for _ in range(order):
+        v = br.r(16)
+        out.append(v - 0x10000 if v & 0x8000 else v)
+    if br.r(2) != 0 or br.r(4) != 0:
+        raise NotImplementedError("only 4-bit Rice, partition order 0")
+    k = br.r(4)
+    res = []
+    for _ in range(n - order):
+        u = (br.unary() << k) | br.r(k)
+        res.append(u >> 1 if (u & 1) == 0 else -((u + 1) >> 1))
+    if order == 0:
+        out = res
+    elif order == 1:
+        for r in res:
+            out.append(out[-1] + r)
+    else:
+        for r in res:
+            out.append(2 * out[-1] - out[-2] + r)
+    end = (br.pos + 7) // 8
+    if _flac_crc16(frame[:end]) != int.from_bytes(frame[end : end + 2], "big"):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return np.asarray(out, dtype=np.int64), rate
+
+
+def synth_flac_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic FLAC payload for one document: a content-seeded
+    chirp plus small integer noise — smooth enough that the order-2
+    predictor usually wins, noisy enough that Rice quotients spread.
+    Shared by the Spark kernel AND the pure-pandas fixture generator."""
+    did, nchars = int(did), int(nchars)
+    rng = np.random.default_rng(did + 41)
+    n = 600 + nchars % 700
+    t = np.arange(n)
+    s = np.round(
+        9000.0 * np.sin(t * (0.02 + (did % 7) * 0.005))
+        + rng.integers(-40, 41, n)
+    ).astype(np.int64)
+    s = np.clip(s, -32768, 32767)
+    return "audio", encode_flac(s)

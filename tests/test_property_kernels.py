@@ -342,3 +342,37 @@ def test_jpeg_roundtrip_bounded_error(hb, wb, seed):
     noisy = rng.integers(0, 256, (h, w), dtype=np.uint8)
     rec2 = decode_jpeg_gray(encode_jpeg_gray(noisy))
     assert np.abs(rec2.astype(int) - noisy.astype(int)).max() <= 160
+
+
+@given(
+    n=st.integers(8, 1500),
+    kind=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_flac_lossless_roundtrip_and_crc(n, kind, seed):
+    """decode_flac(encode_flac(x)) == x EXACTLY for noise, tones and
+    random walks (all three fixed-predictor selections); corrupting a
+    frame byte must trip a CRC error, never return wrong samples."""
+    import pytest
+
+    from duckdb_pipeline_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        s = rng.integers(-32768, 32767, n)
+    elif kind == 1:
+        s = np.round(18000 * np.sin(np.arange(n) / 15.0)).astype(np.int64)
+    else:
+        s = np.clip(np.cumsum(rng.integers(-60, 60, n)), -32768, 32767)
+    s = s.astype(np.int64)
+    payload = encode_flac(s)
+    d, rate = decode_flac(payload)
+    assert rate == 16000 and (d == s).all()
+    bad = bytearray(payload)
+    bad[-3] ^= 0xFF  # inside the frame body / CRC region
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
+        decode_flac(bytes(bad))
