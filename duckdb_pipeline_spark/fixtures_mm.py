@@ -47,6 +47,7 @@ AHASH_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_ahash_values.parquet")
 RESIZE_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_resize_audit.parquet")
 JPEG_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_jpeg_features.parquet")
 FLAC_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_flac_features.parquet")
+MIXED_FIXTURE = os.path.join(FIXTURE_DIR, "multimodal_mixed_features.parquet")
 STAMP_FILE = os.path.join(FIXTURE_DIR, "stamps.json")
 
 
@@ -280,6 +281,29 @@ def _expected_flac_features(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _expected_mixed_features(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas twin of queries.llmtext.multimodal_mixed_features:
+    doc_id < 360 -> one of SIX codecs by doc_id % 6 -> decode."""
+    from .operators.multimodal import decode_payload, synth_mixed_payload
+
+    rows = []
+    sel = docs[docs["doc_id"] < 360].sort_values("doc_id")
+    for did, nchars in zip(sel["doc_id"], sel["n_chars"]):
+        mtype, payload = synth_mixed_payload(did, nchars)
+        feat_mean, feat_dim = decode_payload(mtype, payload)
+        rows.append((int(did), mtype, len(payload), feat_mean, feat_dim))
+    return pd.DataFrame(
+        rows, columns=["media_id", "media_type", "n_bytes", "feat_mean", "feat_dim"]
+    ).astype(
+        {
+            "media_id": "int64",
+            "n_bytes": "int64",
+            "feat_mean": "float64",
+            "feat_dim": "int64",
+        }
+    )
+
+
 def _expected_resize_audit(docs: pd.DataFrame) -> pd.DataFrame:
     """Pure-pandas twin of queries.llmtext.multimodal_resize_audit:
     even doc_id < 200 -> BMP -> aHash(original) vs aHash(2x
@@ -376,7 +400,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     # file must invalidate per-sf stamps written before it existed
     # (the file-exists check alone passes once any sf dir built it,
     # leaving other sf dirs' corpus_key partitions missing)
-    dig = _digest(src) + ":fxv9"
+    dig = _digest(src) + ":fxv10"
     stamps = {}
     if os.path.exists(STAMP_FILE):
         try:
@@ -396,6 +420,7 @@ def ensure_fixtures(sf_dir: str) -> None:
         and os.path.exists(RESIZE_FIXTURE)
         and os.path.exists(JPEG_FIXTURE)
         and os.path.exists(FLAC_FIXTURE)
+        and os.path.exists(MIXED_FIXTURE)
     ):
         return
     docs = _load_docs(sf_dir)
@@ -410,6 +435,7 @@ def ensure_fixtures(sf_dir: str) -> None:
     _merge_partition(RESIZE_FIXTURE, key, _expected_resize_audit(docs))
     _merge_partition(JPEG_FIXTURE, key, _expected_jpeg_features(docs))
     _merge_partition(FLAC_FIXTURE, key, _expected_flac_features(docs))
+    _merge_partition(MIXED_FIXTURE, key, _expected_mixed_features(docs))
     stamps[stamp_key] = dig
     with open(STAMP_FILE, "w") as f:
         json.dump(stamps, f, indent=1)
@@ -442,6 +468,12 @@ WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 GIF_ORACLE_SQL = f"""
 SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
 FROM read_parquet('{GIF_FIXTURE}')
+WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
+"""
+
+MIXED_ORACLE_SQL = f"""
+SELECT media_id, media_type, n_bytes, feat_mean, feat_dim
+FROM read_parquet('{MIXED_FIXTURE}')
 WHERE corpus_key = (SELECT count(*) + sum(doc_id * n_chars) FROM documents)
 """
 

@@ -1497,3 +1497,24 @@ def synth_flac_payload(did: int, nchars: int) -> tuple[str, bytes]:
     ).astype(np.int64)
     s = np.clip(s, -32768, 32767)
     return "audio", encode_flac(s)
+
+
+def synth_mixed_payload(did: int, nchars: int) -> tuple[str, bytes]:
+    """Deterministic MIXED-FORMAT payload: doc_id % 6 selects among
+    all six real codecs (BMP, WAV, PNG, GIF, JPEG, FLAC) — the
+    heterogeneous-corpus case a real media lake presents, where one
+    scan must dispatch per row. Shared by the Spark kernel AND the
+    pure-pandas fixture generator."""
+    did = int(did)
+    sel = did % 6
+    if sel == 0:
+        return synth_payload(did * 2, nchars)            # BMP (even path)
+    if sel == 1:
+        return synth_payload(did * 2 + 1, nchars)        # WAV (odd path)
+    if sel == 2:
+        return synth_png_payload(did, nchars)
+    if sel == 3:
+        return synth_gif_payload(did, nchars)
+    if sel == 4:
+        return synth_jpeg_payload(did, nchars)
+    return synth_flac_payload(did, nchars)

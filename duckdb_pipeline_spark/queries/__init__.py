@@ -127,7 +127,7 @@ PRIORITY: tuple[str, ...] = (
     # events_markov_transitions, quality_zipf_audit, quality_expectations_gate,
     # multimodal_phash_neardup, scalar_bitwise_funcs, embedding_sim_calibration,
     # similarity_ivf_pq_topk_indexed, multimodal_resize_audit, quality_logreg_train,
-    # multimodal_jpeg_features, multimodal_flac_features.
+    # multimodal_jpeg_features, multimodal_flac_features, multimodal_mixed_features.
     #
     # rotated out round 9 (driver-green r8, unchanged since): the
     # minhash family (dedup_minhash_lsh, dedup_components_star,

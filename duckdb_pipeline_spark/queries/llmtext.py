@@ -346,6 +346,27 @@ def multimodal_flac_features(spark, sf_dir):
     )
 
 
+def multimodal_mixed_features(spark, sf_dir):
+    """Heterogeneous media-lake scan: ONE corpus mixing all SIX real
+    codecs (BMP/WAV/PNG/GIF/JPEG/FLAC by doc_id % 6), decoded by the
+    per-row magic-byte dispatch in a single Arrow pass — the realistic
+    shape of a scraped media corpus, where format is a property of the
+    row, not the table. Exercises every decoder plus the dispatch
+    table end-to-end in one distributed query."""
+    from ..fixtures_mm import ensure_fixtures
+    from ..operators.multimodal import (
+        extract_features,
+        synth_mixed_payload,
+        synthesize_media,
+    )
+
+    ensure_fixtures(sf_dir)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 360)
+    return extract_features(
+        synthesize_media(docs, payload_fn=synth_mixed_payload), decode_stub=False
+    )
+
+
 def multimodal_resize_audit(spark, sf_dir):
     """Resize-invariance audit of the perceptual hash: decode each
     image, stride-downscale by 2 (`resize_image` — the thumbnail /
@@ -1200,6 +1221,11 @@ QUERIES = {
         multimodal_gif_features,
         _fixtures_mm.GIF_ORACLE_SQL,
         "real GIF decode (stdlib LZW + global color table; fixture oracle)",
+    ),
+    "multimodal_mixed_features": QuerySpec(
+        multimodal_mixed_features,
+        _fixtures_mm.MIXED_ORACLE_SQL,
+        "heterogeneous corpus: all six codecs dispatched per row in one pass",
     ),
     "multimodal_flac_features": QuerySpec(
         multimodal_flac_features,

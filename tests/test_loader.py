@@ -93,7 +93,7 @@ def test_declared_inventory_counts_match_docs():
     from duckdb_pipeline_spark.queries import PRIORITY, collect_all
 
     qs = collect_all()
-    assert len(qs) == 224, f"update README/SURVEY: {len(qs)} declared"
+    assert len(qs) == 225, f"update README/SURVEY: {len(qs)} declared"
     n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
-    assert n_oracle == 221, f"update README/SURVEY: {n_oracle} with oracles"
+    assert n_oracle == 222, f"update README/SURVEY: {n_oracle} with oracles"
     assert len(PRIORITY) == 50  # the driver's observed window cap
