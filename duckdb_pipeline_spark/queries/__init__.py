@@ -31,116 +31,82 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 9 window (VERDICT r8 #2: finish the r1/r2 stale-tail
-    # paydown — >=40 pre-r4 queries). Composition: (a) the 9 queries
-    # CHANGED or NEW this round, (b) 40 of the 47 r1/r2-stale queries
-    # (+ the changed gap_fill), oldest debt first. The 7 stragglers
-    # rolling to round 10: window_rank_orders (in-window this round),
-    # window_lag_delta, window_moving_avg, topk_orders_global,
-    # sample_hash_deterministic, join_null_safe, agg_listagg_sorted,
-    # agg_salted_hot_keys (all r1-green, code-unchanged since, locally
-    # green at sf0.01 this round). retention_cohorts_bucketed shares
-    # this round's pmod change with the windowed retention_cohorts
-    # (same retention_from core) and is locally oracle-green — it
-    # yields its slot to the stale tail.
+    # ---- round 10 window (VERDICT r9 #1: drain the verification debt).
+    # Composition = EXACTLY the 43 declared queries that have never had a
+    # driver correctness row (everything added after the r9 window froze,
+    # set computed by aggregating CORRECTNESS_r01-r09 against collect_all())
+    # + the 7 r1/r2-stale stragglers = 50, the driver cap observed in all
+    # nine prior rounds. Queries NEW in round 10 (snapshot CDC, time-travel
+    # read, clustered-ANN recall, ...) are deliberately frozen OUT of this
+    # window (VERDICT r9 #1) and lead the round-11 rotation below.
     #
-    # (a) changed round 9: ADVICE r8 exactness fixes (pmod day-mask,
-    # integer shard div, int64 trace), the job-floor rewrites
-    # (containment single-chain small branch, bloom union-groupBy),
-    # and the scd2 enrich join-elimination
-    "dedup_containment",
-    "dedup_bloom_probe",
-    "retention_cohorts",
-    "corpus_pack_sequences",
-    "pca_variance_audit",
-    "scd2_asof_enrich",
-    # (a) NEW round 9: stateful-SCD2 terminal semantics, the full
-    # k-means trainer, the PNG codec
-    "stream_scd2_intervals",
-    "kmeans_train_audit",
-    "multimodal_png_features",
-    # (b) the stale tail, oldest-first. q5/q10/q16/gap_fill are ALSO
-    # changed this round (dim-fold, eager-agg pushdown, lead-spine) —
-    # stale and changed coincide
-    "q3_top_orders",
-    "q5_regional_revenue",
-    "q10_returned_revenue",
-    "q16_supplier_variety",
-    "q6_forecast_revenue",
-    "timeseries_gap_fill",
-    "join_left_zero_counts",
-    "asof_purchase_click",
-    "window_running_total",
-    "window_topk_per_group",
-    "window_rank_orders",
-    "ntile_quartiles",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_except_all",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_json_funcs",
-    "scalar_array_funcs",
-    "scalar_regexp_funcs",
-    "scalar_subquery_filter",
-    "case_bucketing",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "agg_percentiles_exact",
-    "window_percentiles",
-    "window_first_last",
-    "pivot_status_by_priority",
-    "unpivot_part_measures",
-    # ---- round-10 window candidates (lead the next rotation):
-    # (a) the 7 r1-green stragglers the 50-cap cut this round
-    # (window_lag_delta, window_moving_avg, topk_orders_global,
-    # sample_hash_deterministic, join_null_safe, agg_listagg_sorted,
-    # agg_salted_hot_keys) + retention_cohorts_bucketed;
-    # (b) the 13 queries added AFTER this round's window froze, all
-    # locally oracle-green at sf0.001+sf0.01: dedup_jaccard_prefix,
-    # corpus_shard_shuffle, knn_join_topk, knn_label_purity,
-    # knn_graph_components, knn_join_topk_ivf, knn_recall_ivf_audit,
-    # knn_incremental_probe, split_leakage_audit,
-    # profile_table_summary, profile_key_skew, multimodal_gif_features,
-    # quality_dup_calibration (+ the quality_score keep= passthrough
-    # consumers re-checked);
-    # (c) the later-session additions, locally oracle-green at
-    # sf0.001+sf0.01: stats_regression_by_group, stats_welch_ttest,
-    # quality_auc_audit, market_basket_lift, layout_pruning_audit,
-    # pq_train_codebooks, similarity_pq_adc_topk, similarity_ivf_pq_topk,
-    # quality_perplexity_buckets, search_mrr_audit,
-    # stats_chi2_independence, quality_ks_test, dedup_components_incremental,
-    # multimodal_video_framesample, kmeans_seed_farthest,
-    # graph_link_prediction, timeseries_cusum_drift, similarity_pq_recall_audit,
-    # events_markov_transitions, quality_zipf_audit, quality_expectations_gate,
-    # multimodal_phash_neardup, scalar_bitwise_funcs, embedding_sim_calibration,
-    # similarity_ivf_pq_topk_indexed, multimodal_resize_audit, quality_logreg_train,
-    # multimodal_jpeg_features, multimodal_flac_features, multimodal_mixed_features.
+    # (a) the 43 never-driver-checked queries, grouped by family:
+    # kNN join family
+    "knn_join_topk",
+    "knn_label_purity",
+    "knn_graph_components",
+    "knn_join_topk_ivf",
+    "knn_recall_ivf_audit",
+    "knn_incremental_probe",
+    # PQ / IVF-PQ stack
+    "pq_train_codebooks",
+    "similarity_pq_adc_topk",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_topk_indexed",
+    "similarity_pq_recall_audit",
+    "kmeans_seed_farthest",
+    "embedding_sim_calibration",
+    # statistics / analytics batch
+    "stats_regression_by_group",
+    "stats_welch_ttest",
+    "stats_chi2_independence",
+    "quality_auc_audit",
+    "quality_ks_test",
+    "profile_table_summary",
+    "profile_key_skew",
+    "quality_expectations_gate",
+    "market_basket_lift",
+    "layout_pruning_audit",
+    # multimodal codecs (GIF/JPEG/FLAC/mixed/video/phash/resize)
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "multimodal_flac_features",
+    "multimodal_mixed_features",
+    "multimodal_video_framesample",
+    "multimodal_phash_neardup",
+    "multimodal_resize_audit",
+    # dedup / graph / curation / quality late-r9 additions
+    "dedup_components_incremental",
+    "graph_link_prediction",
+    "dedup_jaccard_prefix",
+    "corpus_shard_shuffle",
+    "split_leakage_audit",
+    "quality_dup_calibration",
+    "quality_logreg_train",
+    "quality_zipf_audit",
+    "quality_perplexity_buckets",
+    "search_mrr_audit",
+    "events_markov_transitions",
+    "timeseries_cusum_drift",
+    "scalar_bitwise_funcs",
     #
-    # rotated out round 9 (driver-green r8, unchanged since): the
-    # minhash family (dedup_minhash_lsh, dedup_components_star,
-    # graph_pagerank, dedup_incremental_probe, dedup_cluster_canonical,
-    # dedup_recall_report, graph_triangles), dsir_importance,
-    # dsir_select_topk, the IEEE fast twins + sketch audits, corpus
-    # split/sample, quality_gopher_repetition, similarity_ivf_adc_topk,
-    # embedding_gram_matrix, text_bigram_xent, scd2_user_attributes,
-    # scd2_asof_enrich_indexed, kmeans_lloyd_step, events_robust_
-    # outliers, the medallion pipeline pair, ann_recall_report,
-    # bpe_train_merges_deep, the five bucketed twins, and the r8
-    # once-stale cohort (agg_cube .. join_cross)
-    # (see prior-round rotation history in git for earlier cohorts)
+    # (b) the 7 r1/r2-stale stragglers (r1-green, code-unchanged, locally
+    # re-verified at sf0.01 this round) — closes the staleness ledger:
+    # after this window every declared query has a driver row >= r4.
+    "agg_listagg_sorted",
+    "agg_salted_hot_keys",
+    "join_null_safe",
+    "sample_hash_deterministic",
+    "topk_orders_global",
+    "window_lag_delta",
+    "window_moving_avg",
+    # ---- round-11 window candidates (lead the next rotation): every
+    # query NEW in round 10 — snapshot_cdc_diff, read_version_pinned,
+    # ann_recall_clustered, and any v2-basis additions — plus
+    # retention_cohorts_bucketed (r8-green, yielded its slot twice).
+    # rotated out round 10 (driver-green r9, unchanged): the full r9
+    # window (dedup_containment .. unpivot_part_measures); rotation
+    # history for earlier cohorts is in git.
 )
 
 

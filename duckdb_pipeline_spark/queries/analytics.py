@@ -429,7 +429,12 @@ WHERE pair_orders >= 5
 # layout_pruning_audit: data-skipping effectiveness of z-order vs insert order
 # ---------------------------------------------------------------------------
 
-_ZBITS = 16
+# 21 bits covers the full key width at every scale factor this repo
+# benchmarks: TPC-H sf10 has 2,000,000 parts < 2^21 = 2,097,152 (16
+# bits aliased partkey from sf1 upward, collapsing the audit's pruning
+# signal). Past sf10 (~20M parts at sf100) the interleave would need
+# 25 bits; _z_envelope_guard fails fast rather than alias silently.
+_ZBITS = 21
 _N_CHUNKS = 32
 _PK_LO, _PK_HI = 9000, 10999  # ~10% band of l_partkey
 
@@ -465,7 +470,21 @@ def layout_pruning_audit(spark, sf_dir):
     pruning)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     z = F.expr(_z_expr_sql("l_partkey", "l_suppkey"))
-    maxk = li.agg(F.max("l_orderkey").alias("maxk"))
+    maxk = li.agg(
+        F.max("l_orderkey").alias("maxk"),
+        F.max(F.greatest("l_partkey", "l_suppkey")).alias("maxpk"),
+    )
+    # _ZBITS envelope: interleaving truncates each key to _ZBITS bits;
+    # a key past 2^_ZBITS would alias z-chunks silently and fake the
+    # audit's pruning conclusion — fail fast instead (value-preserving
+    # assert fold, the CUSUM-guard idiom; one check per scan, not row).
+    zguard = F.coalesce(
+        F.assert_true(
+            F.col("maxpk") < F.lit(1 << _ZBITS),
+            F.lit(f"layout_pruning_audit: key exceeds {_ZBITS}-bit Morton envelope"),
+        ).cast("long"),
+        F.lit(0),
+    )
     # Two column-pruned branch scans, one per layout. The single-scan
     # alternative (explode of a 2-struct array carrying both chunk
     # ids) was A/B'd and REJECTED at sf1: 0.56 -> 0.85 s — the explode
@@ -479,7 +498,7 @@ def layout_pruning_audit(spark, sf_dir):
     )
     ochunk = li.crossJoin(F.broadcast(maxk)).select(
         F.lit("insert_order").alias("layout"),
-        F.expr(f"(l_orderkey * {_N_CHUNKS}) div (maxk + 1)").alias("chunk"),
+        (F.expr(f"(l_orderkey * {_N_CHUNKS}) div (maxk + 1)") + zguard).alias("chunk"),
         "l_partkey",
     )
     per_chunk = (

@@ -101,3 +101,176 @@ QUERIES = {
     "pipeline_gold_daily_agg": QuerySpec(gold_daily_agg, GOLD_DAILY_SQL, "gold daily rollup"),
     "pipeline_hourly_type_counts": QuerySpec(hourly_type_counts, HOURLY_SQL, "hourly rollup + ndv"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table surface (sinks.write_version family) as declared queries:
+# time travel + snapshot CDC (VERDICT r9 #5 — was pytest-only)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_versioned_customers(spark, sf_dir: str) -> str:
+    """Build (once per source content) a 2-version customer table with
+    `sinks.write_version`: v1 = the customer snapshot (balance in exact
+    cents), v2 = deletes (c_custkey % 97 == 0), updates (BUILDING
+    segment +1000 cents) and inserts (% 101 == 0 re-keyed +1,000,000).
+    Both versions derive deterministically from the customer view, so
+    the CDC diff AND the pinned time-travel read are plain SQL over
+    `customer` — the oracle never reads the versioned dir. Staleness
+    stamp (size+sha256 of customer.parquet) rebuilds the table whenever
+    the driver regenerates testdata."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from ..sinks import write_version
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
+    root = os.path.join(repo, ".scratch", "versioned_cust", label)
+    src = os.path.join(sf_dir, "customer.parquet")
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest(), "v": 1}
+    marker = os.path.join(root, "_STAMP.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    v2 = (
+        v1.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "bal_cents",
+            F.col("bal_cents")
+            + F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1000)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.col("c_custkey").cast("long").alias("bal_cents"),
+            )
+        )
+    )
+    assert write_version(v1, root) == 1
+    assert write_version(v2, root) == 2
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return root
+
+
+_V1_SQL = """
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+"""
+
+_V2_SQL = """
+  SELECT c_custkey, c_mktsegment,
+         bal_cents + CASE WHEN c_mktsegment = 'BUILDING' THEN 1000 ELSE 0 END AS bal_cents
+  FROM v1 WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey,
+         'NEWSEG' AS c_mktsegment,
+         CAST(c_custkey AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 101 = 0
+"""
+
+
+def snapshot_cdc_diff(spark, sf_dir):
+    """Snapshot CDC between two committed versions of the versioned
+    customer table: `sinks.read_version_diff` classifies every row as
+    insert / delete / update through ONE presence-marked eqNullSafe
+    full-outer join on the key — the incremental-read primitive a
+    downstream consumer uses instead of reprocessing the snapshot.
+    Scale shape: one key-partitioned join of exactly two snapshot
+    dirs (manifest-resolved; never a full-history scan). The oracle
+    reconstructs both versions from `customer` and replays the diff
+    in SQL — the versioned dir itself is Spark-only state."""
+    from ..sinks import read_version_diff
+
+    root = _ensure_versioned_customers(spark, sf_dir)
+    return read_version_diff(spark, root, 1, 2, keys=["c_custkey"])
+
+
+SNAPSHOT_CDC_SQL = f"""
+WITH v1 AS ({_V1_SQL}),
+v2 AS ({_V2_SQL}),
+j AS (
+  SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+              ELSE n.c_mktsegment END AS c_mktsegment,
+         CASE WHEN n.c_custkey IS NULL THEN o.bal_cents
+              ELSE n.bal_cents END AS bal_cents,
+         CASE WHEN o.c_custkey IS NULL THEN 'insert'
+              WHEN n.c_custkey IS NULL THEN 'delete'
+              WHEN (n.c_mktsegment IS DISTINCT FROM o.c_mktsegment)
+                OR (n.bal_cents IS DISTINCT FROM o.bal_cents) THEN 'update'
+         END AS _change
+  FROM v2 n FULL OUTER JOIN v1 o ON n.c_custkey = o.c_custkey
+)
+SELECT c_custkey, c_mktsegment, bal_cents, _change
+FROM j WHERE _change IS NOT NULL
+"""
+
+
+def read_version_pinned(spark, sf_dir):
+    """Time-travel read at a PINNED version: v1 is read back (manifest
+    lookup -> one snapshot dir scan, later versions invisible) AFTER
+    v2 was committed, then rolled up per segment. The oracle rebuilds
+    v1 from `customer`; any leakage of v2's deletes/updates/inserts
+    into the pinned read breaks the hash."""
+    from ..sinks import read_version
+
+    root = _ensure_versioned_customers(spark, sf_dir)
+    return (
+        read_version(spark, root, version=1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+    )
+
+
+READ_VERSION_PINNED_SQL = f"""
+WITH v1 AS ({_V1_SQL})
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM v1 GROUP BY c_mktsegment
+"""
+
+
+QUERIES.update(
+    {
+        "snapshot_cdc_diff": QuerySpec(
+            snapshot_cdc_diff,
+            SNAPSHOT_CDC_SQL,
+            "versioned-table CDC: insert/delete/update classification between two snapshots",
+        ),
+        "read_version_pinned": QuerySpec(
+            read_version_pinned,
+            READ_VERSION_PINNED_SQL,
+            "time-travel read at a pinned version after later commits",
+        ),
+    }
+)

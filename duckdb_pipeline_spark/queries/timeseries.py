@@ -691,8 +691,28 @@ def timeseries_cusum_drift(spark, sf_dir):
         "value",
     )
     xi = F.floor(F.col("value") * 100 + F.lit(0.5))
+    # int64 envelope guard (fail fast, both engines agree on failure):
+    # every product below is bounded by n * sum|xi| — past ~2^63 Spark
+    # (non-ANSI) would wrap silently where DuckDB raises. assert_true
+    # is folded into `n` (value-preserving +0) so Catalyst can't prune
+    # it; the check runs once per event_type, not per row.
     tot = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(xi).alias("sx")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(F.abs(xi)).alias("sabs"),
+    )
+    envelope_ok = (
+        F.col("n").cast("double") * F.col("sabs").cast("double") < F.lit(float(2**62))
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            envelope_ok,
+            F.lit("cusum int64 envelope exceeded: n * sum|scaled value| >= 2^62"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    tot = tot.select(
+        "event_type", (F.col("n") + guard).alias("n"), "sx"
     )
     # phase 1: per-(type, day) partials -> exact carry-in offsets over
     # the tiny shard spine (types x days rows)

@@ -347,9 +347,16 @@ def write_version(df: DataFrame, root: str) -> int:
     Writers are single-process here (the reference's cron model); a
     multi-writer deployment would CAS the manifest rename. Old
     versions stay byte-identical forever — time travel is a directory
-    choice, not a reconstruction."""
+    choice, not a reconstruction.
+
+    Crash safety: the snapshot is written to a staging dir and renamed
+    into place, and any unmanifested ``v=<n>`` left by a previous
+    crashed attempt is removed first — an aborted write can never
+    wedge the table (readers never saw the orphan: resolution goes
+    through the manifest, not a directory listing)."""
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     _os.makedirs(root, exist_ok=True)
     manifest = _os.path.join(root, "_versions.json")
@@ -359,7 +366,14 @@ def write_version(df: DataFrame, root: str) -> int:
             versions = _json.load(f)
     v = (versions[-1]["version"] + 1) if versions else 1
     vdir = _os.path.join(root, f"v={v}")
-    df.write.mode("errorifexists").parquet(vdir)
+    staging = _os.path.join(root, f"_staging_v={v}")
+    for orphan in (staging, vdir):
+        # v is strictly greater than every manifested version, so any
+        # existing dir at either path is debris from a crashed attempt
+        if _os.path.exists(orphan):
+            _shutil.rmtree(orphan)
+    df.write.mode("errorifexists").parquet(staging)
+    _os.rename(staging, vdir)
     files = sorted(
         fn for fn in _os.listdir(vdir) if fn.endswith(".parquet")
     )
@@ -434,14 +448,19 @@ def read_version_diff(
     old = read_version(spark, root, v_old)
     new = read_version(spark, root, v_new)
     val_cols = [c for c in new.columns if c not in keys]
+    # Presence markers, not key-nullness, decide insert/delete: a
+    # legitimately NULL key value must still pair up (eqNullSafe) and
+    # classify as update/unchanged rather than insert+delete.
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_ov_{c}") for c in val_cols],
+        F.lit(True).alias("_old_present"),
     )
-    cond = [F.col(k) == F.col(f"_ok_{k}") for k in keys]
-    j = new.join(o, cond, "full_outer")
-    is_insert = F.col(f"_ok_{keys[0]}").isNull()
-    is_delete = F.col(keys[0]).isNull()
+    n = new.withColumn("_new_present", F.lit(True))
+    cond = [F.col(k).eqNullSafe(F.col(f"_ok_{k}")) for k in keys]
+    j = n.join(o, cond, "full_outer")
+    is_insert = F.col("_old_present").isNull()
+    is_delete = F.col("_new_present").isNull()
     changed = F.lit(False)
     for c in val_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"_ov_{c}"))

@@ -86,14 +86,38 @@ def test_oracle_compare_catches_mismatches():
 
 
 def test_declared_inventory_counts_match_docs():
-    """The documented inventory numbers (README.md, SURVEY.md §— the
-    round-8 drift lesson: docs said 178/175 while the code exported
-    179/176) are pinned HERE to the code: adding or removing a query
-    fails this test until the docs move with it."""
+    """The documented inventory numbers are parsed OUT OF the docs and
+    compared to the code (the round-8/r9 drift lesson, three rounds
+    running: a literal pin here let README say 222/219 while the code
+    exported 225/222). A deliberate miscount in README.md or the
+    newest SURVEY.md inventory line now fails the suite."""
+    import os
+    import re
+
     from duckdb_pipeline_spark.queries import PRIORITY, collect_all
 
     qs = collect_all()
-    assert len(qs) == 225, f"update README/SURVEY: {len(qs)} declared"
+    n_decl = len(qs)
     n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
-    assert n_oracle == 222, f"update README/SURVEY: {n_oracle} with oracles"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"(\d+) declared queries \((\d+) with DuckDB oracles\)", readme)
+    assert m, "README.md no longer states the inventory counts"
+    assert (int(m.group(1)), int(m.group(2))) == (n_decl, n_oracle), (
+        f"README.md says {m.group(1)}/{m.group(2)}, code exports "
+        f"{n_decl}/{n_oracle} — update the README"
+    )
+
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    # the LAST "Inventory after round N" line is the current claim
+    ms = re.findall(
+        r"Inventory after round \d+: \*\*(\d+) declared queries\*\*\s*\((\d+) with DuckDB",
+        survey,
+    )
+    assert ms, "SURVEY.md no longer states an inventory line"
+    assert (int(ms[-1][0]), int(ms[-1][1])) == (n_decl, n_oracle), (
+        f"SURVEY.md newest inventory line says {ms[-1]}, code exports "
+        f"{n_decl}/{n_oracle} — update SURVEY.md"
+    )
     assert len(PRIORITY) == 50  # the driver's observed window cap
