@@ -100,10 +100,20 @@ PRIORITY: tuple[str, ...] = (
     "topk_orders_global",
     "window_lag_delta",
     "window_moving_avg",
-    # ---- round-11 window candidates (lead the next rotation): every
-    # query NEW in round 10 — snapshot_cdc_diff, read_version_pinned,
-    # ann_recall_clustered, and any v2-basis additions — plus
-    # retention_cohorts_bucketed (r8-green, yielded its slot twice).
+    # ---- round-11 window candidates (lead the next rotation):
+    # (a) every query NEW in round 10 — snapshot_cdc_diff,
+    # read_version_pinned, ann_recall_clustered,
+    # events_markov_transitions_bucketed;
+    # (b) every query whose plan CHANGED in round 10 (all locally
+    # oracle-green at sf0.001+sf0.01 post-change) — q5_regional_revenue
+    # (spine rewrite), stats_chi2_independence (window marginals +
+    # epoch-hour; IN this round's window, so r10-checked),
+    # quality_expectations_gate (bitmap-word fold; also in-window),
+    # quality_zipf_audit (explode+WHERE tokenizer, TakeOrdered),
+    # events_markov_transitions (markov_from refactor, same plan),
+    # timeseries_cusum_drift + layout_pruning_audit (envelope guards;
+    # cusum in-window);
+    # (c) retention_cohorts_bucketed (r8-green, yielded its slot twice).
     # rotated out round 10 (driver-green r9, unchanged): the full r9
     # window (dedup_containment .. unpivot_part_measures); rotation
     # history for earlier cohorts is in git.

@@ -547,25 +547,60 @@ def quality_expectations_gate(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
 
-    ev_checks = ev.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_pk"),
-        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_user"),
-        F.sum(
-            F.when(
-                ~F.col("event_type").isin(
-                    "view", "click", "purchase", "signup", "error"
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("bad_enum"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+    def word_fold(df, pk: str, extra: dict):
+        """ONE fused fold per table (round 10; was three branches whose
+        countDistinct Expand made the gate 5.98x at sf10): rows group
+        by the pk's 64-bit BITMAP WORD (shiftright 6), each word
+        aggregates bit_or(1 << pk%64) — an exact distinct-count as
+        popcount, no Expand, no id-level shuffle (10M ids -> ~156k
+        word rows) — and every scalar check (``extra``: name -> count
+        expression) rides the SAME shuffle as a map-side partial.
+        dup_pk = n - sum(bit_count) equals count(*) - countDistinct
+        exactly: NULL pks contribute to n, never to a bitmap (their
+        word group's bit_or is NULL -> popcount 0), matching
+        countDistinct's null-exclusion."""
+        per_word = df.groupBy(F.shiftright(F.col(pk), 6).alias("w")).agg(
+            F.bit_or(
+                F.when(
+                    F.col(pk).isNotNull(),
+                    F.expr(f"shiftleft(1L, cast(pmod({pk}, 64) as int))"),
+                )
+            ).alias("bits"),
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+                for name, cond in extra.items()
+            ],
+        )
+        return per_word.agg(
+            F.sum("n").alias("n"),
+            (
+                F.sum("n")
+                - F.sum(F.bit_count(F.coalesce(F.col("bits"), F.lit(0))))
+            ).alias("dup_pk"),
+            *[F.sum(name).alias(name) for name in extra],
+        )
+
+    ev_checks = word_fold(
+        ev,
+        "event_id",
+        {
+            "null_user": F.col("user_id").isNull(),
+            "bad_enum": ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "neg_value": F.col("value") < 0,
+        },
     )
-    ord_checks = orders.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+    ord_checks = word_fold(
+        orders,
+        "o_orderkey",
+        {"bad_price": F.col("o_totalprice") <= 0},
     )
+    # Orphans stay a SEPARATE anti-join job: riding the orders fold via
+    # a broadcast LEFT join against the customer keys was A/B'd and
+    # REJECTED at sf10 — the 1.5M-key hash build+probe added ~1 s to
+    # the fold vs ~0.4 s for the standalone anti-join branch.
     orphans = (
         orders.join(
             F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),

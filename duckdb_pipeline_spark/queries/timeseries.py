@@ -824,9 +824,16 @@ def events_markov_transitions(spark, sf_dir):
     Scale shape: one user-keyed window (lead), one bounded groupBy
     (|types|^2 cells), row totals re-derived from the cells and
     broadcast back — the corpus shuffles once on user_id."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return markov_from(ev)
+
+
+def markov_from(ev):
+    """Markov tail shared by the plain query and its bucketed twin
+    (the `retention_from` pattern): user-keyed lead window -> bounded
+    (cur, nxt) cells -> broadcast row totals."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.withColumn("nxt", F.lead("event_type").over(w))

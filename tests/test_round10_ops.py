@@ -176,3 +176,52 @@ def test_zbits_envelope_guard_trips(spark):
             an.layout_pruning_audit(spark, "/ignored").collect()
     finally:
         an.load = orig
+
+
+def test_q5_spine_rewrite_plan(spark, sf_dir):
+    """Round-10 q5 shape: lineitem reaches the final aggregation through
+    BROADCAST probes only — no SortMergeJoin/ShuffledHashJoin anywhere
+    (the old tree shuffled all of lineitem wide on orderkey, then the
+    li⋈orders intermediate again on custkey: the 12.8x sf10 register
+    entry)."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    df = collect_all()["q5_regional_revenue"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert op not in plan, f"{op} in q5 plan:\n{plan}"
+    assert plan.count("BroadcastHashJoin") >= 3  # supp, cust, spine
+
+
+def test_chi2_single_scan(spark, sf_dir):
+    """Chi-square: marginals are windows over the bounded cell table —
+    the events relation appears exactly ONCE in the plan (the r9 shape
+    re-consumed it through three aggregate branches + two joins)."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    df = collect_all()["stats_chi2_independence"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") <= 1 or plan.count("Scan parquet") <= 1
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan, f"join survived the window rewrite:\n{plan}"
+
+
+def test_expectations_gate_no_expand(spark, sf_dir):
+    """The bitmap-word distinct must not plan an Expand (the
+    countDistinct + scalar-agg combination's Expand doubled every row;
+    5.98x -> 4.4x at sf10)."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    df = collect_all()["quality_expectations_gate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+
+
+def test_zipf_no_global_window_over_vocab(spark, sf_dir):
+    """Zipf top-1000 must plan TakeOrderedAndProject, not a global
+    row_number window over the whole vocabulary."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    df = collect_all()["quality_zipf_audit"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
