@@ -133,25 +133,40 @@ def q3_top_orders(spark, sf_dir):
     per-order revenue agg happens before the final order-by; the top-k
     is tiny so a global sort of the aggregated (not raw) rows is
     fine."""
-    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    # Round-10 shape (register entry, was 5.1x sf10): the r9 eager-agg
+    # grouped the WHOLE shipdate tail (13.2M groups at sf10 on the
+    # scale replica, where the tail is 31.8M rows) and then SMJ'd it
+    # against 7.3M filtered orders. The selective predicate is really
+    # the BUILDING segment (~2% of orders after both filters), so the
+    # reduction now flows the other way: orders semi-reduce by the
+    # broadcast segment keys FIRST (map-side), and the surviving slim
+    # (orderkey, date, priority) spine broadcasts into lineitem — the
+    # fact never shuffles raw; the only Exchange is the partial-agged
+    # ~3M-row groupBy. sf10: 5.6 -> 2.76 s (~3.9x DuckDB), sf1 -20%,
+    # sf0.1 within noise (exp_q3q10_r10.py + inline A/B). The forced
+    # spine broadcast carries the same scale caveat as q5's: past
+    # broadcastable sizes drop the hint and AQE degrades to the skinny
+    # shuffle; the bucketed twin stays the lake deployment path.
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    orders_f = orders.join(
+        F.broadcast(cust), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    # eager-agg pushdown (round 9, the q10 pattern): per-order revenue
-    # is independent of the customer/orders predicates' row selection
-    # within an order, so aggregate the filtered lineitems to one row
-    # per order FIRST — the joins then run on order-grain rows and the
-    # limb shuffle carries (orderkey, partials), not joined-width rows
-    rev = li.groupBy("l_orderkey").agg(
-        dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-    )
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(F.broadcast(orders_f), li.l_orderkey == F.col("o_orderkey"))
     return (
-        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
