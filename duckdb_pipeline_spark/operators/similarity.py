@@ -1610,3 +1610,122 @@ def farthest_point_partials(
             )
 
     return embeddings.select(id_col, vec_col).mapInPandas(fold, "md long, vid long")
+
+
+def knn_join_multiprobe(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 128,
+) -> DataFrame:
+    """Multi-probe IVF k-NN join — the standard recall knob between
+    `knn_join_within_cells` (n_probe=1) and the exact join: every
+    vector still lives in exactly ONE build cell (its integer-IP
+    argmax), but as a PROBE it visits its top ``n_probe`` cells, so a
+    true neighbor just across a cell boundary is recovered at the cost
+    of replicating only the probe side n_probe-fold. Shuffle volume is
+    n * (n_probe) vector rows + n build rows; per-task work is
+    O(n_probe * (n/C)^2) — the corpus is never all-paired.
+
+    Determinism contract matches the whole family: probe-cell ranking
+    by (score DESC, cell id ASC), candidate ranking by (cosine DESC,
+    nbr id ASC), fixed-point integer dots — the per-cell candidate
+    lists are bitwise-equal to the exact join restricted to the cell,
+    and the cross-cell merge is one per-id window downstream (the
+    caller applies it; this returns per-cell candidates, k+1 per probe
+    per cell so the post-self-drop top-k is always contained).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError("n_probe must be in [1, n_cells]")
+    C, _ = _ivf_centroids_and_query(embeddings, None, n_cells, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = (
+                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            order = np.lexsort(
+                (np.tile(np.arange(len(C)), (len(V), 1)), -scores), axis=1
+            )[:, :n_probe]
+            frames = []
+            for r in range(n_probe):
+                f = pdf.copy()
+                f["cell"] = order[:, r].astype("int32")
+                # rank-0 cell is ALSO the vector's build home
+                f["is_build"] = r == 0
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"{id_col} long, {vec_col} array<float>, cell int, is_build boolean",
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+                "cell": pd.Series([], dtype="int32"),
+            }
+        )
+        pdf = pdf.sort_values(id_col)
+        cell = int(pdf["cell"].iloc[0])
+        build = pdf[pdf["is_build"]]
+        nb = len(build)
+        if nb == 0 or len(pdf) < 2:
+            return empty
+        bids = build[id_col].to_numpy()
+        BV = np.stack(build[vec_col].to_numpy()).astype("float64")
+        rb = np.sqrt(
+            np.floor(BV * BV * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        # probes = every row in the group (the build copy doubles as
+        # its own rank-0 probe; replicas are probe-only)
+        pids = pdf[id_col].to_numpy()
+        PV = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        rp = np.sqrt(
+            np.floor(PV * PV * SCALE).astype("int64").sum(axis=1).astype("float64")
+        )
+        keep_n = min(k + 1, nb)
+        frames = []
+        for lo in range(0, len(pdf), chunk):
+            hi = min(lo + chunk, len(pdf))
+            dots = (
+                np.floor(PV[lo:hi, None, :] * BV[None, :, :] * SCALE)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            cos = dots.astype("float64") / (rp[lo:hi, None] * rb[None, :])
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
+            m = hi - lo
+            f = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pids[lo:hi], keep_n),
+                    "nbr_id": bids[idx].reshape(-1),
+                    "cosine": cos[np.repeat(np.arange(m), keep_n), idx.reshape(-1)],
+                }
+            )
+            f = f[f["vec_id"] != f["nbr_id"]]
+            f["rk_local"] = f.groupby("vec_id").cumcount() + 1
+            frames.append(f[f["rk_local"] <= k].drop(columns=["rk_local"]))
+        out = pd.concat(frames, ignore_index=True) if frames else empty
+        out["cell"] = np.int32(cell)
+        return out[["vec_id", "nbr_id", "cosine", "cell"]]
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_topk, "vec_id long, nbr_id long, cosine double, cell int"
+    )

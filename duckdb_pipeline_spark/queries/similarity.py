@@ -2805,3 +2805,186 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF kNN join + its recall sweep (the production recall knob)
+# ---------------------------------------------------------------------------
+
+
+def knn_join_topk_ivf_mp(spark, sf_dir):
+    """Multi-probe IVF k-NN join (n_probe=2 of 8 cells): the standard
+    knob between the single-probe join (recall ~0.26 on this
+    uniform-random corpus — the documented adversarial case) and the
+    exact join. Build side stays one-cell; the probe side visits its
+    top-2 cells, so the shuffle grows only 2x while candidates roughly
+    double. One per-id window merges the per-cell candidate lists
+    (each bitwise-equal to the exact join restricted to the cell)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import knn_join_multiprobe
+
+    cand = knn_join_multiprobe(
+        load(spark, sf_dir, "embeddings"), n_cells=8, k=3, n_probe=2
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("vec_id", "nbr_id", "rk", "cosine")
+    )
+
+
+def _mp_cells_cte(n_cells: int = 8) -> str:
+    return f"""cents AS (
+  SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {n_cells}
+),
+ascore AS (
+  SELECT e.vec_id, c.cell_id, CAST(SUM(
+           CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.ce[u.i] AS DOUBLE) * {S}) AS BIGINT)
+         ) AS BIGINT) AS score
+  FROM embeddings e, cents c, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+  WHERE e.embedding IS NOT NULL
+  GROUP BY e.vec_id, c.cell_id
+),
+cellranks AS MATERIALIZED (
+  SELECT vec_id, CAST(cell_id AS INTEGER) AS cell, rn FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM ascore)
+)"""
+
+
+KNN_IVF_MP_SQL = f"""
+WITH {_mp_cells_cte(8)},
+cpairs AS (
+  SELECT ca.vec_id AS vec_id, cb.vec_id AS nbr_id,
+         a.embedding AS ea, b.embedding AS eb
+  FROM (SELECT vec_id, cell FROM cellranks WHERE rn <= 2) ca
+  JOIN (SELECT vec_id, cell FROM cellranks WHERE rn = 1) cb
+    ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+terms AS (
+  SELECT vec_id, nbr_id,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(ea[u.i] AS DOUBLE) * CAST(ea[u.i] AS DOUBLE) * {S}) AS BIGINT) AS at2,
+         CAST(floor(CAST(eb[u.i] AS DOUBLE) * CAST(eb[u.i] AS DOUBLE) * {S}) AS BIGINT) AS bt2
+  FROM cpairs, UNNEST(range(1, len(ea) + 1)) AS u(i)
+),
+sums AS (
+  SELECT vec_id, nbr_id, CAST(SUM(dt) AS BIGINT) AS dot_i,
+         CAST(SUM(at2) AS BIGINT) AS na_i, CAST(SUM(bt2) AS BIGINT) AS nb_i
+  FROM terms GROUP BY vec_id, nbr_id
+),
+mprk AS (
+  SELECT vec_id, nbr_id,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nb_i AS DOUBLE))) DESC,
+                    nbr_id) AS INTEGER) AS rk
+  FROM sums
+)
+SELECT vec_id, nbr_id, rk, cosine FROM mprk WHERE rk <= 3
+"""
+
+
+def knn_recall_multiprobe_audit(spark, sf_dir):
+    """Recall@3 of the multi-probe IVF join vs the exact join, one row
+    per n_probe in (1, 2, 4) of 8 cells — the measured recall/cost
+    curve on THIS corpus (uniform-random embeddings, the cell-pruning
+    adversarial case `knn_recall_ivf_audit` quantifies at ~0.26
+    single-probe). Together with `ann_recall_clustered` (0.98 at 1/16
+    probed on clustered data) this closes the honesty caveat: the
+    stack's two operating knobs — probe count and corpus structure —
+    are both demonstrated with oracle-checked numbers. The exact edge
+    list is computed once and persisted; audit joins are edge-sized."""
+    from ..operators.similarity import knn_join_multiprobe
+
+    exact = _knn_topk(spark, sf_dir).select("vec_id", "nbr_id").persist()
+    emb = load(spark, sf_dir, "embeddings")
+    outs = []
+    for p in (1, 2, 4):
+        from pyspark.sql import Window
+
+        cand = knn_join_multiprobe(emb, n_cells=8, k=3, n_probe=p)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+        approx = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("vec_id", "nbr_id")
+        )
+        hit = exact.join(approx, ["vec_id", "nbr_id"], "left_semi")
+        outs.append(
+            exact.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_retrieved")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(p).alias("n_probe"),
+                "n_true",
+                "n_retrieved",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_true")).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_probe")
+
+
+def _mp_recall_row(p: int) -> str:
+    return f"""
+SELECT CAST({p} AS INTEGER) AS n_probe,
+       (SELECT count(*) FROM exact_knn) AS n_true,
+       (SELECT count(*) FROM approx{p}) AS n_retrieved,
+       (SELECT count(*) FROM exact_knn e JOIN approx{p} a USING (vec_id, nbr_id)) AS n_hit,
+       CAST((SELECT count(*) FROM exact_knn e JOIN approx{p} a USING (vec_id, nbr_id)) AS DOUBLE)
+         / (SELECT count(*) FROM exact_knn) AS recall"""
+
+
+def _mp_approx_cte(p: int) -> str:
+    return f"""approx{p} AS MATERIALIZED (
+  SELECT s.vec_id, s.nbr_id FROM (
+    SELECT q.vec_id, q.nbr_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY q.cosine DESC, q.nbr_id) AS rk
+    FROM scored q
+    JOIN cellranks ca ON ca.vec_id = q.vec_id AND ca.rn <= {p}
+    JOIN cellranks cb ON cb.vec_id = q.nbr_id AND cb.rn = 1 AND cb.cell = ca.cell
+  ) s WHERE s.rk <= 3
+)"""
+
+
+KNN_RECALL_MP_SQL = f"""
+WITH {_KNN_CTES},
+exact_knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM rk WHERE rk <= 3),
+{_mp_cells_cte(8)},
+{_mp_approx_cte(1)},
+{_mp_approx_cte(2)},
+{_mp_approx_cte(4)}
+{_mp_recall_row(1)}
+UNION ALL
+{_mp_recall_row(2)}
+UNION ALL
+{_mp_recall_row(4)}
+ORDER BY n_probe
+"""
+
+
+QUERIES.update(
+    {
+        "knn_join_topk_ivf_mp": QuerySpec(
+            knn_join_topk_ivf_mp,
+            KNN_IVF_MP_SQL,
+            "multi-probe IVF kNN join (n_probe=2): the standard recall knob",
+        ),
+        "knn_recall_multiprobe_audit": QuerySpec(
+            knn_recall_multiprobe_audit,
+            KNN_RECALL_MP_SQL,
+            "recall@3 vs exact per n_probe in (1,2,4) — the measured recall/cost curve",
+        ),
+    }
+)
