@@ -273,3 +273,50 @@ def test_multiprobe_p1_equals_single_probe_join(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_read_version_diff_randomized_roundtrip(spark, tmp_path):
+    """Property check: for random keyed edits (insert/delete/update/
+    unchanged, incl. NULL values in a value column), the CDC diff must
+    reproduce exactly the set-difference classification a reference
+    dict computation gives."""
+    from duckdb_pipeline_spark.sinks import read_version_diff, write_version
+
+    rng = np.random.RandomState(1007)
+    for trial in range(3):
+        n = 60
+        keys = list(range(n))
+        v1 = {k: (None if rng.rand() < 0.1 else int(rng.randint(0, 5))) for k in keys}
+        v2 = {}
+        expect = {}
+        for k in keys:
+            r = rng.rand()
+            if r < 0.2:
+                expect[k] = ("delete", v1[k])  # dropped in v2
+            elif r < 0.4:
+                nv = (v1[k] or 0) + 1
+                v2[k] = nv
+                expect[k] = ("update", nv)
+            elif r < 0.5:
+                v2[k] = None if v1[k] is not None else 0  # null flip = update
+                expect[k] = ("update", v2[k])
+            else:
+                v2[k] = v1[k]  # unchanged -> absent from diff
+        for k in range(n, n + 10):  # inserts
+            v2[k] = int(rng.randint(0, 5))
+            expect[k] = ("insert", v2[k])
+        root = str(tmp_path / f"vt{trial}")
+        write_version(
+            spark.createDataFrame([(k, v) for k, v in v1.items()], "k int, v int"),
+            root,
+        )
+        write_version(
+            spark.createDataFrame([(k, v) for k, v in v2.items()], "k int, v int"),
+            root,
+        )
+        got = {
+            r["k"]: (r["_change"], r["v"])
+            for r in read_version_diff(spark, root, 1, 2, keys=["k"]).collect()
+        }
+        want = {k: e for k, e in expect.items() if e[0] != "unchanged"}
+        assert got == want, (trial, got.keys() ^ want.keys())
