@@ -849,7 +849,11 @@ def agg_rollup(spark, sf_dir):
         li.selectExpr(
             "l_returnflag",
             "l_linestatus",
-            "cast(round(l_quantity * 1e9) as bigint) AS __u_q",
+            # floor(v + 0.5), not round(v): Round on a double codegens a
+            # per-row BigDecimal.setScale (the r9 q1 lesson,
+            # common.py:96); both recover the same integer because
+            # l_quantity is scale-2 so v is within ~0.03 of it
+            "cast(floor(l_quantity * 1e9 + 0.5) as bigint) AS __u_q",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(*(F.expr(s) for s in (*limb_agg_sql("q"), "count(1) AS __n")))
