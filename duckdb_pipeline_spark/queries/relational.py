@@ -732,11 +732,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING
 
 
 def ntile_quartiles(spark, sf_dir):
-    """ntile bucketing: order-value quartile sizes and exact sums."""
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """ntile bucketing: order-value quartile sizes and exact sums.
+
+    Round-10 rewrite: the naive `ntile(4) OVER (ORDER BY ...)` is an
+    unpartitioned window — WindowExec moves the ENTIRE table to one
+    partition and sorts it on one thread (measured 23-25 s at sf10 for
+    15M rows; the only unbounded global window left in the repo after
+    the zipf fix). Replacement = the CUSUM two-phase sharded rank:
+    rows shard by a deterministic VALUE bucket of the sort key (ties
+    can't split — same price, same shard), per-shard counts produce
+    exact carry-in offsets over the tiny shard spine, the per-shard
+    row_number windows run in parallel, and the global rank converts
+    to the standard ntile bucket arithmetically (first n%4 buckets get
+    one extra row). Bitwise-identical to F.ntile at sf0.001/0.01/10;
+    sf10 23.4 -> 4.3 s (-81%). Shard count 64: balanced for the
+    near-uniform price distribution; a skewed key would raise it or
+    shard on quantile estimates — the plan shape is unchanged."""
+    n_shards = 64
+    orders = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    st = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("ntot"),
+    )
+    span = F.col("mx") - F.col("mn")
+    shard = (
+        F.when(
+            span > 0,
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / span * n_shards),
+                F.lit(n_shards - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    o2 = orders.crossJoin(F.broadcast(st)).withColumn("shard", shard)
+    sh_cnt = o2.groupBy("shard").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    offs = sh_cnt.select("shard", (F.sum("c").over(wo) - F.col("c")).alias("off"))
+    wl = Window.partitionBy("shard").orderBy("o_totalprice", "o_orderkey")
+    ranked = o2.join(F.broadcast(offs), "shard").withColumn(
+        "r", F.row_number().over(wl) + F.col("off")
+    )
+    n, r = F.col("ntot"), F.col("r")
+    base = (n / 4).cast("long")
+    rem = n % 4
+    cut = rem * (base + 1)
+    q = (
+        F.when(base == 0, r)
+        .when(r <= cut, ((r - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((r - 1 - cut) / base).cast("long") + 1)
+    )
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        ranked.select("o_totalprice", q.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(F.count(F.lit(1)).alias("n"), dsum_fp("o_totalprice").alias("total"))
     )
