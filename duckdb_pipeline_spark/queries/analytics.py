@@ -429,12 +429,15 @@ WHERE pair_orders >= 5
 # layout_pruning_audit: data-skipping effectiveness of z-order vs insert order
 # ---------------------------------------------------------------------------
 
-# 21 bits covers the full key width at every scale factor this repo
-# benchmarks: TPC-H sf10 has 2,000,000 parts < 2^21 = 2,097,152 (16
-# bits aliased partkey from sf1 upward, collapsing the audit's pruning
-# signal). Past sf10 (~20M parts at sf100) the interleave would need
-# 25 bits; _z_envelope_guard fails fast rather than alias silently.
-_ZBITS = 21
+# 27 bits covers the full key width at every scale this repo
+# benchmarks INCLUDING the gen_scale replicas, whose key-offsetting
+# inflates l_partkey to ~99M at the sf10 replica (2^27 = 134M; the
+# original 16 bits aliased partkey from sf1 up, collapsing the audit's
+# pruning signal, and a first fix at 21 bits covered canonical TPC-H
+# sf10 but tripped the envelope guard on the replica's offset keys —
+# the guard did its job). Past ~134M keys the in-plan assert fails
+# fast rather than alias silently; z stays 54 bits, well inside long.
+_ZBITS = 27
 _N_CHUNKS = 32
 _PK_LO, _PK_HI = 9000, 10999  # ~10% band of l_partkey
 

@@ -298,51 +298,74 @@ def fuzzy_match_names(spark, sf_dir):
     all-pairs — the same discipline as the LSH/IVF/shingle families);
     the match is one shuffle join on the block key plus a per-probe
     partial-aggregated argmin."""
+    # Round-10 rework (found by the sf10 hazard sweep): the direct
+    # probe⋈base block join is quadratic in NAME MULTIPLICITY — the
+    # scale replica carries each name 100x, so 1000 suffix blocks of
+    # 1500 rows meant 2.25e9 Levenshtein calls (the sweep's one >15 min
+    # query). Both sides now collapse to DISTINCT names first; this is
+    # argmin-IDENTICAL by construction: dist depends only on the name
+    # text, and among equal-dist duplicates min(struct(dist, custkey))
+    # always elects the minimum custkey — exactly what min-per-name
+    # pre-aggregation keeps. Matches compute once per distinct
+    # corrupted string and broadcast back onto the probe ids. Pair
+    # space drops multiplicity^2 (replica: 2.25e9 -> ~225k pairs); on
+    # a unique-name corpus the dedup is a partial-agged no-op pass.
     base = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.expr("right(c_name, 3)").alias("blk")
+    )
+    base_d = base.groupBy("c_name", "blk").agg(
+        F.min("c_custkey").alias("c_custkey")
     )
     probe = base.select(
         F.col("c_custkey").alias("probe_id"),
         F.expr("substr(c_name, 1, 4) || substr(c_name, 6)").alias("corrupted"),
-        "blk",
     )
-    cand = probe.join(base, "blk").select(
-        "probe_id",
+    probe_d = probe.select(
+        "corrupted", F.expr("right(corrupted, 3)").alias("blk")
+    ).distinct()
+    cand = probe_d.join(base_d, "blk").select(
+        "corrupted",
         "c_custkey",
         F.levenshtein("corrupted", "c_name").alias("dist"),
     )
     best = (
-        cand.groupBy("probe_id")
+        cand.groupBy("corrupted")
         .agg(F.min(F.struct("dist", "c_custkey")).alias("b"))
         .select(
-            "probe_id",
+            "corrupted",
             F.col("b.c_custkey").alias("matched_id"),
             F.col("b.dist").alias("dist"),
         )
     )
-    return best
+    return probe.join(F.broadcast(best), "corrupted").select(
+        "probe_id", "matched_id", "dist"
+    )
 
 
 FUZZY_MATCH_SQL = """
-WITH base AS (
-  SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer
+WITH base_d AS (
+  SELECT c_name, right(c_name, 3) AS blk, min(c_custkey) AS c_custkey
+  FROM customer GROUP BY 1, 2
 ),
 probe AS (
   SELECT c_custkey AS probe_id,
-         substr(c_name, 1, 4) || substr(c_name, 6) AS corrupted,
-         right(c_name, 3) AS blk
+         substr(c_name, 1, 4) || substr(c_name, 6) AS corrupted
   FROM customer
 ),
+probe_d AS (
+  SELECT DISTINCT corrupted, right(corrupted, 3) AS blk FROM probe
+),
 cand AS (
-  SELECT p.probe_id, b.c_custkey, levenshtein(p.corrupted, b.c_name) AS dist
-  FROM probe p JOIN base b USING (blk)
+  SELECT p.corrupted, b.c_custkey, levenshtein(p.corrupted, b.c_name) AS dist
+  FROM probe_d p JOIN base_d b USING (blk)
 ),
 rk AS (
-  SELECT probe_id, c_custkey, dist,
-         row_number() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn
+  SELECT corrupted, c_custkey, dist,
+         row_number() OVER (PARTITION BY corrupted ORDER BY dist, c_custkey) AS rn
   FROM cand
 )
-SELECT probe_id, c_custkey AS matched_id, dist FROM rk WHERE rn = 1
+SELECT probe_id, c_custkey AS matched_id, dist
+FROM probe JOIN rk USING (corrupted) WHERE rn = 1
 """
 
 

@@ -163,11 +163,12 @@ def test_cusum_envelope_guard_trips(spark):
 
 
 def test_zbits_envelope_guard_trips(spark):
-    """A key past the 21-bit Morton envelope must raise, not alias."""
+    """A key past the _ZBITS-bit Morton envelope must raise, not alias."""
     import duckdb_pipeline_spark.queries.analytics as an
 
     df = spark.createDataFrame(
-        [(1, 1 << 22, 3)], "l_orderkey long, l_partkey long, l_suppkey long"
+        [(1, 1 << (an._ZBITS + 1), 3)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
     )
     orig = an.load
     try:
