@@ -210,7 +210,17 @@ def search_mrr_audit(spark, sf_dir):
     (<= Q*3 tokens, broadcast) BEFORE any shuffle, so the corpus
     never moves; per-(query, doc) scores aggregate once; the self
     scores (Q rows) broadcast back for the rank count. Q scales to
-    thousands of probes before any stage stops being broadcast-sized."""
+    thousands of probes before any stage stops being broadcast-sized.
+
+    Round-10 branch-dedup: ``tf`` feeds two plan branches (dfreq and
+    the scoring join) and ``pair`` feeds two more (the self-score
+    extraction and the final rank count) — Spark does not CSE across
+    branches, so without persists the corpus token-explode re-ran for
+    every downstream consumer (3 full tokenize passes measured in the
+    sf0.1 profile; this query was the most expensive v2-basis entry at
+    1.32 s). Both intermediates are probe-vocabulary-bounded (rows only
+    for docs containing a probe token), so caching them is safe at any
+    corpus size; DISK_ONLY per the dsir sizing note (curation.py)."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
     qterms = (
@@ -233,6 +243,7 @@ def search_mrr_audit(spark, sf_dir):
         .join(F.broadcast(qterms.select("token").distinct()), "token")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
@@ -253,6 +264,7 @@ def search_mrr_audit(spark, sf_dir):
         )
         .groupBy("q_id", "doc_id")
         .agg(F.round(dsum("s"), 4).alias("score"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     self_s = (
         pair.where(F.col("q_id") == F.col("doc_id"))
