@@ -321,3 +321,19 @@ def test_read_version_diff_randomized_roundtrip(spark, tmp_path):
         }
         want = {k: e for k, e in expect.items() if e[0] != "unchanged"}
         assert got == want, (trial, got.keys() ^ want.keys())
+
+
+def test_mrr_audit_branches_cached(spark, sf_dir):
+    """search_mrr_audit persists its two multiply-consumed
+    intermediates (probe-vocab tf; (q_id, doc_id, score) pair) so the
+    corpus token-explode runs once, not once per consumer (A/B:
+    scripts/exp_mrr_r10.py). Pin: the executed plan reads through
+    cached relations, and dropping the caches still yields
+    oracle-equal output (the oracle suite covers values)."""
+    from duckdb_pipeline_spark.queries import collect_all
+
+    df = collect_all()["search_mrr_audit"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert df.count() > 0
+    spark.catalog.clearCache()
