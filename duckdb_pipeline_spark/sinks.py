@@ -62,6 +62,46 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def _aside_path(dest: str) -> str:
+    """Side-car directory used by `_swap_dir` to hold the previous
+    state during a replace. Leading underscore so Spark/Hadoop file
+    indexes ignore it — for a hive partition dir (`root/day=X`) the
+    aside lives INSIDE root, and a `day=X._old` sibling would be
+    discovered as a bogus partition value."""
+    d = dest.rstrip("/")
+    return os.path.join(os.path.dirname(d) or ".", "_old_" + os.path.basename(d))
+
+
+def _recover_dir(dest: str) -> None:
+    """Crash recovery for `_swap_dir`: if a previous call died between
+    the move-aside and the swap-in, ``dest`` is missing but the prior
+    state is intact in the aside dir — restore it. The interrupted
+    batch is simply not applied; upsert/compact are re-appliable by
+    construction, so the worst case is a retried batch, never lost
+    data (the write_version staged-rename precedent, ADVICE r9)."""
+    if not os.path.isdir(dest) and os.path.isdir(_aside_path(dest)):
+        os.rename(_aside_path(dest), dest)
+
+
+def _swap_dir(staging: str, dest: str) -> None:
+    """Replace directory ``dest`` with ``staging`` with no window in
+    which the data exists nowhere: the current dest is RENAMED aside
+    (never deleted before its replacement is durable), staging renamed
+    in, and only then is the old state removed. Any crash leaves either
+    the old state at ``dest`` (before the move-aside) or in the aside
+    dir (between the renames, `_recover_dir` restores it) or the new
+    state at ``dest`` (after the swap-in). The prior rmtree-then-move
+    sequence stranded the dataset in an orphaned staging dir if the
+    process died between the two calls — the next upsert then silently
+    merged against an empty table."""
+    old = _aside_path(dest)
+    shutil.rmtree(old, ignore_errors=True)  # stale aside from a crash after swap-in
+    if os.path.isdir(dest):
+        os.rename(dest, old)
+    shutil.move(staging, dest)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_small_files(
     spark, path: str, target_files: int = 1, partition_glob: str | None = None
 ) -> int:
@@ -75,14 +115,14 @@ def compact_small_files(
     import tempfile as _tf
 
     src = os.path.join(path, partition_glob) if partition_glob else path
+    _recover_dir(src)
     df = spark.read.parquet(src)
     parent = os.path.dirname(path.rstrip("/")) or "."
     staging = _tf.mkdtemp(prefix="_compact_", dir=parent)
     try:
         df.repartition(target_files).write.mode("overwrite").parquet(staging)
         dest = src if partition_glob else path
-        shutil.rmtree(dest)
-        shutil.move(staging, dest)
+        _swap_dir(staging, dest)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -107,6 +147,7 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
 
     import pyarrow.parquet as _pq
 
+    _recover_dir(path)
     if os.path.isdir(path) and _glob.glob(os.path.join(path, "part-*")):
         current = spark.read.parquet(path)
         kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
@@ -122,9 +163,7 @@ def upsert_parquet(spark, updates: DataFrame, path: str, keys: list[str]) -> int
             _pq.ParquetFile(p).metadata.num_rows
             for p in _glob.glob(os.path.join(staging, "part-*.parquet"))
         )
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        shutil.move(staging, path)
+        _swap_dir(staging, path)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

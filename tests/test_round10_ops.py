@@ -337,3 +337,75 @@ def test_mrr_audit_branches_cached(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     assert df.count() > 0
     spark.catalog.clearCache()
+
+
+def test_upsert_recovers_from_interrupted_swap(spark, tmp_path):
+    """Crash between the move-aside and the swap-in leaves the dataset
+    in the aside dir; the next upsert must restore it and merge against
+    the REAL prior state, not an empty table (the write_version
+    staged-rename precedent applied to upsert_parquet/_swap_dir)."""
+    import os
+
+    from duckdb_pipeline_spark.sinks import _aside_path, upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path, ["k"],
+    )
+    os.rename(path, _aside_path(path))  # simulated mid-swap crash
+    n = upsert_parquet(
+        spark, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        path, ["k"],
+    )
+    assert n == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.isdir(_aside_path(path))
+
+
+def test_upsert_clears_stale_aside(spark, tmp_path):
+    """Crash AFTER the swap-in but before the old state's removal
+    leaves a stale aside next to a live dataset; the next call must
+    drop it (not restore it over the live data)."""
+    import os
+
+    from duckdb_pipeline_spark.sinks import _aside_path, upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark, spark.createDataFrame([(1, "old")], "k int, v string"), path, ["k"]
+    )
+    os.makedirs(_aside_path(path))  # stale aside; live dataset present
+    upsert_parquet(
+        spark, spark.createDataFrame([(2, "new")], "k int, v string"), path, ["k"]
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "old"), (2, "new")}
+    assert not os.path.isdir(_aside_path(path))
+
+
+def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
+    """compact_small_files: same crash window, same recovery — and the
+    aside name is underscore-prefixed so a crash inside a hive layout
+    never surfaces a bogus `col=value._old` partition to readers."""
+    import os
+
+    from duckdb_pipeline_spark.sinks import (
+        _aside_path, compact_small_files, write_partitioned,
+    )
+
+    root = str(tmp_path / "lake")
+    df = spark.createDataFrame([(d, i) for d in (1, 2) for i in range(4)], "day int, x int")
+    write_partitioned(df.repartition(4), root, ["day"])
+    part = os.path.join(root, "day=1")
+    os.rename(part, _aside_path(part))  # simulated mid-swap crash
+    assert os.path.basename(_aside_path(part)).startswith("_")
+    n_files = compact_small_files(spark, root, 1, "day=1")
+    assert n_files == 1
+    got = sorted(r.x for r in spark.read.parquet(root).where("day = 1").collect())
+    assert got == [0, 1, 2, 3]
+    # full-table read sees exactly the two real partitions
+    assert sorted(
+        r.day for r in spark.read.parquet(root).select("day").distinct().collect()
+    ) == [1, 2]
