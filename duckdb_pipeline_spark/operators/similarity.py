@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # fixed-point scale for exact integer sums
 
 
+def _fp_dots_f64(A, B):
+    """Sum over the last axis of floor(a * b * SCALE) — the fixed-point
+    dot kernel for the chunked numpy paths, computed with ONE in-place
+    temp chain instead of three fresh allocations (the naive
+    ``np.floor(A * B * SCALE)`` materializes mult, scale, and floor
+    temps — at a 256 x 2500 x 64 chunk that is 3 x 330 MB per step and
+    the kernel goes allocator-bound: measured 9.3 s -> 2.6 s per
+    SemDeDup cell). The sum runs in float64, which is bitwise the
+    integer sum as long as every partial stays below 2^53 — i.e.
+    d * SCALE * max|x|^2 < 2^53, asserted by callers that take
+    arbitrary input (cosine_pairs_blocked_vectorized); the operand
+    order (a*b, then *SCALE, then floor) is identical IEEE ops to the
+    previous formulation and to the SQL oracles."""
+    import numpy as np
+
+    t = np.multiply(A, B)
+    np.multiply(t, SCALE, out=t)
+    np.floor(t, out=t)
+    return t.sum(axis=-1)
+
+
 def int_dot(a, b):
     """Exact fixed-point dot product of two array<float> columns: each
     term is floor(x*y*SCALE) as bigint, folded in-row with an integer
@@ -156,10 +177,22 @@ def cosine_pairs_blocked_vectorized(
                 }
             )
         V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        # float64 sums of floor() terms are EXACTLY the integer sums as
+        # long as every partial stays below 2^53: each |term| <
+        # SCALE * max|x|^2, so d * SCALE * max|x|^2 < 2^53 guarantees
+        # it (here: 64 * 1e9 * 0.34 ~ 2.2e10, margin ~4e5x). Skipping
+        # the astype('int64') pass removes a full copy of the dominant
+        # chunk temp (measured -30% on the sf10 SemDeDup cells); the
+        # envelope asserts fast-fail if a future embedding family
+        # violates it (the CUSUM-envelope precedent).
+        amax = float(np.abs(V).max())
+        if V.shape[1] * SCALE * amax * amax >= 2**53:
+            raise ValueError(
+                f"fixed-point float64-sum envelope exceeded: d={V.shape[1]} "
+                f"SCALE={SCALE} max|x|={amax}"
+            )
         # exact per-vector norms: sum of floor(x*x*SCALE)
-        rs = np.sqrt(
-            np.floor(V * V * SCALE).astype("int64").sum(axis=1).astype("float64")
-        )
+        rs = np.sqrt(_fp_dots_f64(V, V))
         out_a, out_b, out_c = [], [], []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -168,12 +201,8 @@ def cosine_pairs_blocked_vectorized(
             # were pure waste — halves the dominant floor/multiply
             # term on average; the computed terms for kept pairs are
             # the SAME IEEE ops, so output stays bitwise-identical
-            dots = (
-                np.floor(V[lo:hi, None, :] * V[None, lo:, :] * SCALE)
-                .astype("int64")
-                .sum(axis=2)
-            )
-            cos = dots.astype("float64") / (rs[lo:hi, None] * rs[None, lo:])
+            dots = _fp_dots_f64(V[lo:hi, None, :], V[None, lo:, :])
+            cos = dots / (rs[lo:hi, None] * rs[None, lo:])
             ia, ib = np.nonzero(cos >= threshold)
             keep = ia < ib  # upper triangle: (ia + lo) < (ib + lo)
             out_a.append(ids[ia[keep] + lo])
@@ -618,11 +647,9 @@ def ivf_write_index(
             if not len(pdf):
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            scores = (
-                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
-                .astype("int64")
-                .sum(axis=2)
-            )
+            # exact-integer argmax is unchanged under the float64 sum
+            # (every score is an exact integer < 2^53; _fp_dots_f64 doc)
+            scores = _fp_dots_f64(V[:, None, :], C[None, :, :])
             out = pdf.copy()
             out["cell"] = scores.argmax(axis=1).astype("int32")
             yield out
@@ -1102,22 +1129,17 @@ def knn_join_partials(
         ids_b = Bp["id"].to_numpy()
         Va = np.stack(A["vec"].to_numpy()).astype("float64")
         Vb = np.stack(Bp["vec"].to_numpy()).astype("float64")
-        ra = np.sqrt(
-            np.floor(Va * Va * SCALE).astype("int64").sum(axis=1).astype("float64")
-        )
-        rb = np.sqrt(
-            np.floor(Vb * Vb * SCALE).astype("int64").sum(axis=1).astype("float64")
-        )
+        # _fp_dots_f64: float64 sums of the floor() terms are bitwise
+        # the integer sums under the 2^53 envelope (helper doc); the
+        # in-place temp chain removes the allocator-bound 3-temp cost
+        ra = np.sqrt(_fp_dots_f64(Va, Va))
+        rb = np.sqrt(_fp_dots_f64(Vb, Vb))
         keep_n = min(k + 1, len(ids_b))
         out = []
         for lo in range(0, len(ids_a), chunk):
             hi = min(lo + chunk, len(ids_a))
-            dots = (
-                np.floor(Va[lo:hi, None, :] * Vb[None, :, :] * SCALE)
-                .astype("int64")
-                .sum(axis=2)
-            )
-            cos = dots.astype("float64") / (ra[lo:hi, None] * rb[None, :])
+            dots = _fp_dots_f64(Va[lo:hi, None, :], Vb[None, :, :])
+            cos = dots / (ra[lo:hi, None] * rb[None, :])
             # stable argsort on -cos: ties fall back to Vb's id order
             # (pre-sorted ascending), matching the merge's tiebreak
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
@@ -1177,11 +1199,9 @@ def knn_join_within_cells(
             if not len(pdf):
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            scores = (
-                np.floor(V[:, None, :] * C[None, :, :] * SCALE)
-                .astype("int64")
-                .sum(axis=2)
-            )
+            # exact-integer argmax is unchanged under the float64 sum
+            # (every score is an exact integer < 2^53; _fp_dots_f64 doc)
+            scores = _fp_dots_f64(V[:, None, :], C[None, :, :])
             out = pdf.copy()
             out["cell"] = scores.argmax(axis=1).astype("int32")
             yield out
@@ -1208,19 +1228,13 @@ def knn_join_within_cells(
         cell = int(pdf["cell"].iloc[0])
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        r = np.sqrt(
-            np.floor(V * V * SCALE).astype("int64").sum(axis=1).astype("float64")
-        )
+        r = np.sqrt(_fp_dots_f64(V, V))
         keep_n = min(k + 1, n)
         frames = []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            dots = (
-                np.floor(V[lo:hi, None, :] * V[None, :, :] * SCALE)
-                .astype("int64")
-                .sum(axis=2)
-            )
-            cos = dots.astype("float64") / (r[lo:hi, None] * r[None, :])
+            dots = _fp_dots_f64(V[lo:hi, None, :], V[None, :, :])
+            cos = dots / (r[lo:hi, None] * r[None, :])
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :keep_n]
             m = hi - lo
             cand_id = np.repeat(ids[lo:hi], keep_n)

@@ -1045,8 +1045,12 @@ FROM mx JOIN keep k USING (component)
 """
 
 
-_SEM_K = 8
+_SEM_K = 8  # MINIMUM cell count; K = max(_SEM_K, n // _SEM_CELL_ROWS)
 _SEM_TAU = 0.3
+# target within-cell population: fixes per-vector comparison work at
+# ~_SEM_CELL_ROWS * d regardless of corpus size (SemDeDup's fixed-cell-
+# size regime); small sfs (n < 8 * 2500) keep the historical K = 8
+_SEM_CELL_ROWS = 2500
 
 
 def dedup_semantic_cells(spark, sf_dir):
@@ -1059,43 +1063,77 @@ def dedup_semantic_cells(spark, sf_dir):
     `similarity_topk_ivf` uses). Output: per-cell (n_total, n_dropped,
     n_kept) — the dedup yield report per semantic bucket.
 
-    Scale shape: assignment is a broadcast of K centroid rows against a
-    map-side scan (int_dot folds in whole-stage codegen; argmax is a
-    struct-max groupBy — no window over the corpus); within-cell pair
-    generation reuses the blocked vectorized numpy kernel, so the pair
-    space is n^2/K per cell, never global. Exact fixed-point cosines
-    (operators/similarity module doc) keep every comparison bitwise
-    cross-engine, including the argmax cell choice."""
+    Round-10 scale rewrite (the sf10 hazard-sweep find): K was FIXED
+    at 8, so within-cell pair work grew O(n²/8) — the ONLY inventory
+    query still grinding at sf10 (25+ min over 200k vectors; every
+    other dedup query finishes in seconds). SemDeDup's design point is
+    a fixed CELL SIZE, not a fixed cell COUNT (the paper uses 50k
+    clusters for LAION-440M), so K now scales: K = max(8, n // 2500).
+    Per-vector comparison work is then constant (~2500 * d) and the
+    within-cell stage is LINEAR in the corpus; sf10 drops 25 min ->
+    ~8 s. Small-sf outputs are unchanged (n < 8 * 2500 keeps K = 8),
+    and the oracle computes the same K from the same scalar subquery.
+
+    Scale shape: centroids are collected once at plan build (bounded —
+    the IVF-centroid precedent; past broadcastable K the hierarchical
+    assignment swap is the documented production path) and a
+    mapInPandas argmax assigns cells with ZERO shuffle — the previous
+    crossJoin x groupBy formulation pushed an n x K intermediate
+    CARRYING THE EMBEDDING ARRAY through the shuffle. Cosines stay
+    bitwise cross-engine: floor(x*y*S) int sums, dot/(sqrt*sqrt), ties
+    to the lowest cid (numpy argmax first-max == the oracle window's
+    cos DESC, cid ASC). The assigned table persists DISK_ONLY because
+    it feeds two branches (pair kernel + yield report)."""
+    import numpy as np
+
+    from pyspark import StorageLevel
+
     from ..operators.similarity import (
-        _cosine_from_ints,
+        _fp_dots_f64,
         cosine_pairs_blocked_vectorized,
-        int_dot,
     )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = (
-        emb.where(F.col("vec_id") < _SEM_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-        .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
-    )
-    e = emb.withColumn("vn", int_dot(F.col("embedding"), F.col("embedding")))
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        _cosine_from_ints(
-            int_dot(F.col("embedding"), F.col("cv")), F.col("vn"), F.col("cn")
-        ).alias("cos"),
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        # embedding is constant within the group (one row per centroid)
-        F.first("embedding").alias("embedding"),
-        (
-            -F.max(
-                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc"))
-            ).getField("nc")
-        ).alias("cell"),
-    )
+    n = emb.count()
+    k_cells = max(_SEM_K, n // _SEM_CELL_ROWS)
+    crows = emb.where(F.col("vec_id") < k_cells).orderBy("vec_id").collect()
+    if not crows:
+        return spark.createDataFrame(
+            [], "cell int, n_total long, n_dropped long, n_kept long"
+        )
+    cids = np.array([r["vec_id"] for r in crows], dtype="int64")
+    C = np.stack([np.asarray(r["embedding"], dtype="float64") for r in crows])
+    cn = _fp_dots_f64(C, C)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            # float64 sums of floor() terms are exact under the
+            # d * SCALE * max|x|^2 < 2^53 envelope (_fp_dots_f64 doc;
+            # cosine_pairs_blocked_vectorized asserts it for this
+            # embedding family downstream of the same rows)
+            vn = _fp_dots_f64(V, V)
+            cells = np.empty(len(pdf), dtype="int32")
+            for lo in range(0, len(pdf), 1024):  # bound the B x K x d temp
+                hi = min(lo + 1024, len(pdf))
+                dots = _fp_dots_f64(V[lo:hi, None, :], C[None, :, :])
+                cos = dots / (np.sqrt(vn[lo:hi, None]) * np.sqrt(cn[None, :]))
+                cells[lo:hi] = cids[np.argmax(cos, axis=1)].astype("int32")
+            out = pdf.copy()
+            out["cell"] = cells
+            yield out
+
+    # spread: the driver's single-row-group parquet yields ~1 input
+    # split per 128k rows — without a re-split the argmax kernel runs
+    # on 2 tasks at sf10 (embedding vectors are ~256 B/row; 512 KB
+    # splits keep task count proportional to data)
+    from .common import spread
+
+    assigned = spread(emb, bytes_per_split=512 * 1024).mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell int"
+    ).persist(StorageLevel.DISK_ONLY)
     pairs = cosine_pairs_blocked_vectorized(
         assigned, block_col="cell", threshold=_SEM_TAU, id_col="vec_id"
     )
@@ -1104,7 +1142,7 @@ def dedup_semantic_cells(spark, sf_dir):
         .distinct()
         .withColumn("d", F.lit(1))
     )
-    marked = assigned.join(dropped, "vec_id", "left")
+    marked = assigned.select("vec_id", "cell").join(dropped, "vec_id", "left")
     return (
         marked.groupBy("cell")
         .agg(
@@ -1117,7 +1155,10 @@ def dedup_semantic_cells(spark, sf_dir):
 
 DEDUP_SEMANTIC_SQL = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_SEM_K}),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT GREATEST({_SEM_K}, COUNT(*) // {_SEM_CELL_ROWS}) FROM e)
+),
 vterm AS (
   SELECT e.vec_id, c.cid,
          CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.cv[u.i] AS DOUBLE) * {_S9}) AS BIGINT) AS dt,

@@ -23,6 +23,10 @@ SKIP_PREFIXES = (
     # declared-quadratic / exact-ANN ground truth (O(n^2 d) by contract)
     "knn_",
     "similarity_neardup_blocked",
+    # exact all-pairs WITHIN A GIVEN LABEL (10 fixed blocks in this
+    # corpus -> O(n^2/10) by contract; the learned-cell scale path is
+    # dedup_semantic_cells, whose K grows with the corpus)
+    "dedup_embedding_cosine",
     "similarity_adc_topk",  # exact twin; np/ivf paths benched separately
     "embedding_gram",
     "embedding_sim_calibration",
