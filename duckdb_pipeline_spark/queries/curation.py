@@ -1111,6 +1111,97 @@ FROM lab GROUP BY least(sa, sb), greatest(sa, sb)
 """
 
 
+# ------------------------------------------------------- source KL audit
+
+
+def corpus_source_kl(spark, sf_dir):
+    """Per-source token-distribution divergence vs the whole corpus:
+    KL(p_source || p_corpus) over unigram distributions, plus token /
+    type totals — the corpus-mixing diagnostic that flags a source
+    whose language is drifting from the blend (the complement of
+    `corpus_overlap_matrix`'s exact-content overlap: this measures
+    DISTRIBUTIONAL distance).
+
+    Scale shape: one (source, token) groupBy over the exploded corpus
+    (the only corpus-sized shuffle), persisted for its three consumers
+    (global vocab counts, per-source totals, term scoring); the term
+    join is vocab-sized on token (left to AQE); per-source totals are
+    a broadcast; the final fold is a |sources|-cardinality groupBy.
+    No driver state, no collect.
+
+    Cross-engine determinism: probabilities are IEEE divisions of
+    identical long-derived doubles (explicit double casts pin operand
+    kinds in both engines); the single transcendental (`ln`) result is
+    rounded to 6 decimals before the p-weighted fold (module-doc
+    convention), and the fold itself uses the decimal-exact idiom
+    (`dsum`) so association order cannot reorder ulps. Counts stay
+    long; products of counts are never formed (the p/q ratio divides
+    first), so there is no integer-overflow envelope."""
+    from pyspark import StorageLevel
+
+    from .common import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.DISK_ONLY)  # vocab-sized; 3 consumers
+    )
+    g = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    ns = st.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    tot = st.agg(F.sum("cnt").cast("double").alias("nn"))
+    p = F.col("cnt").cast("double") / F.col("n_tokens").cast("double")
+    q = F.col("gcnt").cast("double") / F.col("nn")
+    terms = (
+        st.join(g, "token")
+        .join(F.broadcast(ns.select("source", "n_tokens")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", (p * F.round(F.log(p / q), 6)).alias("c"))
+    )
+    kl = terms.groupBy("source").agg(
+        F.round(dsum("c"), 6).alias("kl_vs_corpus")
+    )
+    return ns.join(kl, "source").select(
+        "source", "n_tokens", "n_types", "kl_vs_corpus"
+    )
+
+
+SOURCE_KL_SQL = f"""
+WITH st AS (
+  SELECT source, token, count(*) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY source, token
+),
+g AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM st GROUP BY token),
+ns AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_types
+  FROM st GROUP BY source
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS nn FROM st),
+terms AS (
+  SELECT s.source,
+         (CAST(s.cnt AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))
+           * round(ln((CAST(s.cnt AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))
+                      / (CAST(g.gcnt AS DOUBLE) / t.nn)), 6) AS c
+  FROM st s
+  JOIN g USING (token)
+  JOIN ns n USING (source), tot t
+),
+kl AS (
+  SELECT source, round({DSUM('c')}, 6) AS kl_vs_corpus
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens, n_types, kl_vs_corpus
+FROM ns JOIN kl USING (source)
+"""
+
+
 QUERIES = {
     "split_leakage_audit": QuerySpec(
         split_leakage_audit,
@@ -1161,5 +1252,10 @@ QUERIES = {
         dsir_select_topk,
         DSIR_SELECT_SQL,
         "Gumbel-top-k importance resampling over the DSIR weights (deterministic seed)",
+    ),
+    "corpus_source_kl": QuerySpec(
+        corpus_source_kl,
+        SOURCE_KL_SQL,
+        "per-source unigram KL divergence vs the corpus blend (mixing drift audit)",
     ),
 }

@@ -260,6 +260,92 @@ FROM v1 GROUP BY c_mktsegment
 """
 
 
+def mv_incremental_maintain(spark, sf_dir):
+    """Incremental materialized-view maintenance from snapshot CDC:
+    the per-segment aggregate (row count, balance sum) of v1 is
+    advanced to v2 by APPLYING THE DELTA ONLY — retract the old row,
+    apply the new row, per CDC change — never recomputing the MV from
+    the new snapshot. The oracle is the FULL RECOMPUTE over v2, so any
+    error in the maintenance algebra (missed retraction, segment move,
+    empty-group cleanup) breaks the hash — the same
+    incremental-equals-recompute protocol as
+    `dedup_components_incremental`.
+
+    Scale shape: base is the v1 aggregate (in production the stored MV,
+    a group-cardinality relation — not a scan); deltas are one groupBy
+    over the CDC diff, bounded by CHURN rather than table size; the
+    merge is a full-outer join of two aggregate-sized relations on the
+    group key. This is the delta-maintenance identity (insert -> +new,
+    delete -> -old, update -> -old +new) that makes an MV affordable at
+    100 TB when churn << table size."""
+    from ..sinks import read_version, read_version_diff
+
+    root = _ensure_versioned_customers(spark, sf_dir)
+    base = (
+        read_version(spark, root, 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").alias("s"),
+        )
+        .select(F.col("c_mktsegment").alias("bseg"), "n", "s")
+    )
+    diff = read_version_diff(
+        spark, root, 1, 2, keys=["c_custkey"], keep_old=True
+    )
+    # one pass over the diff: each change row explodes into its apply
+    # (non-delete: +new) and retract (non-insert: -old) delta halves
+    apply_half = F.when(
+        F.col("_change") != "delete",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("bal_cents").alias("ds"),
+        ),
+    )
+    retract_half = F.when(
+        F.col("_change") != "insert",
+        F.struct(
+            F.col("_old_c_mktsegment").alias("seg"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("_old_bal_cents")).alias("ds"),
+        ),
+    )
+    deltas = (
+        diff.select(
+            F.explode(
+                F.filter(
+                    F.array(apply_half, retract_half), lambda x: x.isNotNull()
+                )
+            ).alias("d")
+        )
+        .groupBy(F.col("d.seg").alias("dseg"))
+        .agg(F.sum("d.dn").alias("dn"), F.sum("d.ds").alias("ds"))
+    )
+    return (
+        base.join(deltas, F.col("bseg").eqNullSafe(F.col("dseg")), "full_outer")
+        .select(
+            F.coalesce("bseg", "dseg").alias("c_mktsegment"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias(
+                "sum_bal_cents"
+            ),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+
+
+MV_INCREMENTAL_SQL = f"""
+WITH v1 AS ({_V1_SQL}),
+v2 AS ({_V2_SQL})
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM v2 GROUP BY c_mktsegment
+"""
+
+
 QUERIES.update(
     {
         "snapshot_cdc_diff": QuerySpec(
@@ -271,6 +357,11 @@ QUERIES.update(
             read_version_pinned,
             READ_VERSION_PINNED_SQL,
             "time-travel read at a pinned version after later commits",
+        ),
+        "mv_incremental_maintain": QuerySpec(
+            mv_incremental_maintain,
+            MV_INCREMENTAL_SQL,
+            "incremental MV maintenance from CDC deltas == full recompute over v2",
         ),
     }
 )

@@ -40,19 +40,11 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
 #   k1 = 1.2, b = 0.75, k1 + 1 = 2.2, 1 - b = 0.25
 
 
-def search_docs_bm25(spark, sf_dir):
-    """Okapi BM25 (k1=1.2, b=0.75) top-20 documents for a 3-term
-    disjunctive query.
-
-    Scale shape (the inverted-index probe, relationally): the token
-    explode is filtered to the query terms BEFORE any shuffle, so the
-    wide corpus never moves; document frequencies (<= |query| rows) and
-    the corpus stats row are broadcast; one groupBy per (doc, term)
-    carries tf, one per doc folds the score; TakeOrdered cuts to 20.
-    At 100 TB the corpus text is scanned twice, both passes map-side
-    and column-pruned: the term-filtered token pass (tf) and the
-    doc-length pass — dl itself (a doc_id:length pair) is persisted so
-    its two consumers (corpus stats, score join) don't rescan."""
+def _bm25_doc_scores(spark, sf_dir):
+    """Per-document BM25 scores for the 3-term disjunctive query —
+    the shared scoring core of `search_docs_bm25` (top-20 ranking) and
+    `search_hybrid_rrf` (lexical branch). Returns (doc_id, bm25)
+    unordered; callers rank/limit."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
     dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist(
@@ -82,16 +74,33 @@ def search_docs_bm25(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * ((F.col("tf") * F.lit(2.2)) / norm)).alias("s"))
     )
+    return scored.groupBy("doc_id").agg(F.round(dsum("s"), 4).alias("bm25"))
+
+
+def search_docs_bm25(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 documents for a 3-term
+    disjunctive query.
+
+    Scale shape (the inverted-index probe, relationally): the token
+    explode is filtered to the query terms BEFORE any shuffle, so the
+    wide corpus never moves; document frequencies (<= |query| rows) and
+    the corpus stats row are broadcast; one groupBy per (doc, term)
+    carries tf, one per doc folds the score; TakeOrdered cuts to 20.
+    At 100 TB the corpus text is scanned twice, both passes map-side
+    and column-pruned: the term-filtered token pass (tf) and the
+    doc-length pass — dl itself (a doc_id:length pair) is persisted so
+    its two consumers (corpus stats, score join) don't rescan."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(dsum("s"), 4).alias("bm25"))
+        _bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
 
 
-BM25_SQL = f"""
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# shared CTE chain for the BM25 doc-score table (bm = doc_id, bm25) —
+# reused verbatim by BM25_SQL and the hybrid-RRF oracle so the two
+# cannot drift apart.
+_BM25_CTES = f"""base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -112,9 +121,15 @@ scored AS (
   FROM tf t
   JOIN dfreq f USING (token)
   JOIN dl d USING (doc_id), stats s
-)
-SELECT doc_id, round({DSUM('s')}, 4) AS bm25
-FROM scored GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, round({DSUM('s')}, 4) AS bm25
+  FROM scored GROUP BY doc_id
+)"""
+
+BM25_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, bm25 FROM bm
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
@@ -326,6 +341,121 @@ GROUP BY p.q_id
 """
 
 
+_RRF_C = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+_RRF_N = 50  # per-branch candidate depth
+
+
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the lexical
+    BM25 ranking (`_bm25_doc_scores`, same 3-term disjunctive query as
+    `search_docs_bm25`) with an embedding-cosine ranking over the
+    shared doc/vec id space (query = vector 0) — the standard
+    production shape for "keyword + semantic" search. Each branch
+    contributes 1/(60 + rank) for its top-50 (docs missing from a
+    branch contribute 0 from it); output is the fused top-20 with both
+    branch ranks. Doc 0 (the query's own vector) is excluded from both
+    branches.
+
+    Scale shape: the lexical branch is the inverted-index probe of
+    `search_docs_bm25` (term-filtered before any shuffle; broadcast
+    df/stats); the vector branch is one vectorized Arrow scan against
+    the closure-captured query vector; each branch ends in a
+    TakeOrdered(50), so the rank windows and the fusion join touch
+    <= 100 rows total regardless of corpus size (the global-window
+    audit's bounded-spine class). Cross-engine determinism: branch
+    ranks order by (rounded/exact-integer score, id); 1/(rank + 60.0)
+    is one IEEE divide on identical operands and the fusion is one add
+    in a fixed order — bitwise-portable with no extra rounding."""
+    from ..operators.similarity import cosine_topk_vectorized
+
+    lex = (
+        _bm25_doc_scores(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_N)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    vec = cosine_topk_vectorized(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=_RRF_N
+    )
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.col(r).cast("double") + F.lit(60.0)), F.lit(0.0)
+    )
+    return (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib("lex_rank") + contrib("vec_rank")).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
+# integer-scaled cosine (exact long sums -> one double divide), same
+# construction as queries/similarity.py TOPK_SQL / operators SCALE
+_S = 1_000_000_000
+
+HYBRID_RRF_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id, bm25 FROM bm WHERE doc_id <> 0
+  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_N}
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vterms AS (
+  SELECT e.vec_id,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS et,
+         CAST(floor(CAST(q.qe[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS qt
+  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+),
+vsums AS (
+  SELECT vec_id, CAST(SUM(dt) AS BIGINT) AS dot_i, CAST(SUM(et) AS BIGINT) AS na_i,
+         CAST(SUM(qt) AS BIGINT) AS nq_i
+  FROM vterms GROUP BY vec_id
+),
+vcos AS (
+  SELECT vec_id,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nq_i AS DOUBLE))) AS cosine
+  FROM vsums WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT {_RRF_N}
+),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM vcos
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+       coalesce(1.0 / (CAST(l.lex_rank AS DOUBLE) + 60.0), 0.0)
+         + coalesce(1.0 / (CAST(v.vec_rank AS DOUBLE) + 60.0), 0.0) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "search_mrr_audit": QuerySpec(
         search_mrr_audit,
@@ -337,5 +467,10 @@ QUERIES = {
     ),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms, TFIDF_SQL, "top-3 tf-idf salient terms per document"
+    ),
+    "search_hybrid_rrf": QuerySpec(
+        search_hybrid_rrf,
+        HYBRID_RRF_SQL,
+        "hybrid keyword+vector retrieval fused by reciprocal rank (RRF, c=60)",
     ),
 }

@@ -469,7 +469,8 @@ def vacuum_versions(root: str, keep: int = 2) -> list[int]:
 
 
 def read_version_diff(
-    spark, root: str, v_old: int, v_new: int, keys: list[str]
+    spark, root: str, v_old: int, v_new: int, keys: list[str],
+    keep_old: bool = False,
 ) -> DataFrame:
     """CDC between two committed snapshots of a versioned table: one
     full outer join on the key columns classifies every row as
@@ -477,7 +478,11 @@ def read_version_diff(
     and the unchanged rows are dropped. This is the incremental-read
     primitive a downstream consumer uses instead of reprocessing the
     whole new snapshot. Returns the NEW-side row (OLD side for
-    deletes) plus a ``_change`` column.
+    deletes) plus a ``_change`` column. With ``keep_old=True`` the
+    OLD-side value columns ride along as ``_old_<col>`` (NULL for
+    inserts) — what a delta consumer needs to RETRACT the old row
+    (e.g. incremental aggregate maintenance: update = retract old +
+    apply new).
 
     Scale shape: one key-partitioned join of the two snapshots —
     the honest cost of snapshot CDC without a table format that
@@ -515,8 +520,13 @@ def read_version_diff(
         F.when(is_delete, F.col(f"_ov_{c}")).otherwise(F.col(c)).alias(c)
         for c in val_cols
     ]
+    out_old = (
+        [F.col(f"_ov_{c}").alias(f"_old_{c}") for c in val_cols]
+        if keep_old
+        else []
+    )
     return (
         j.withColumn("_change", change)
         .where(F.col("_change").isNotNull())
-        .select(*out_keys, *out_vals, "_change")
+        .select(*out_keys, *out_vals, *out_old, "_change")
     )

@@ -1,0 +1,204 @@
+"""Late round-10 additions: incremental MV maintenance from CDC,
+hybrid RRF retrieval, per-source KL drift audit. Cross-engine oracle
+parity is covered by the driver protocol (tests/oracle_check.py); these
+pin SEMANTIC invariants an oracle match alone wouldn't (maintenance
+algebra under randomized churn incl. group moves and emptied groups,
+rank-fusion dominance, KL axioms).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _agg(df):
+    return {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def _maintain(spark, root, keys=("id",)):
+    """The mv_incremental_maintain delta algebra, generically over a
+    (id, k, v) table — mirrors queries/pipeline.py so the randomized
+    churn test exercises the same retract-old/apply-new identity."""
+    from duckdb_pipeline_spark.sinks import read_version, read_version_diff
+
+    base = (
+        read_version(spark, root, 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(F.col("k").alias("bk"), "n", "s")
+    )
+    diff = read_version_diff(spark, root, 1, 2, keys=list(keys), keep_old=True)
+    apply_half = F.when(
+        F.col("_change") != "delete",
+        F.struct(
+            F.col("k").alias("g"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("v").cast("long").alias("ds"),
+        ),
+    )
+    retract_half = F.when(
+        F.col("_change") != "insert",
+        F.struct(
+            F.col("_old_k").alias("g"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("_old_v")).cast("long").alias("ds"),
+        ),
+    )
+    deltas = (
+        diff.select(
+            F.explode(
+                F.filter(F.array(apply_half, retract_half), lambda x: x.isNotNull())
+            ).alias("d")
+        )
+        .groupBy(F.col("d.g").alias("dk"))
+        .agg(F.sum("d.dn").alias("dn"), F.sum("d.ds").alias("ds"))
+    )
+    out = (
+        base.join(deltas, F.col("bk").eqNullSafe(F.col("dk")), "full_outer")
+        .select(
+            F.coalesce("bk", "dk").alias("k"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+
+
+def test_mv_maintenance_equals_recompute_under_random_churn(spark, tmp_path):
+    """Randomized v1 -> v2 churn (deletes, inserts, value updates, and
+    GROUP-MOVING key updates, including groups emptied entirely): the
+    incrementally maintained aggregate must equal the full recompute
+    over v2 — the delta identity insert=+new, delete=-old,
+    update=-old+new."""
+    from duckdb_pipeline_spark.sinks import write_version
+
+    rng = random.Random(7)
+    for trial in range(3):
+        root = str(tmp_path / f"vt{trial}")
+        groups = ["a", "b", "c", "d"]
+        v1_rows = [
+            (i, rng.choice(groups), rng.randint(-50, 50)) for i in range(60)
+        ]
+        # group "d" gets emptied: every d-row is deleted or moved
+        v2_rows = []
+        for (i, k, v) in v1_rows:
+            r = rng.random()
+            if k == "d" or r < 0.2:
+                if rng.random() < 0.5 and k != "d":
+                    v2_rows.append((i, k, v))  # unchanged
+                elif rng.random() < 0.5:
+                    continue  # delete
+                else:
+                    v2_rows.append((i, rng.choice("abc"), v))  # group move
+            elif r < 0.5:
+                v2_rows.append((i, k, rng.randint(-50, 50)))  # value update
+            else:
+                v2_rows.append((i, k, v))  # unchanged
+        v2_rows += [
+            (100 + j, rng.choice(groups), rng.randint(-50, 50))
+            for j in range(10)
+        ]
+        d1 = spark.createDataFrame(v1_rows, "id long, k string, v long")
+        d2 = spark.createDataFrame(v2_rows, "id long, k string, v long")
+        assert write_version(d1, root) == 1
+        assert write_version(d2, root) == 2
+        assert _maintain(spark, root) == _agg(d2)
+
+
+def test_read_version_diff_keep_old_columns(spark, tmp_path):
+    """keep_old=True rides the old-side values along as _old_<col>:
+    NULL for inserts, populated for updates and deletes."""
+    from duckdb_pipeline_spark.sinks import read_version_diff, write_version
+
+    root = str(tmp_path / "vt")
+    d1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    d2 = spark.createDataFrame([(1, 11), (3, 30)], "id int, v int")
+    write_version(d1, root)
+    write_version(d2, root)
+    rows = {
+        r["_change"]: r
+        for r in read_version_diff(
+            spark, root, 1, 2, keys=["id"], keep_old=True
+        ).collect()
+    }
+    assert rows["insert"]["_old_v"] is None and rows["insert"]["v"] == 30
+    assert rows["update"]["_old_v"] == 10 and rows["update"]["v"] == 11
+    assert rows["delete"]["_old_v"] == 20 and rows["delete"]["v"] == 20
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """A doc ranked by BOTH branches must outscore a doc holding the
+    same rank in only one branch, and the fused score must equal the
+    sum of its branch contributions."""
+    from duckdb_pipeline_spark.queries.retrieval import search_hybrid_rrf
+
+    out = search_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= 20
+    by_doc = {r["doc_id"]: r for r in out}
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (r["lex_rank"] + 60.0)
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (r["vec_rank"] + 60.0)
+        assert r["rrf"] == pytest.approx(expect, abs=0)
+        assert r["doc_id"] != 0  # the query doc is excluded
+    # fused ordering is by rrf desc with doc_id tiebreak
+    scores = [(r["rrf"], -r["doc_id"]) for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # if any doc appears in both branches, it beats a single-branch doc
+    # whose best rank is no better
+    both = [r for r in out if r["lex_rank"] and r["vec_rank"]]
+    single = [r for r in out if (r["lex_rank"] is None) ^ (r["vec_rank"] is None)]
+    for b in both:
+        for s in single:
+            s_rank = s["lex_rank"] or s["vec_rank"]
+            if s_rank >= min(b["lex_rank"], b["vec_rank"]):
+                assert b["rrf"] > s["rrf"]
+    assert by_doc  # sanity: non-empty fusion
+
+
+def test_source_kl_axioms(spark):
+    """KL(p_s || corpus) is ~non-negative (exact up to the 6-dp term
+    rounding) and zero when every source IS the corpus distribution."""
+    from duckdb_pipeline_spark.queries.curation import corpus_source_kl
+
+    rows = corpus_source_kl(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    for r in rows:
+        # term-level 6-dp rounding can push an exact-0 KL epsilon-negative
+        assert r["kl_vs_corpus"] >= -1e-3
+        assert r["n_tokens"] >= r["n_types"] > 0
+
+    # planted: two sources with IDENTICAL token distributions -> KL 0
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["x y z", "x y", "x y z", "x y"],
+                "lang": ["en"] * 4,
+                "source": ["s0", "s0", "s1", "s1"],
+                "n_chars": [5, 3, 5, 3],
+            }
+        )
+    )
+    docs.createOrReplaceTempView("_kl_docs")
+    import duckdb_pipeline_spark.queries.curation as cur
+
+    orig_load = cur.load
+    try:
+        cur.load = lambda spark_, sf_, name: spark_.table("_kl_docs")
+        out = {r["source"]: r["kl_vs_corpus"] for r in
+               cur.corpus_source_kl(spark, "ignored").collect()}
+    finally:
+        cur.load = orig_load
+    assert out == {"s0": 0.0, "s1": 0.0}
