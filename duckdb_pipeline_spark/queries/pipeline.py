@@ -346,6 +346,93 @@ FROM v2 GROUP BY c_mktsegment
 """
 
 
+def snapshot_drift_report(spark, sf_dir):
+    """Snapshot-over-snapshot drift report: profile the SAME exact
+    statistics (row count, segment cardinality, balance sum/min/max,
+    negative-balance count) over two committed versions of the
+    versioned customer table and flag metrics that moved more than 5%
+    — the ops gate a pipeline runs after every snapshot commit to
+    catch a bad upstream batch BEFORE it serves (the between-versions
+    complement of `quality_expectations_gate`'s single-table checks).
+
+    Scale shape: two aggregate-only scans (one per snapshot dir,
+    manifest-resolved — never full history), each folding to ONE row
+    map-side; the unpivot+join runs on 6-row relations. All metrics
+    are exact integers, and the 5% flag is exact integer arithmetic
+    (|v2-v1|*100 > 5*|v1| — no float division), so the report is
+    bitwise-stable at any scale."""
+    from ..sinks import read_version
+
+    root = _ensure_versioned_customers(spark, sf_dir)
+
+    _METRICS = (
+        "n_rows", "n_segments", "sum_bal_cents",
+        "min_bal_cents", "max_bal_cents", "n_negative",
+    )
+
+    def prof(df, out):
+        one = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+            F.min("bal_cents").alias("min_bal_cents"),
+            F.max("bal_cents").alias("max_bal_cents"),
+            F.sum(
+                F.when(F.col("bal_cents") < 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_negative"),
+        )
+        pairs = ", ".join(f"'{m}', cast({m} as bigint)" for m in _METRICS)
+        return one.selectExpr(
+            f"stack({len(_METRICS)}, {pairs}) AS (metric, {out})"
+        )
+
+    p1 = prof(read_version(spark, root, 1), "v1")
+    p2 = prof(read_version(spark, root, 2), "v2")
+    return p1.join(p2, "metric").select(
+        "metric",
+        "v1",
+        "v2",
+        (F.col("v2") - F.col("v1")).alias("delta"),
+        (
+            F.abs(F.col("v2") - F.col("v1")) * F.lit(100)
+            > F.abs(F.col("v1")) * F.lit(5)
+        ).alias("drift_gt_5pct"),
+    )
+
+
+_DRIFT_PROF_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+         CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+         CAST(MIN(bal_cents) AS BIGINT) AS min_bal_cents,
+         CAST(MAX(bal_cents) AS BIGINT) AS max_bal_cents,
+         CAST(SUM(CASE WHEN bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+  FROM {src}
+"""
+
+_DRIFT_UNPIVOT_SQL = """
+  SELECT u.metric, u.{out}
+  FROM {prof},
+  LATERAL (VALUES
+    ('n_rows', n_rows), ('n_segments', n_segments),
+    ('sum_bal_cents', sum_bal_cents), ('min_bal_cents', min_bal_cents),
+    ('max_bal_cents', max_bal_cents), ('n_negative', n_negative)
+  ) AS u(metric, {out})
+"""
+
+SNAPSHOT_DRIFT_SQL = f"""
+WITH v1 AS ({_V1_SQL}),
+v2 AS ({_V2_SQL}),
+prof1 AS ({_DRIFT_PROF_SQL.format(src='v1')}),
+prof2 AS ({_DRIFT_PROF_SQL.format(src='v2')}),
+u1 AS ({_DRIFT_UNPIVOT_SQL.format(prof='prof1', out='v1')}),
+u2 AS ({_DRIFT_UNPIVOT_SQL.format(prof='prof2', out='v2')})
+SELECT u1.metric, u1.v1, u2.v2, u2.v2 - u1.v1 AS delta,
+       abs(u2.v2 - u1.v1) * 100 > abs(u1.v1) * 5 AS drift_gt_5pct
+FROM u1 JOIN u2 USING (metric)
+"""
+
+
 QUERIES.update(
     {
         "snapshot_cdc_diff": QuerySpec(
@@ -362,6 +449,11 @@ QUERIES.update(
             mv_incremental_maintain,
             MV_INCREMENTAL_SQL,
             "incremental MV maintenance from CDC deltas == full recompute over v2",
+        ),
+        "snapshot_drift_report": QuerySpec(
+            snapshot_drift_report,
+            SNAPSHOT_DRIFT_SQL,
+            "exact-stat drift report between two snapshot versions (5% gate)",
         ),
     }
 )

@@ -27,6 +27,7 @@ from .jobs import (
     stream_stream_interval_join,
     tumbling_counts,
     write_parquet_stream,
+    neardup_gate_stream,
     write_stream_upsert,
 )
 
@@ -43,4 +44,5 @@ __all__ = [
     "run_available_now",
     "write_parquet_stream",
     "write_stream_upsert",
+    "neardup_gate_stream",
 ]

@@ -320,6 +320,66 @@ def write_parquet_stream(
     return writer.start()
 
 
+def neardup_gate_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Streaming near-dup ADMISSION GATE: every micro-batch of incoming
+    documents is probed against the persisted MinHash band index
+    (``operators.dedup.minhash_band_index_probe`` — the probe scan is
+    partition-pruned to the batch's own (band, bucket) cells, so an
+    hourly trickle never rescans the corpus index) and each doc lands
+    in the gate table with its verdict: ``kept`` (no signature
+    collision) or flagged with the colliding indexed doc and its
+    existing duplicate-cluster label. This is the online form of
+    `queries/dedup.dedup_incremental_probe` — the shape a 100 TB
+    ingest front-door runs continuously.
+
+    Exactly-once EFFECT: each batch overwrites its own
+    ``batch=<epoch_id>`` subdirectory, so a replayed micro-batch
+    (checkpoint recovery) rewrites identical content instead of
+    double-appending — the same replay-idempotence contract as
+    ``write_stream_upsert``. Ambiguous multi-collision probes resolve
+    deterministically (min (dup_of, component) per doc)."""
+    import os as _os
+
+    from ..operators.dedup import minhash_band_index_probe
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        hits = minhash_band_index_probe(sp, index_path, batch_df)
+        best = hits.groupBy("doc_id").agg(
+            F.min(F.struct("dup_of", "component")).alias("h")
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("h").isNull().alias("kept"),
+                F.col("h.dup_of").alias("dup_of"),
+                F.col("h.component").alias("component"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            _os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(gate)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_upsert(
     stream: DataFrame,
     path: str,

@@ -340,3 +340,66 @@ def test_stateful_scd2_closed_intervals_equal_batch(spark, sf_dir, tmp_path):
     g = sorted(key(r) for r in got.collect())
     b = sorted(key(r) for r in want.collect())
     assert g == b and len(g) > 0
+
+
+def test_neardup_gate_stream_matches_batch_probe(spark, sf_dir, tmp_path):
+    """Streaming admission gate: drain a landing dir of incoming docs
+    (fresh docs + exact re-uploads of already-indexed docs under new
+    ids) through neardup_gate_stream against the persisted band index.
+    Every re-upload must be flagged (kept=False) with a resolved
+    dup_of/component; the full verdict set must equal the batch probe's
+    answer; and a full replay from a fresh checkpoint must rewrite the
+    gate table to identical content (per-batch overwrite idempotence)."""
+    from duckdb_pipeline_spark.operators.dedup import minhash_band_index_probe
+    from duckdb_pipeline_spark.queries.dedup import ID_SHIFT, _ensure_band_index
+    from duckdb_pipeline_spark.streaming import neardup_gate_stream
+
+    idx = _ensure_band_index(spark, sf_dir)  # indexes doc_id % 4 != 0
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = docs.where(F.col("doc_id") % 4 == 0)
+    # re-uploads of docs that are CERTAIN to be indexed (%4 == 1)
+    reup = docs.where(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(reup)
+    landing = str(tmp_path / "doc_landing")
+    batch.repartition(2).write.mode("overwrite").parquet(landing)
+    out = str(tmp_path / "gate")
+
+    def drain(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+            .parquet(landing)
+        )
+        q = neardup_gate_stream(
+            stream, idx, out, str(tmp_path / ckpt), available_now=True
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    got = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert set(rows) == {r.doc_id for r in batch.select("doc_id").collect()}
+    # batch-probe parity on the flagged set
+    flagged = {
+        r.doc_id
+        for r in minhash_band_index_probe(spark, idx, batch)
+        .select("doc_id").distinct().collect()
+    }
+    assert {d for d, r in rows.items() if not r.kept} == flagged
+    # every exact re-upload is caught and resolves to a cluster
+    for r in rows.values():
+        if r.doc_id >= ID_SHIFT:
+            assert not r.kept and r.dup_of is not None
+            assert r.component is not None
+        if r.kept:
+            assert r.dup_of is None
+
+    verdict1 = {(r.doc_id, r.kept, r.dup_of, r.component) for r in rows.values()}
+    drain("ck2")  # full replay, fresh checkpoint, same out dir
+    verdict2 = {
+        (r.doc_id, r.kept, r.dup_of, r.component)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert verdict2 == verdict1
