@@ -610,6 +610,99 @@ JOIN deg dw ON dw.a = n.w
 """
 
 
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised LABEL PROPAGATION over the near-dup pair graph:
+    a small trusted-seed set (doc_id % 7 == 0, label = doc_id % 3 —
+    stand-in for curated quality ratings) propagates to unlabeled
+    neighbors for R=2 synchronous rounds by MAJORITY VOTE of labeled
+    neighbors, ties broken toward the smaller label; seeds are frozen
+    (clamped), and a node keeps the round it was first labeled in —
+    the standard way a curation pipeline extends sparse human labels
+    across a duplicate/similarity graph. Distinct from the
+    components/min-label family: the vote aggregates COUNTS per
+    (node, label), not a global min.
+
+    Scale shape: R bounded rounds, each one edge-sized join of the
+    symmetric edge list against the current frontier, one
+    (node, label) groupBy, and one struct-max argmax — all on the
+    DERIVED pair graph (bounded by banding), never the corpus. The
+    argmax is exact integer (majority count, then min label), so the
+    fixed point is engine-independent."""
+    pairs = (
+        minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct()
+    cur = nodes.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("label"),
+        F.lit(0).cast("long").alias("labeled_round"),
+    )
+    for r in (1, 2):
+        cur = cur.persist()
+        votes = (
+            edges.join(
+                cur.select(F.col("doc_id").alias("b"), "label"), "b"
+            )
+            .select(F.col("a").alias("doc_id"), "label")
+            .join(cur.select("doc_id"), "doc_id", "left_anti")
+            .groupBy("doc_id", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        new = votes.groupBy("doc_id").agg(
+            F.max(
+                F.struct(
+                    F.col("n"), (-F.col("label")).alias("neg"), F.col("label")
+                )
+            ).alias("m")
+        ).select(
+            "doc_id",
+            F.col("m.label").alias("label"),
+            F.lit(r).cast("long").alias("labeled_round"),
+        )
+        cur = cur.unionByName(new)
+    return cur
+
+
+_LP_ROUND_SQL = """
+v{r} AS (
+  SELECT e.a AS doc_id, l.label, count(*) AS n
+  FROM edges e JOIN l{p} l ON l.doc_id = e.b
+  WHERE e.a NOT IN (SELECT doc_id FROM l{p})
+  GROUP BY e.a, l.label
+),
+n{r} AS (
+  SELECT doc_id, label, CAST({r} AS BIGINT) AS labeled_round
+  FROM (
+    SELECT doc_id, label,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+),
+l{r} AS (SELECT * FROM l{p} UNION ALL SELECT * FROM n{r})
+"""
+
+LABEL_PROPAGATION_SQL = f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL}) z),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+l0 AS (
+  SELECT doc_id, doc_id % 3 AS label, CAST(0 AS BIGINT) AS labeled_round
+  FROM nodes WHERE doc_id % 7 = 0
+),
+{_LP_ROUND_SQL.format(r=1, p=0).strip()},
+{_LP_ROUND_SQL.format(r=2, p=1).strip()}
+SELECT doc_id, label, labeled_round FROM l2
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Decontamination check: n-gram CONTAINMENT of held-out docs in
     training docs — containment(A in B) = |A∩B| / |A|, the asymmetric
@@ -1659,6 +1752,11 @@ QUERIES = {
         graph_link_prediction,
         LINK_PREDICTION_SQL,
         "common-neighbor Jaccard link prediction over the near-dup graph (LSH-miss patching)",
+    ),
+    "graph_label_propagation": QuerySpec(
+        graph_label_propagation,
+        LABEL_PROPAGATION_SQL,
+        "2-round majority-vote label propagation from frozen seeds over the near-dup graph",
     ),
     "dedup_components_incremental": QuerySpec(
         dedup_components_incremental,

@@ -202,3 +202,34 @@ def test_source_kl_axioms(spark):
     finally:
         cur.load = orig_load
     assert out == {"s0": 0.0, "s1": 0.0}
+
+
+def test_label_propagation_semantics(spark, monkeypatch):
+    """Planted graph: identical texts form LSH cliques. Seeds (id%7==0,
+    label id%3) stay clamped; an unlabeled node adjacent to two seeds
+    with different labels takes the tie toward the SMALLER label;
+    neighbors of a single seed adopt its label in round 1; nodes not in
+    the pair graph are absent."""
+    import duckdb_pipeline_spark.queries.dedup as dd
+
+    rows = [
+        (0, "a b c d e f g h"),    # seed, label 0   (clique A)
+        (35, "a b c d e f g h"),   # seed, label 2   (clique A)
+        (2, "a b c d e f g h"),    # unlabeled       (clique A)
+        (7, "p q r s t u v w"),    # seed, label 1   (clique B)
+        (9, "p q r s t u v w"),    # unlabeled       (clique B)
+        (11, "z1 z2 z3 z4 z5 z6"), # isolated: no twin, not in graph
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dd, "_dup_corpus", lambda s, d: docs)
+    got = {
+        r["doc_id"]: (r["label"], r["labeled_round"])
+        for r in dd.graph_label_propagation(spark, "ignored").collect()
+    }
+    assert got == {
+        0: (0, 0),
+        35: (2, 0),   # clamped despite label-0 neighbors
+        7: (1, 0),
+        2: (0, 1),    # tie between labels {0, 2} -> min label 0
+        9: (1, 1),
+    }
