@@ -750,8 +750,15 @@ def prefix_filter_jaccard_join(
 
     t_num, t_den = threshold_num, threshold_den
     sh = word_shingles(docs, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # every relation below (shingles, per-doc sizes, vocab df) is
+    # CORPUS-derived: none is broadcastable at scale, but the static
+    # planner's post-aggregation size estimates are optimistic enough
+    # that it tried to broadcast ALL of them — at sf10 the full shingle
+    # table became a BroadcastHashJoin build side and the query died
+    # with "Not enough memory to build and broadcast" (found by the
+    # sweep). Pin every such join to sort-merge with merge hints.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")).hint("merge")
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).hint("merge")
     ranked = (
         sh.join(df_tbl, "shingle")
         .join(sizes, id_col)
@@ -783,8 +790,8 @@ def prefix_filter_jaccard_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle").hint("merge")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle").hint("merge")
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
@@ -794,8 +801,8 @@ def prefix_filter_jaccard_join(
     za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        inter.join(za.hint("merge"), "doc_a")
+        .join(zb.hint("merge"), "doc_b")
         .where(
             t_den * F.col("ni") >= t_num * (F.col("na") + F.col("nb") - F.col("ni"))
         )

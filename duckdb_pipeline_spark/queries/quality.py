@@ -62,11 +62,29 @@ def text_unigram_xent(spark, sf_dir):
     q = vocab.crossJoin(F.broadcast(tot)).select(
         "token", F.round(F.log(F.col("cnt") / F.col("t")), 6).alias("lp")
     )
+    # dsum_fp, not dsum (the dsir_importance precedent, same shape):
+    # lp = round(x, 6) satisfies the fast path's precondition exactly
+    # and tf * lp scales lp's exact scale-9 integer by an exact long
+    # (|tf * lp| <= ~2e5 << the 4e6 envelope), so the long fixed-point
+    # sum is bitwise-equal to the decimal-idiom oracle while staying on
+    # Spark's long-backed aggregation path — the decimal accumulator
+    # was the dominant cost of the 100M-row scoring fold at sf10
+    # (41.1 s -> see BASELINE round-10 late rows)
+    from .common import dsum_fp
+
+    # SHUFFLE_HASH on the vocab side: the static planner's estimate for
+    # the persisted tf relation was small enough that it BROADCAST the
+    # 16M-row tf table as the build side (BuildLeft, found by the sf10
+    # plan audit — the same OOM class as the jaccard-prefix sweep
+    # failure). The hint pins build = q; a forced broadcast of q would
+    # be faster on THIS corpus (3.1k tokens) but the vocab of a web
+    # corpus is unbounded (urls/hashes), so the scale-safe shuffled
+    # hash join is the declared shape.
     agg = (
-        tf.join(q, "token")
+        tf.join(q.hint("shuffle_hash"), "token")
         .groupBy("doc_id")
         .agg(
-            dsum(F.col("tf") * F.col("lp")).alias("s"),
+            dsum_fp(F.col("tf") * F.col("lp")).alias("s"),
             F.sum("tf").alias("n"),
         )
     )

@@ -233,3 +233,61 @@ def test_label_propagation_semantics(spark, monkeypatch):
         2: (0, 1),    # tie between labels {0, 2} -> min label 0
         9: (1, 1),
     }
+
+
+def test_component_label_cache_stamp(spark, tmp_path):
+    """_ensure_component_labels is a once-per-corpus-version build: a
+    second call with an unchanged source is a cache hit (no rewrite);
+    regenerating the source parquet (new size/mtime) invalidates the
+    stamp and rebuilds the labels."""
+    import os
+
+    import duckdb_pipeline_spark.queries.dedup as dd
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+
+    def land(rows):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") AS t(doc_id, text)) TO '"
+            + os.path.join(sfd, "documents.parquet")
+            + "' (FORMAT PARQUET)"
+        )
+
+    land([(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")])
+    p1 = dd._ensure_component_labels(spark, sfd)
+    sig1 = {
+        f: os.stat(os.path.join(p1, f)).st_mtime_ns
+        for f in os.listdir(p1)
+        if f.endswith(".parquet")
+    }
+    assert dd._ensure_component_labels(spark, sfd) == p1
+    sig2 = {
+        f: os.stat(os.path.join(p1, f)).st_mtime_ns
+        for f in os.listdir(p1)
+        if f.endswith(".parquet")
+    }
+    assert sig2 == sig1  # cache hit: nothing rewritten
+    labels1 = {
+        (r.doc_id, r.component) for r in spark.read.parquet(p1).collect()
+    }
+    assert labels1 == {(1, 1), (2, 1)}  # 3 has no twin; 1-2 one component
+
+    land([(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d e"), (44, "q r s t u")])
+    # the rebuild must not reuse the FIRST corpus's cached bands: the
+    # builder persists a plan that Spark's CacheManager matches by
+    # logical plan (same path), so a same-session source rewrite needs
+    # the cache dropped (the driver regenerates sources across
+    # sessions, where no cache survives)
+    spark.catalog.clearCache()
+    p2 = dd._ensure_component_labels(spark, sfd)
+    assert p2 == p1
+    labels2 = {
+        (r.doc_id, r.component) for r in spark.read.parquet(p2).collect()
+    }
+    assert labels2 == {(1, 1), (2, 1), (3, 1)}  # rebuilt from new source
