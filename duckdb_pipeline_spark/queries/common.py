@@ -127,6 +127,31 @@ def davg_fp(col: str | Column) -> Column:
     return dsum_fp(col) / F.count(F.lit(1))
 
 
+def dsum_fp2(col: str | Column) -> Column:
+    """``dsum`` for a SOURCE column with <= 2 decimal digits
+    (quantities): ONE long accumulator at scale 2 instead of dsum_fp's
+    three scale-9 limbs. floor(x*100 + 0.5) recovers the exact scale-2
+    unscaled value (same no-half-way argument as dsum_fp; |x| <= ~4e13
+    for the double product to stay within 0.5 of the integer); a
+    single bigint SUM is exact to the long range; the final S/100
+    renders through the same floor+fraction decomposition as
+    dec2double, so both engines see identical IEEE operands:
+    i = floor(S/100) via pmod (floor semantics for negative totals),
+    (S - r)/100.0 is an exact integer-valued double while |S| < 2^53
+    (per-group |sum| <= ~9e13 units — astronomically above any real
+    group), and r/100.0 is the correctly-rounded double of the exact
+    fraction, same as the decimal fraction cast. Bitwise-equal to
+    ``dsum``/the decimal-idiom oracle on that domain. Measured: q18's
+    15M-group quantity fold 6.03 -> 2.65 s at sf10 (the 3-limb
+    machinery was 2.4x the whole aggregation; bare count floor
+    2.49 s)."""
+    u = F.floor(_c(col) * F.lit(100) + F.lit(0.5)).cast("long")
+    s = F.sum(u)
+    r = F.pmod(s, F.lit(100))
+    i = ((s - r) / F.lit(100.0)).cast("long")
+    return i.cast("double") + r.cast("double") / F.lit(100.0)
+
+
 # Measured and rejected (round 7): a dsum_fp_over(col, window) variant
 # — the 3-limb idiom over a running window frame, bitwise-equal to the
 # decimal running sum. A/B at sf0.1 on window_running_total: 0.45 s vs

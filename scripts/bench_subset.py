@@ -49,11 +49,18 @@ def main() -> None:
     )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    dfs = {n: qs[n](spark, sf_dir) for n in names}
 
     def srun(n: str) -> float:
+        # REBUILD the DataFrame every pass (the caveat this script's
+        # header always carried, violated by its own original srun):
+        # reusing one DF across passes while clearCache() drops its
+        # persists leaves InMemoryRelation nodes in the plan that
+        # recompute per CONSUMER without re-caching — measured 4.7x
+        # overstatement on tfidf_top_terms at sf10 (45.4 s stale-DF vs
+        # 9.7 s rebuilt).
+        df = qs[n](spark, sf_dir)
         t0 = time.time()
-        dfs[n].write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         spark.catalog.clearCache()
         return dt

@@ -39,3 +39,31 @@ def test_dsum_fp_matches_exact_integer_reference(spark):
     }
     for g, vals in groups.items():
         assert got[g] == _reference(vals), (g, got[g], _reference(vals))
+
+
+def test_dsum_fp2_matches_dsum_on_scale2_domain(spark):
+    """dsum_fp2 (single-limb scale-2 fold for quantity-like columns)
+    must be bitwise-equal to the decimal idiom (dsum) on its domain:
+    <= 2 decimal digits, negatives and sign-cancelling groups
+    included."""
+    import random
+
+    from duckdb_pipeline_spark.queries.common import dsum, dsum_fp2
+
+    rng = random.Random(11)
+    groups = {
+        "neg": [-1.25, -0.01, -99999.99],
+        "cancel": [50.0, -50.0, 0.25, -0.25, 123.45, -123.45],
+        "rand": [round(rng.uniform(-1e5, 1e5), 2) for _ in range(500)],
+        "tiny": [0.01, 0.02, 0.03],
+        "whole": [float(rng.randint(1, 50)) for _ in range(200)],
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = (
+        df.groupBy("g")
+        .agg(dsum_fp2("x").alias("fp2"), dsum("x").alias("dec"))
+        .collect()
+    )
+    for r in out:
+        assert r.fp2 == r.dec, (r.g, r.fp2, r.dec)  # bitwise
