@@ -456,6 +456,187 @@ LIMIT 20
 """
 
 
+_MMR_N = 20   # candidate depth
+_MMR_K = 5    # diversified selection size
+# lambda weights as SQL-parseable decimal strings so both engines bind
+# the exact same doubles (the BM25 k1/b precedent): 0.7 / 0.3
+
+
+def search_mmr_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select K=5 of the exact-cosine top-20
+    candidates for query vector 0, each step maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the
+    standard RAG/retrieval diversification step that stops five
+    near-duplicate passages from filling the context window. Output:
+    (rank, vec_id, rel, mmr) for the selected five.
+
+    Scale shape: ONE corpus pass (the vectorized cosine scan) cuts to
+    20 candidates; everything after — the 20x20 pairwise-similarity
+    cross, the K greedy rounds (anti-join + max-sim aggregate + argmax
+    each) — runs on candidate-bounded relations (<=400 rows), so the
+    greedy loop's sequential nature costs K tiny jobs, not K corpus
+    scans. Determinism: relevances and pairwise sims are the exact
+    integer-scaled cosine (long sums, one double divide), the MMR
+    combination is two IEEE products and a subtract on identical
+    operands with literal 0.7/0.3 weights, and every argmax breaks
+    ties by vec_id."""
+    from ..operators.similarity import SCALE, cosine_topk_vectorized
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = (
+        cosine_topk_vectorized(emb, query_id=0, k=_MMR_N)
+        .withColumnRenamed("cosine", "rel")
+        .persist()
+    )
+    ce = cand.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    S = F.lit(SCALE)
+
+    def dot_i(ea, eb):
+        return F.aggregate(
+            F.zip_with(
+                ea,
+                eb,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * S
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    a = ce.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = ce.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    norms = ce.select(
+        F.col("vec_id").alias("nid"),
+        dot_i(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    sims = (
+        a.crossJoin(b)  # candidate-bounded: N^2 = 400 rows
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", dot_i(F.col("ea"), F.col("eb")).alias("dt"))
+        .join(norms.select(F.col("nid").alias("vec_a"), F.col("nn").alias("na")), "vec_a")
+        .join(norms.select(F.col("nid").alias("vec_b"), F.col("nn").alias("nb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.col("dt").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel",
+            (F.lit(0.7) * F.col("rel")).alias("mmr"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        chosen = sel.select("vec_id")
+        ms = (
+            sims.join(chosen.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+            .join(chosen.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_anti")
+            .groupBy("vec_a")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cand.join(ms, cand.vec_id == ms.vec_a)
+            .select(
+                F.lit(r).cast("long").alias("rank"),
+                "vec_id",
+                "rel",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel
+
+
+def _mmr_sql() -> str:
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        p = r - 1
+        rounds.append(f"""
+ms{r} AS (
+  SELECT s.vec_a, max(s.sim) AS maxsim
+  FROM sims s
+  JOIN sel{p} t ON s.vec_b = t.vec_id
+  WHERE s.vec_a NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY s.vec_a
+),
+p{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rank, c.vec_id, c.rel,
+         0.7 * c.rel - 0.3 * m.maxsim AS mmr
+  FROM cand c JOIN ms{r} m ON c.vec_id = m.vec_a
+  ORDER BY mmr DESC, c.vec_id
+  LIMIT 1
+),
+sel{r} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM p{r})""")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qterms AS (
+  SELECT e.vec_id,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS dt,
+         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS et,
+         CAST(floor(CAST(q.qe[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS qt
+  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+),
+qsums AS (
+  SELECT vec_id, CAST(SUM(dt) AS BIGINT) AS dot_i, CAST(SUM(et) AS BIGINT) AS na_i,
+         CAST(SUM(qt) AS BIGINT) AS nq_i
+  FROM qterms GROUP BY vec_id
+),
+cand AS (
+  SELECT vec_id,
+         CAST(dot_i AS DOUBLE) / (sqrt(CAST(na_i AS DOUBLE)) * sqrt(CAST(nq_i AS DOUBLE))) AS rel
+  FROM qsums WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_N}
+),
+ce AS (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+pterms AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(floor(CAST(a.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE) * {_S}) AS BIGINT) AS dt
+  FROM ce a, ce b, UNNEST(range(1, len(a.embedding) + 1)) AS u(i)
+  WHERE a.vec_id <> b.vec_id
+),
+pnorm AS (
+  SELECT vec_id AS nid, CAST(SUM(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[u.i] AS DOUBLE) * {_S}) AS BIGINT)) AS BIGINT) AS nn
+  FROM ce, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  GROUP BY vec_id
+),
+sims AS (
+  SELECT p.vec_a, p.vec_b,
+         CAST(SUM(p.dt) AS DOUBLE) / (sqrt(CAST(xa.nn AS DOUBLE)) * sqrt(CAST(xb.nn AS DOUBLE))) AS sim
+  FROM pterms p
+  JOIN pnorm xa ON xa.nid = p.vec_a
+  JOIN pnorm xb ON xb.nid = p.vec_b
+  GROUP BY p.vec_a, p.vec_b, xa.nn, xb.nn
+),
+sel1 AS (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, 0.7 * rel AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),{",".join(rounds)}
+SELECT rank, vec_id, rel, mmr FROM sel{_MMR_K}
+"""
+
+
+MMR_TOPK_SQL = _mmr_sql()
+
+
 QUERIES = {
     "search_mrr_audit": QuerySpec(
         search_mrr_audit,
@@ -472,5 +653,10 @@ QUERIES = {
         search_hybrid_rrf,
         HYBRID_RRF_SQL,
         "hybrid keyword+vector retrieval fused by reciprocal rank (RRF, c=60)",
+    ),
+    "search_mmr_topk": QuerySpec(
+        search_mmr_topk,
+        MMR_TOPK_SQL,
+        "MMR-diversified top-5 of the exact-cosine top-20 (greedy, lambda=0.7)",
     ),
 }

@@ -291,3 +291,56 @@ def test_component_label_cache_stamp(spark, tmp_path):
         (r.doc_id, r.component) for r in spark.read.parquet(p2).collect()
     }
     assert labels2 == {(1, 1), (2, 1), (3, 1)}  # rebuilt from new source
+
+
+def test_mmr_diversifies_planted_near_duplicates(spark, monkeypatch):
+    """Planted embeddings: the two most-relevant candidates are
+    near-identical to each other; plain top-k would return both
+    adjacent, MMR must push the redundant twin DOWN and promote the
+    diverse third vector to rank 2. Also: rank 1 is the relevance
+    argmax and every mmr equals 0.7*rel - 0.3*maxsim."""
+    import duckdb_pipeline_spark.queries.retrieval as rt
+    from duckdb_pipeline_spark.queries import common as cm
+
+    # query vec 0 = e1; vecs 1,2 ~ e1 (near-dup pair, most relevant);
+    # vec 3 = diverse mix; vecs 4.. = orthogonal-ish filler
+    dim = 8
+
+    def v(*pairs):
+        x = [0.0] * dim
+        for i, val in pairs:
+            x[i] = val
+        return x
+
+    # constructed margins (verified numerically): rel1=.990, rel2=.955,
+    # rel3=.900; twin sim(1,2)=.987 -> mmr2=.3725; diverse (opposite
+    # side of the query) sim(1,3)=.830 -> mmr3=.3812 > mmr2
+    rows = [
+        (0, v((0, 1.0)), 0),
+        (1, v((0, 0.99), (1, 0.1411)), 0),        # rel .990
+        (2, v((0, 0.9553), (1, 0.2956)), 0),      # rel .955, twin of 1
+        (3, v((0, 0.9), (1, -0.4359)), 1),        # rel .900, diverse
+        (4, v((0, 0.5), (3, 0.86)), 1),
+        (5, v((0, 0.4), (4, 0.9)), 2),
+        (6, v((0, 0.3), (5, 0.95)), 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    orig = cm.load
+    try:
+        cm.load = lambda s, d, n: emb
+        rt.load = lambda s, d, n: emb
+        out = sorted(
+            rt.search_mmr_topk(spark, "ignored").collect(),
+            key=lambda r: r["rank"],
+        )
+    finally:
+        cm.load = orig
+        rt.load = orig
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["vec_id"] == 1          # relevance argmax
+    assert out[1]["vec_id"] == 3          # diverse vec beats the twin
+    assert out[0]["mmr"] == 0.7 * out[0]["rel"]
+    ids = [r["vec_id"] for r in out]
+    assert 2 in ids  # the twin still eventually enters (only 6 cands)
