@@ -106,7 +106,7 @@ PRIORITY: tuple[str, ...] = (
     # events_markov_transitions_bucketed, knn_join_topk_ivf_mp,
     # knn_recall_multiprobe_audit, search_hybrid_rrf,
     # mv_incremental_maintain, corpus_source_kl, snapshot_drift_report,
-    # graph_label_propagation, search_mmr_topk;
+    # graph_label_propagation, search_mmr_topk, corpus_budget_select;
     # (b) every query whose plan CHANGED in round 10 (all locally
     # oracle-green at sf0.001+sf0.01 post-change) — q5_regional_revenue
     # (spine rewrite), stats_chi2_independence (window marginals +
