@@ -533,18 +533,22 @@ def search_mmr_topk(spark, sf_dir):
         )
         .persist()
     )
-    sel = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("rank"),
-            "vec_id",
-            "rel",
-            (F.lit(0.7) * F.col("rel")).alias("mmr"),
-        )
-    )
+    # greedy rounds materialize the selection driver-side each step
+    # (the k-means/BPE bounded-collect trainer pattern: <= K rows per
+    # round). Without it the sel lineage re-references cand+sims per
+    # round and the plan TEXT grows ~4^K — fine at K=5, pathological at
+    # K=20; the collect flattens lineage to one shallow plan per round.
+    _SEL_SCHEMA = "rank long, vec_id long, rel double, mmr double"
+    sel_rows = [
+        (1, r["vec_id"], r["rel"], 0.7 * r["rel"])
+        for r in cand.orderBy(F.desc("rel"), "vec_id").limit(1).collect()
+    ]
     for r in range(2, _MMR_K + 1):
-        chosen = sel.select("vec_id")
+        if not sel_rows:
+            break
+        chosen = spark.createDataFrame(
+            [(x[1],) for x in sel_rows], "vec_id long"
+        )
         ms = (
             sims.join(chosen.withColumnRenamed("vec_id", "vec_b"), "vec_b")
             .join(chosen.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_anti")
@@ -554,16 +558,18 @@ def search_mmr_topk(spark, sf_dir):
         pick = (
             cand.join(ms, cand.vec_id == ms.vec_a)
             .select(
-                F.lit(r).cast("long").alias("rank"),
                 "vec_id",
                 "rel",
                 (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")).alias("mmr"),
             )
             .orderBy(F.desc("mmr"), "vec_id")
             .limit(1)
+            .collect()
         )
-        sel = sel.unionByName(pick)
-    return sel
+        if not pick:
+            break
+        sel_rows.append((r, pick[0]["vec_id"], pick[0]["rel"], pick[0]["mmr"]))
+    return spark.createDataFrame(sel_rows, _SEL_SCHEMA)
 
 
 def _mmr_sql() -> str:
