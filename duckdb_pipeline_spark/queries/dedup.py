@@ -463,15 +463,21 @@ def graph_pagerank(spark, sf_dir):
     tiny-broadcast at this scale, shuffled at corpus scale) + one
     groupBy -- the standard distributed PageRank shape with a fixed
     round budget."""
+    from pyspark import StorageLevel
+
     from .common import dsum
 
+    # edges feeds ONE join per iteration and deg two consumers; without
+    # the persists the whole minhash pipeline re-executes per plan
+    # reference (Spark does not CSE across branches) — the sf10 sweep
+    # measured 43.1 s, dominated by repeated signature passes
     pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ).distinct().persist(StorageLevel.DISK_ONLY)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = deg.select("src", F.lit(1.0).alias("r"))
     for _ in range(3):
         contrib = (
