@@ -31,95 +31,91 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 10 window (VERDICT r9 #1: drain the verification debt).
-    # Composition = EXACTLY the 43 declared queries that have never had a
-    # driver correctness row (everything added after the r9 window froze,
-    # set computed by aggregating CORRECTNESS_r01-r09 against collect_all())
-    # + the 7 r1/r2-stale stragglers = 50, the driver cap observed in all
-    # nine prior rounds. Queries NEW in round 10 (snapshot CDC, time-travel
-    # read, clustered-ANN recall, ...) are deliberately frozen OUT of this
-    # window (VERDICT r9 #1) and lead the round-11 rotation below.
+    # ---- round 11 window (VERDICT r10 #1: drain the r10 verification
+    # debt and close the staleness ledger). Composition = EXACTLY the 13
+    # queries added in round 10 that have never had a driver row + the 15
+    # r4-stale rows + 22 of the 25 r5-stale rows = 50, the driver cap
+    # observed in all ten prior rounds. Sets recomputed this round by
+    # aggregating CORRECTNESS_r01-r10 against collect_all(); they match
+    # the verdict's own recount. Round-11 newcomers (stream_neardup_gate,
+    # vacuum_audit, ...) are frozen OUT per the standing policy and lead
+    # the round-12 rotation below.
     #
-    # (a) the 43 never-driver-checked queries, grouped by family:
-    # kNN join family
-    "knn_join_topk",
-    "knn_label_purity",
-    "knn_graph_components",
-    "knn_join_topk_ivf",
-    "knn_recall_ivf_audit",
-    "knn_incremental_probe",
-    # PQ / IVF-PQ stack
-    "pq_train_codebooks",
-    "similarity_pq_adc_topk",
-    "similarity_ivf_pq_topk",
-    "similarity_ivf_pq_topk_indexed",
-    "similarity_pq_recall_audit",
-    "kmeans_seed_farthest",
-    "embedding_sim_calibration",
-    # statistics / analytics batch
-    "stats_regression_by_group",
-    "stats_welch_ttest",
-    "stats_chi2_independence",
-    "quality_auc_audit",
-    "quality_ks_test",
-    "profile_table_summary",
-    "profile_key_skew",
-    "quality_expectations_gate",
-    "market_basket_lift",
-    "layout_pruning_audit",
-    # multimodal codecs (GIF/JPEG/FLAC/mixed/video/phash/resize)
-    "multimodal_gif_features",
-    "multimodal_jpeg_features",
-    "multimodal_flac_features",
-    "multimodal_mixed_features",
-    "multimodal_video_framesample",
-    "multimodal_phash_neardup",
-    "multimodal_resize_audit",
-    # dedup / graph / curation / quality late-r9 additions
-    "dedup_components_incremental",
-    "graph_link_prediction",
-    "dedup_jaccard_prefix",
-    "corpus_shard_shuffle",
-    "split_leakage_audit",
-    "quality_dup_calibration",
-    "quality_logreg_train",
-    "quality_zipf_audit",
-    "quality_perplexity_buckets",
-    "search_mrr_audit",
-    "events_markov_transitions",
-    "timeseries_cusum_drift",
-    "scalar_bitwise_funcs",
+    # (a) the 13 never-driver-checked round-10 queries:
+    # versioned tables / CDC / MV
+    "snapshot_cdc_diff",
+    "read_version_pinned",
+    "mv_incremental_maintain",
+    "snapshot_drift_report",
+    # ANN operating knobs + multiprobe kNN
+    "ann_recall_clustered",
+    "knn_join_topk_ivf_mp",
+    "knn_recall_multiprobe_audit",
+    # retrieval / curation round-10 additions
+    "search_hybrid_rrf",
+    "search_mmr_topk",
+    "corpus_source_kl",
+    "corpus_budget_select",
+    # graph / events
+    "graph_label_propagation",
+    "events_markov_transitions_bucketed",
     #
-    # (b) the 7 r1/r2-stale stragglers (r1-green, code-unchanged, locally
-    # re-verified at sf0.01 this round) — closes the staleness ledger:
-    # after this window every declared query has a driver row >= r4.
-    "agg_listagg_sorted",
-    "agg_salted_hot_keys",
-    "join_null_safe",
-    "sample_hash_deterministic",
-    "topk_orders_global",
-    "window_lag_delta",
-    "window_moving_avg",
-    # ---- round-11 window candidates (lead the next rotation):
-    # (a) every query NEW in round 10 — snapshot_cdc_diff,
-    # read_version_pinned, ann_recall_clustered,
-    # events_markov_transitions_bucketed, knn_join_topk_ivf_mp,
-    # knn_recall_multiprobe_audit, search_hybrid_rrf,
-    # mv_incremental_maintain, corpus_source_kl, snapshot_drift_report,
-    # graph_label_propagation, search_mmr_topk, corpus_budget_select;
-    # (b) every query whose plan CHANGED in round 10 (all locally
-    # oracle-green at sf0.001+sf0.01 post-change) — q5_regional_revenue
-    # (spine rewrite), stats_chi2_independence (window marginals +
-    # epoch-hour; IN this round's window, so r10-checked),
-    # quality_expectations_gate (bitmap-word fold; also in-window),
-    # quality_zipf_audit (explode+WHERE tokenizer, TakeOrdered),
-    # events_markov_transitions (markov_from refactor, same plan),
-    # timeseries_cusum_drift + layout_pruning_audit (envelope guards;
-    # cusum in-window);
-    # (c) retention_cohorts_bucketed (r8-green, yielded its slot twice).
-    # rotated out round 10 (driver-green r9, unchanged): the full r9
-    # window (dedup_containment .. unpivot_part_measures); rotation
-    # history for earlier cohorts is in git.
+    # (b) the 15 r4-stale rows (latest driver row = r4):
+    "window_moving_7d",
+    "sample_stratified",
+    "scalar_map_funcs",
+    "q8_market_share",
+    "q13_order_counts",
+    "scalar_pandas_udf",
+    "agg_pandas_udaf",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q20_potential_promotion",
+    "agg_corr_exact",
+    "timeseries_ewma",
+    "timeseries_resample_ohlc",
+    "text_fingerprint",
+    "stream_sliding_2h_1h",
+    #
+    # (c) 22 of the 25 r5-stale rows. Includes every r5-stale query whose
+    # plan changes THIS round (dedup_components auto-fallback,
+    # text_repetition_stats shared token-fold) so the new plans get a
+    # driver row immediately. Excluded (stay r5-stale into round 12,
+    # lowest-risk picks: unchanged-since-r1 simple projections/windows):
+    # pipeline_clean_events, pipeline_hourly_type_counts,
+    # sample_topk_per_group.
+    "dedup_exact",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_neardup_blocked",
+    "similarity_topk_lsh",
+    "embedding_quantize_int8",
+    "sketch_approx_ndv",
+    "text_scrub_pii",
+    "text_chunk_windows",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_repetition_stats",
+    "multimodal_binary_meta",
+    "corpus_shard_manifest",
+    "seq_pack_offsets",
+    "stream_tumbling_hourly",
+    "stream_session_30m",
+    "stream_interval_join",
+    # ---- round-12 window candidates (lead the next rotation):
+    # (a) every query NEW in round 11 (frozen out of this window);
+    # (b) every query whose plan CHANGED in round 11 but sat outside
+    # this window (q5_regional_revenue / q3_top_orders if the bucketed
+    # serving lands, search_hybrid_rrf fuse is IN-window,
+    # quality_expectations_gate orphan fold — r10-green, re-check);
+    # (c) the 3 r5-stale holdovers above + the 11 r6-stale rows.
+    # Rotated out round 11 (driver-green r10, unchanged): the full r10
+    # window (knn_join_topk .. window_moving_avg); earlier rotation
+    # history is in git.
 )
 
 
