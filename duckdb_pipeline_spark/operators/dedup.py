@@ -822,6 +822,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    on_budget: str = "star",
 ) -> DataFrame:
     """Cluster near-dup PAIRS into duplicate GROUPS: connected
     components over the pair graph, component id = min member id (the
@@ -836,11 +837,17 @@ def connected_components(
     component diameter; near-dup clusters are tiny cliques-of-cliques
     (diameter 2-4), so this beats the O(log n) star-contraction
     alternative (Kiveris et al., "Connected Components in MapReduce")
-    in practice — star-contraction is the upgrade path if components
-    with large diameters ever appear. `localCheckpoint` truncates the
-    growing lineage each round (the standard iterative-DataFrame
-    hazard); the driver-side loop is bounded and each round is one
-    distributed action."""
+    in practice. If the budget trips anyway (a component's diameter
+    exceeds max_iter — chains of incrementally-edited boilerplate do
+    this at corpus scale), `on_budget="star"` (default) falls back to
+    `connected_components_star`, whose O(log^2 n) round budget is
+    diameter-independent and whose labeling is identical — so the
+    operator never errors at scale and callers need not know the
+    escape hatch. `on_budget="raise"` keeps the old fail-fast guard
+    for callers that want to detect pathological graphs.
+    `localCheckpoint` truncates the growing lineage each round (the
+    standard iterative-DataFrame hazard); the driver-side loop is
+    bounded and each round is one distributed action."""
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -880,6 +887,14 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        if on_budget == "star":
+            # Diameter > max_iter: restart with star contraction, whose
+            # round budget is diameter-independent. Restarting (rather
+            # than resuming from the partial labels) keeps the fallback
+            # a pure function of `pairs`; the propagation rounds already
+            # spent are edge-sized work, negligible next to the LSH that
+            # produced the pairs.
+            return connected_components_star(pairs, src=src, dst=dst)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): a component's diameter "

@@ -279,8 +279,11 @@ def dedup_components(spark, sf_dir):
     the verified MinHash-LSH pair graph; component id = min member id
     (the canonical keeper), plus the group size. The step a real dedup
     pipeline runs after LSH — keep one doc per component. Iterative
-    min-label propagation (rounds = component diameter); the DuckDB
-    oracle computes the same fixpoint with a recursive CTE."""
+    min-label propagation (rounds = component diameter); if a
+    pathological high-diameter component trips the round budget, the
+    operator auto-falls-back to star contraction (identical labeling,
+    diameter-independent budget), so this query never errors at scale.
+    The DuckDB oracle computes the same fixpoint with a recursive CTE."""
     pairs = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir))
     cc = connected_components(pairs)
     sizes = cc.groupBy("component").agg(

@@ -459,11 +459,17 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(1, 7)], ["doc_a", "doc_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, on_budget="raise")
     # and the same data converges with enough rounds
     got = {r.doc_id: r.component
            for r in connected_components(pairs, max_iter=10).collect()}
     assert set(got.values()) == {1}
+    # default on_budget="star": the same starved budget auto-falls-back
+    # to star contraction and returns the identical labeling instead of
+    # raising — a declared query never errors at scale.
+    fb = {r.doc_id: r.component
+          for r in connected_components(pairs, max_iter=2).collect()}
+    assert fb == got
 
 
 def test_vectorized_topk_absent_query_id_returns_empty(spark, sf_dir):
@@ -534,7 +540,11 @@ def test_components_star_handles_long_path(spark):
     assert {r.component for r in got} == {0}
     assert len(got) == 61
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=10)
+        connected_components(edges, max_iter=10, on_budget="raise")
+    # default: propagation's tripped budget falls back to star and
+    # labels the whole path correctly.
+    fb = connected_components(edges, max_iter=10).collect()
+    assert {r.component for r in fb} == {0} and len(fb) == 61
 
 
 def test_pagerank_partition_invariant(spark, sf_dir):
