@@ -320,6 +320,31 @@ def write_parquet_stream(
     return writer.start()
 
 
+def neardup_gate_verdicts(batch_df: DataFrame, hits: DataFrame) -> DataFrame:
+    """Verdict projection of the near-dup admission gate, shared by the
+    live stream (`neardup_gate_stream`'s foreachBatch body) and its
+    declared batch twin (`queries/streaming_like.stream_neardup_gate`)
+    so the oracle-checked twin IS the code the stream runs: every doc
+    in the batch gets ``kept`` (no band-signature collision against the
+    persisted index) or its resolved duplicate — ambiguous
+    multi-collision probes resolve deterministically to the min
+    (dup_of, component) pair. One edge-sized groupBy + one left join;
+    never corpus-sized."""
+    best = hits.groupBy("doc_id").agg(
+        F.min(F.struct("dup_of", "component")).alias("h")
+    )
+    return (
+        batch_df.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("h").isNull().alias("kept"),
+            F.col("h.dup_of").alias("dup_of"),
+            F.col("h.component").alias("component"),
+        )
+    )
+
+
 def neardup_gate_stream(
     stream_docs: DataFrame,
     index_path: str,
@@ -343,7 +368,19 @@ def neardup_gate_stream(
     (checkpoint recovery) rewrites identical content instead of
     double-appending — the same replay-idempotence contract as
     ``write_stream_upsert``. Ambiguous multi-collision probes resolve
-    deterministically (min (dup_of, component) per doc)."""
+    deterministically (min (dup_of, component) per doc, via
+    `neardup_gate_verdicts` — the same projection the declared batch
+    twin runs).
+
+    LIFECYCLE CONTRACT: ``out_path`` belongs to ONE stream lifecycle
+    (one checkpoint). Replay idempotence holds because a recovered
+    epoch N rewrites ``batch=N`` with identical content; but a NEW
+    lifecycle (fresh checkpoint) that happens to produce fewer
+    micro-batches against the same out_path — landing files compacted,
+    different maxFilesPerTrigger — would leave the old run's higher
+    ``batch=N`` subdirectories in place and corrupt reads of the gate
+    table. Start each new lifecycle against a fresh (or emptied)
+    out_path, exactly as you would a fresh checkpoint dir."""
     import os as _os
 
     from ..operators.dedup import minhash_band_index_probe
@@ -353,19 +390,7 @@ def neardup_gate_stream(
             return
         sp = batch_df.sparkSession
         hits = minhash_band_index_probe(sp, index_path, batch_df)
-        best = hits.groupBy("doc_id").agg(
-            F.min(F.struct("dup_of", "component")).alias("h")
-        )
-        verdicts = (
-            batch_df.select("doc_id")
-            .join(best, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("h").isNull().alias("kept"),
-                F.col("h.dup_of").alias("dup_of"),
-                F.col("h.component").alias("component"),
-            )
-        )
+        verdicts = neardup_gate_verdicts(batch_df, hits)
         verdicts.write.mode("overwrite").parquet(
             _os.path.join(out_path, f"batch={batch_id}")
         )
