@@ -107,11 +107,13 @@ HEADLINE = [
 # the headline representative of what the engine is actually for —
 # tokenizer application, importance sampling, retrieval (BM25 + MRR),
 # compressed-index ANN serving, sequence packing, SCD2 as-of, kNN
-# join, statistics, perplexity tiers. Accounting: the official
-# `value`/`ratio_vs_duckdb_same_session` stay computed over the FROZEN
-# r9 41-query basis (comparable to BENCH_r09 with zero swaps); the
-# expanded 51-query totals print as `v2_basis_*`. Next round the v2
-# basis becomes the official number with this round as its anchor.
+# join, statistics, perplexity tiers. Accounting: round 10 printed
+# both bases (old 1.581 / v2 1.467 — BENCH_r10); round 11 PROMOTES the
+# v2 51-query basis to the official `value`/
+# `ratio_vs_duckdb_same_session` (VERDICT r10 #7), anchored on r10's
+# v2 print. The old 41-query basis carries one more round as
+# `r9_basis_*` for continuity; `r5_basis_*` stays as the long-run
+# comparable.
 V2_ADDITIONS = [
     "bpe_apply_tokenize",
     "dsir_importance",
@@ -342,19 +344,20 @@ def main() -> None:
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
     timings, duck, dropped = bench_both(sf_dir, cpus, skip_duck)
     v2set = set(V2_ADDITIONS)
-    # official gate numbers: the FROZEN r9 41-query basis (identical
-    # composition to BENCH_r09 — zero swaps), comparable round-over-round
-    total = round(sum(v for k, v in timings.items() if k not in v2set), 3)
-    duck_total = (
+    # official gate numbers (round 11+): the v2 51-query basis —
+    # everything in HEADLINE (anchor: BENCH_r10's v2_basis_ratio 1.467)
+    total = round(sum(timings.values()), 3)
+    duck_total = round(sum(duck.values()), 3) if duck else None
+    ratio = round(total / duck_total, 3) if duck_total else None
+    # the retired r9 41-query basis, carried one round for continuity
+    # (identical composition to BENCH_r09/r10's official number)
+    r9_total = round(sum(v for k, v in timings.items() if k not in v2set), 3)
+    r9_duck = (
         round(sum(v for k, v in duck.items() if k not in v2set), 3)
         if duck
         else None
     )
-    ratio = round(total / duck_total, 3) if duck_total else None
-    # v2 basis: old 41 + the ten LLM-pipeline-tier additions
-    v2_total = round(sum(timings.values()), 3)
-    v2_duck = round(sum(duck.values()), 3) if duck else None
-    v2_ratio = round(v2_total / v2_duck, 3) if v2_duck else None
+    r9_ratio = round(r9_total / r9_duck, 3) if r9_duck else None
     base_total = round(
         sum(
             v
@@ -389,9 +392,10 @@ def main() -> None:
         "duckdb_value": duck_total,
         "duckdb_queries": duck,
         "ratio_vs_duckdb_same_session": ratio,
-        "v2_basis_value": v2_total,
-        "v2_basis_duckdb_value": v2_duck,
-        "v2_basis_ratio": v2_ratio,
+        "basis": "v2 (51-query, official since r11; anchor BENCH_r10 v2 1.467)",
+        "r9_basis_value": r9_total,
+        "r9_basis_duckdb_value": r9_duck,
+        "r9_basis_ratio": r9_ratio,
         "r5_basis_value": base_total,
         "r5_basis_duckdb_value": base_duck,
         "r5_basis_ratio": base_ratio,
@@ -419,9 +423,9 @@ def main() -> None:
                 "sf": sf,
                 "duckdb_value": duck_total,
                 "ratio_vs_duckdb_same_session": ratio,
-                "v2_basis_value": v2_total,
-                "v2_basis_duckdb_value": v2_duck,
-                "v2_basis_ratio": v2_ratio,
+                "r9_basis_value": r9_total,
+                "r9_basis_duckdb_value": r9_duck,
+                "r9_basis_ratio": r9_ratio,
                 "r5_basis_value": base_total,
                 "r5_basis_duckdb_value": base_duck,
                 "r5_basis_ratio": base_ratio,
