@@ -363,6 +363,16 @@ def _ensure_component_labels(spark, sf_dir: str) -> str:
                 return path
     except (OSError, ValueError):
         pass
+    # Stamp miss = the source parquet changed (or first build). Within
+    # one Spark session, CacheManager matches persisted band/shingle
+    # plans by LOGICAL PLAN — same path, so a same-session source
+    # rewrite would silently rebuild from the OLD corpus's cached
+    # bands. Drop session caches before rebuilding so the builder is
+    # self-contained (ADVICE r10; previously only the test worked
+    # around this). Misses are once-per-corpus-version, so the global
+    # clear costs re-derivation other queries would pay anyway after a
+    # corpus change.
+    spark.catalog.clearCache()
     old_docs = _dup_corpus(spark, sf_dir).where(
         F.pmod(F.col("doc_id"), F.lit(10)) != 0
     )
@@ -1035,6 +1045,10 @@ def _ensure_band_index(spark, sf_dir: str) -> str:
                 return path
     except (OSError, ValueError):
         pass
+    # stamp miss: see _ensure_component_labels — drop session caches so
+    # the rebuild cannot reuse CacheManager-matched plans derived from
+    # the OLD content of the same source path
+    spark.catalog.clearCache()
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     minhash_band_index_write(docs.where(F.col("doc_id") % 4 != 0), path)
     with open(marker, "w") as fh:

@@ -7,7 +7,11 @@ post-persist/post-join size estimates are garbage. This is the exact
 failure class the sf10 sweep surfaced twice in round 10:
 `dedup_jaccard_prefix` died building a broadcast of the full shingle
 table, and `text_unigram_xent` silently broadcast its 16M-row tf
-relation (41 s -> 10 s once pinned). Plans only — nothing executes.
+relation (41 s -> 10 s once pinned). Near-plan-only: SKIP_PREFIXES
+excludes the queries that execute real work during DataFrame
+CONSTRUCTION (quadratic kernels, iterative trainer collects, greedy
+selection loops, persisted-state builders), so what remains runs at
+most bounded plan-build actions (stamp checks, tiny .first() probes).
 
 A broadcast whose subtree aggregates first (vocab tables, stats rows,
 group-cardinality relations) is fine and not flagged. Declared
@@ -39,8 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _BOUNDED_SCANS = ("region", "nation", "supplier")
 
 # same exclusions as sweep_sf10_spark.py, for the same reason — these
-# queries EXECUTE (quadratic kernels, iterative trainer collects)
-# during DataFrame CONSTRUCTION, so "plan-only" doesn't hold for them;
+# queries EXECUTE (quadratic kernels, iterative trainer collects,
+# greedy selection rounds, cold persisted-state builds) during
+# DataFrame CONSTRUCTION, so "plan-only" doesn't hold for them;
 # their broadcasts are centroids/codebooks/blocks, reviewed by hand
 SKIP_PREFIXES = (
     "knn_",
@@ -55,6 +60,18 @@ SKIP_PREFIXES = (
     "kmeans_",
     "quality_logreg_train",
     "graph_pagerank",
+    # round-11 (ADVICE r10): these also execute at construction —
+    # search_mmr_topk runs its full greedy collect loop,
+    # search_hybrid_rrf fetches the query row (.first()), and the
+    # _ensure_*-backed incremental queries build persisted state
+    # (component labels, versioned table) on a cold cache
+    "search_mmr_topk",
+    "search_hybrid_rrf",
+    "dedup_components_incremental",
+    "mv_incremental_maintain",
+    "snapshot_drift_report",
+    "snapshot_cdc_diff",
+    "read_version_pinned",
 )
 
 

@@ -133,13 +133,13 @@ def test_read_version_diff_keep_old_columns(spark, tmp_path):
     assert rows["delete"]["_old_v"] == 20 and rows["delete"]["v"] == 20
 
 
-def test_hybrid_rrf_fusion_semantics(spark):
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
     """A doc ranked by BOTH branches must outscore a doc holding the
     same rank in only one branch, and the fused score must equal the
     sum of its branch contributions."""
     from duckdb_pipeline_spark.queries.retrieval import search_hybrid_rrf
 
-    out = search_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    out = search_hybrid_rrf(spark, sf_dir).collect()
     assert 0 < len(out) <= 20
     by_doc = {r["doc_id"]: r for r in out}
     for r in out:
@@ -165,12 +165,12 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert by_doc  # sanity: non-empty fusion
 
 
-def test_source_kl_axioms(spark):
+def test_source_kl_axioms(spark, sf_dir):
     """KL(p_s || corpus) is ~non-negative (exact up to the 6-dp term
     rounding) and zero when every source IS the corpus distribution."""
     from duckdb_pipeline_spark.queries.curation import corpus_source_kl
 
-    rows = corpus_source_kl(spark, "/root/testdata/sf0.001").collect()
+    rows = corpus_source_kl(spark, sf_dir).collect()
     assert len(rows) > 1
     for r in rows:
         # term-level 6-dp rounding can push an exact-0 KL epsilon-negative
@@ -281,10 +281,8 @@ def test_component_label_cache_stamp(spark, tmp_path):
     land([(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d e"), (44, "q r s t u")])
     # the rebuild must not reuse the FIRST corpus's cached bands: the
     # builder persists a plan that Spark's CacheManager matches by
-    # logical plan (same path), so a same-session source rewrite needs
-    # the cache dropped (the driver regenerates sources across
-    # sessions, where no cache survives)
-    spark.catalog.clearCache()
+    # logical plan (same path). The builder itself clears session
+    # caches on a stamp miss (ADVICE r10) — no caller workaround here.
     p2 = dd._ensure_component_labels(spark, sfd)
     assert p2 == p1
     labels2 = {
