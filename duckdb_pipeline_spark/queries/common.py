@@ -406,3 +406,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     cache[key] = df
     return df
+
+
+def invalidate_source(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Make a SAME-SESSION rewrite of ``{sf_dir}/{name}.parquet``
+    visible to subsequent plans: drop the memoized `load` relation
+    (its analyzed plan pins the OLD file listing and schema), refresh
+    Spark's file-status/FileIndex cache for the path, and clear
+    CacheManager entries (persisted plans match by logical plan — same
+    path — and would silently serve the old content; ADVICE r10). The
+    `_ensure_*` builders call this on a stamp miss so a corpus-version
+    change rebuilds from what is actually on disk. Across sessions none
+    of these caches survive and this is a no-op."""
+    cache = getattr(spark, "_dps_load_cache", None)
+    if cache is not None:
+        cache.pop((sf_dir, name), None)
+    try:
+        spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
+    except Exception:
+        pass  # path may not have been read yet this session
+    spark.catalog.clearCache()

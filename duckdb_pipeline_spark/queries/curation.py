@@ -1226,19 +1226,22 @@ def corpus_budget_select(spark, sf_dir):
     (shiftright-by-2 == // 4); quality ordering uses the 6dp-rounded
     ratio of exact longs with doc_id ties, so selection is
     engine-independent."""
-    docs = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
     from pyspark import StorageLevel
 
-    # tf two-phase instead of groupBy + countDistinct: the Expand the
-    # distinct-agg plans moves 2x the token rows through the shuffle
-    # (A/B at sf10: 8.16 vs 6.27 s for this stage alone)
+    from .tokcache import doc_tf
+
+    # tf comes from the shared materialized (doc, token, tf) projection
+    # (queries/tokcache.py, VERDICT r10 #4 — this query previously paid
+    # its own corpus explode + (doc, token) shuffle, the measured 6.3 s
+    # floor at sf10); the per-doc fold below is Exchange-free off the
+    # doc_id bucket spec. The two-phase tf shape (not countDistinct)
+    # stays: the Expand a distinct-agg plans moves 2x the token rows
+    # (A/B at sf10: 8.16 vs 6.27 s when this stage was inline).
     tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        doc_tf(spark, sf_dir)
         .where(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),

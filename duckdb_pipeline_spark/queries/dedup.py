@@ -365,14 +365,17 @@ def _ensure_component_labels(spark, sf_dir: str) -> str:
         pass
     # Stamp miss = the source parquet changed (or first build). Within
     # one Spark session, CacheManager matches persisted band/shingle
-    # plans by LOGICAL PLAN — same path, so a same-session source
-    # rewrite would silently rebuild from the OLD corpus's cached
-    # bands. Drop session caches before rebuilding so the builder is
+    # plans by LOGICAL PLAN — same path — and the memoized `load`
+    # relation pins the OLD file listing; a same-session source rewrite
+    # would silently rebuild from the old corpus. Invalidate everything
+    # derived from the path before rebuilding so the builder is
     # self-contained (ADVICE r10; previously only the test worked
     # around this). Misses are once-per-corpus-version, so the global
     # clear costs re-derivation other queries would pay anyway after a
     # corpus change.
-    spark.catalog.clearCache()
+    from .common import invalidate_source
+
+    invalidate_source(spark, sf_dir, "documents")
     old_docs = _dup_corpus(spark, sf_dir).where(
         F.pmod(F.col("doc_id"), F.lit(10)) != 0
     )
@@ -1045,10 +1048,11 @@ def _ensure_band_index(spark, sf_dir: str) -> str:
                 return path
     except (OSError, ValueError):
         pass
-    # stamp miss: see _ensure_component_labels — drop session caches so
-    # the rebuild cannot reuse CacheManager-matched plans derived from
-    # the OLD content of the same source path
-    spark.catalog.clearCache()
+    # stamp miss: see _ensure_component_labels — invalidate every
+    # session cache derived from the source path before rebuilding
+    from .common import invalidate_source
+
+    invalidate_source(spark, sf_dir, "documents")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     minhash_band_index_write(docs.where(F.col("doc_id") % 4 != 0), path)
     with open(marker, "w") as fh:

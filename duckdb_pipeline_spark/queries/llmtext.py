@@ -679,57 +679,54 @@ def text_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: per-document top-token
     fraction, top-bigram fraction, and duplicate-bigram fraction (the
     share of all bigrams that occur more than once), plus the keep
-    decision at the published-style thresholds. Bigrams are built by
-    exploding an index sequence and probing the token array with
-    element_at — whole-stage-codegen expressions, no interpreted HOF
-    lambdas and no per-doc window shuffle; the two groupBys key on
-    (doc_id, gram) then doc_id, so the pair space is per-document and
-    the plan is two ordinary hash aggregations at any corpus size."""
+    decision at the published-style thresholds. The unigram branch
+    reads the SHARED materialized (doc, token, tf) projection
+    (queries/tokcache.py, VERDICT r10 #4): sum(tf) IS size(split(..))
+    because the cache keeps empty tokens, and the per-doc rollup is
+    Exchange-free off the doc_id bucket spec. Bigrams are the one
+    remaining corpus pass, built by exploding an index sequence and
+    probing the token array with element_at — whole-stage-codegen
+    expressions, no interpreted HOF lambdas and no per-doc window
+    shuffle; halving the previous fused unigram+bigram explode's
+    2N-row (doc, gram) shuffle. The uni⋈bg join is INNER on doc_id,
+    matching the oracle (a 1-token doc has no bigram row on either
+    side)."""
+    from .tokcache import doc_tf
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
-    ).withColumn("n_tokens", F.size("t"))
-    # single pass: each position emits its unigram AND (tagged) its
-    # bigram, so one explode + one (doc, tag, gram) count + one per-doc
-    # rollup replaces two aggregation trees joined on doc_id (one
-    # shuffle and one join fewer; same grouping keys at any scale)
-    grams = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.explode(F.expr("sequence(1, size(t))")).alias("i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("tag"), F.element_at("t", F.col("i")).alias("g")),
-                F.struct(
-                    F.lit(1).alias("tag"),
-                    F.when(
-                        F.col("i") < F.col("n_tokens"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at("t", F.col("i")),
-                            F.element_at("t", F.col("i") + 1),
-                        ),
-                    ).alias("g"),
-                ),
-            )
-        ).alias("tg"),
-    ).select("doc_id", "n_tokens", F.col("tg.tag").alias("tag"), F.col("tg.g").alias("g"))
-    counts = (
-        grams.where(F.col("g").isNotNull())
-        .groupBy("doc_id", "n_tokens", "tag", "g")
+    uni = (
+        doc_tf(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.max("tf").alias("top_tok"))
+    )
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(t))")).alias("i"),
+            F.col("t"),
+        )
+        .where(F.col("i") < F.size("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    bstats = (
+        bg.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bg"),
+            F.max("c").alias("top_bg"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bg"),
+        )
     )
-    is_bg = F.col("tag") == 1
-    j = counts.groupBy("doc_id", "n_tokens").agg(
-        F.max(F.when(~is_bg, F.col("c"))).alias("top_tok"),
-        F.sum(F.when(is_bg, F.col("c")).otherwise(0)).alias("n_bg"),
-        F.max(F.when(is_bg, F.col("c"))).alias("top_bg"),
-        F.sum(F.when(is_bg & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("dup_bg"),
-    )
+    j = uni.join(bstats, "doc_id")
     top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
     top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg")
     dup_bg_frac = F.col("dup_bg").cast("double") / F.col("n_bg")

@@ -23,7 +23,6 @@ identical operands (see queries/common.py module doc).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from ..operators.text import STOPWORDS
@@ -36,27 +35,18 @@ def text_unigram_xent(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM:
     H(d) = -(1/n_d) * sum_t tf_dt * ln(cnt_t / T).
 
-    Scale shape: one (doc, token) groupBy for tf; tf feeds BOTH the
-    vocabulary groupBy and the scoring join, and Spark does not CSE
-    across plan branches, so tf is persisted (the same idiom
-    operators/dedup.minhash_lsh_dedup uses for its shingle table) —
-    the corpus text is scanned exactly once. Per-token log-probs are
-    map-side; one final per-doc groupBy folds the exact decimal sum.
-    The vocabulary join is left to AQE — broadcast when the vocab fits,
-    shuffle join at web scale. No windows, no collect."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # DISK_ONLY: corpus-sized cache — deserialized memory caching
-        # melts under eviction+GC once it outgrows the heap (round-7
-        # sf10 A/B, see queries/curation.py dsir note: 81.7 vs 29.4 s;
-        # tf-shaped table 7.7 vs 6.7 s)
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    Scale shape: tf comes from the SHARED materialized (doc, token, tf)
+    projection (queries/tokcache.py — written once per corpus version,
+    VERDICT r10 #4; this query previously derived and session-persisted
+    its own). tf feeds both the vocabulary groupBy and the scoring
+    join; the bucketed table replaces the per-session derive+persist
+    with a plain parquet read. Per-token log-probs are map-side; one
+    final per-doc groupBy folds the exact fixed-point sum. The
+    vocabulary join is pinned shuffled-hash (see below). No windows,
+    no collect."""
+    from .tokcache import doc_tf
+
+    tf = doc_tf(spark, sf_dir).where(F.col("token") != "")
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("t"))
     q = vocab.crossJoin(F.broadcast(tot)).select(
@@ -322,20 +312,23 @@ def quality_gopher_repetition(spark, sf_dir):
     scoring — plus the keep verdict at the published-style thresholds
     (top-2-gram <= 0.20, dup-2-gram <= 0.30, top-word <= 0.20).
 
-    Scale shape: two corpus-scan branches (words, 2-grams), each a
-    two-level partial-aggregated groupBy — (doc, gram) counts collapse
-    map-side, then per-doc rollup — joined on doc_id; no window over
-    the corpus, no driver state. Fractions are small-integer ratios
-    rounded to 6 decimals (identical across engines)."""
+    Scale shape: the word branch reads the SHARED materialized
+    (doc, token, tf) projection (queries/tokcache.py, VERDICT r10 #4) —
+    its per-doc rollup is Exchange-free off the doc_id bucket spec; the
+    2-gram branch is the one remaining corpus scan, a two-level
+    partial-aggregated groupBy ((doc, gram) counts collapse map-side,
+    then per-doc rollup), joined on doc_id; no window over the corpus,
+    no driver state. Fractions are small-integer ratios rounded to 6
+    decimals (identical across engines)."""
     from ..operators.dedup import word_shingles
+    from .tokcache import doc_tf
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # tf keeps empty tokens, matching the plain explode(split()) count
     wstats = (
-        words.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        doc_tf(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_words"), F.max("c").alias("top_word_n"))
+        .agg(F.sum("tf").alias("n_words"), F.max("tf").alias("top_word_n"))
     )
     g = word_shingles(docs, n=2, distinct=False)
     gstats = (

@@ -54,21 +54,17 @@ def test_gopher_repetition_flags_planted_repeats(spark):
     """A doc that is one 2-gram repeated over and over fails the
     repetition gates; a varied doc passes with zero dup fraction."""
     from duckdb_pipeline_spark.queries.quality import quality_gopher_repetition
-    import duckdb_pipeline_spark.queries.quality as qmod
 
-    docs = spark.createDataFrame(
+    rows = _with_docs(
+        spark,
         [
             (1, "spam ham " * 30 + "spam ham", "en", "s", 0),
             (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
         ],
-        "doc_id long, text string, lang string, source string, n_chars long",
+        lambda tmp: {
+            r.doc_id: r for r in quality_gopher_repetition(spark, tmp).collect()
+        },
     )
-    orig = qmod.load
-    qmod.load = lambda sp, sf, name: docs
-    try:
-        rows = {r.doc_id: r for r in quality_gopher_repetition(spark, "x").collect()}
-    finally:
-        qmod.load = orig
     spam, ok = rows[1], rows[2]
     assert spam.gopher_keep == 0
     assert spam.top_word_frac > 0.4  # 'spam' is half the doc

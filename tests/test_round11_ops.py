@@ -1,0 +1,142 @@
+"""Round-11 additions: the shared (doc, token, tf) materialized
+projection (queries/tokcache.py, VERDICT r10 #4) and the queries routed
+through it. Oracle parity is covered by the driver protocol
+(tests/oracle_check.py); these pin the cache's CONTRACTS — semantics
+(empty tokens kept so sum(tf) == size(split())), staleness (source
+rewrite rebuilds; byte-identical touch doesn't), and the plan property
+the bucketed layout buys (per-doc folds with NO shuffle Exchange).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.test_plans import plan_text
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+        and "SinglePartition" not in line
+    )
+
+
+def _land(spark, d: str, rows) -> None:
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_doc_tf_keeps_empty_tokens_and_matches_split_size(spark, tmp_path):
+    """sum(tf) per doc must equal size(split(text, ' ')) EXACTLY —
+    including empty tokens from doubled/leading spaces — because
+    text_repetition_stats derives n_tokens from it."""
+    from duckdb_pipeline_spark.queries.tokcache import doc_tf
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    _land(
+        spark,
+        d,
+        [
+            (1, "a  b", "en", "s", 4),     # doubled space -> empty token
+            (2, " lead", "en", "s", 5),    # leading space -> empty token
+            (3, "x y x", "en", "s", 5),
+        ],
+    )
+    tf = doc_tf(spark, d)
+    got = {
+        r.doc_id: (r.n, r.top)
+        for r in tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("n"), F.max("tf").alias("top"))
+        .collect()
+    }
+    # split('a  b') = [a, '', b] (3); split(' lead') = ['', lead] (2)
+    assert got == {1: (3, 1), 2: (2, 1), 3: (3, 2)}
+    rows = {(r.doc_id, r.token): r.tf for r in tf.collect()}
+    assert rows[(1, "")] == 1 and rows[(3, "x")] == 2
+
+
+def test_doc_tf_stamp_rebuilds_on_source_change_only(spark, tmp_path):
+    """Source rewrite (same session) rebuilds from the NEW content; a
+    byte-identical touch refreshes the marker without a rebuild."""
+    from duckdb_pipeline_spark.queries import tokcache
+
+    d = str(tmp_path / "sfy")
+    os.makedirs(d)
+    _land(spark, d, [(1, "a a b", "en", "s", 5)])
+    t1 = tokcache._ensure_doc_tf(spark, d)
+    first = {(r.doc_id, r.token): r.tf for r in spark.table(t1).collect()}
+    assert first[(1, "a")] == 2
+
+    # source rewritten with different content -> stamp miss -> rebuild
+    # (and the builder itself clears session caches, ADVICE r10)
+    _land(spark, d, [(1, "c c c", "en", "s", 5), (2, "d", "en", "s", 1)])
+    t2 = tokcache._ensure_doc_tf(spark, d)
+    assert t2 == t1
+    second = {(r.doc_id, r.token): r.tf for r in spark.table(t2).collect()}
+    assert second == {(1, "c"): 3, (2, "d"): 1}
+
+    # byte-identical touch: marker refresh, no rebuild (parquet files
+    # in the cache dir keep their mtimes)
+    cache_dir = os.path.join(
+        tokcache._repo_root(), ".scratch", "toktf"
+    )
+    label_dirs = [
+        os.path.join(cache_dir, x)
+        for x in os.listdir(cache_dir)
+        if os.path.exists(os.path.join(cache_dir, x, "_SRC.json"))
+    ]
+    # find this test's cache dir via the registered table location
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t2}")
+        .where(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    path = loc.removeprefix("file:")
+    sig = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    src_part = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(d, "documents.parquet"))
+        for f in fs
+        if not f.startswith(("_", "."))
+    ][0]
+    os.utime(src_part)  # same bytes, new mtime
+    t3 = tokcache._ensure_doc_tf(spark, d)
+    assert t3 == t2
+    sig2 = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert sig2 == sig
+    assert label_dirs  # sanity: the cache root is where we think
+
+
+def test_routed_per_doc_folds_are_exchange_free(spark, sf_dir):
+    """The point of bucketing the tf projection by doc_id: the per-doc
+    rollups in corpus_budget_select's token fold and
+    quality_gopher_repetition's word branch must satisfy their groupBy
+    distribution from the bucket spec — zero shuffle Exchange between
+    the cache scan and the first per-doc aggregate."""
+    from duckdb_pipeline_spark.queries.tokcache import doc_tf
+
+    tf = doc_tf(spark, sf_dir)
+    fold = tf.where(F.col("token") != "").groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    assert _shuffle_exchanges(plan_text(fold, "simple")) == 0
+    fold2 = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"), F.max("tf").alias("top_word_n")
+    )
+    assert _shuffle_exchanges(plan_text(fold2, "simple")) == 0
