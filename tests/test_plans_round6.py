@@ -8,19 +8,27 @@ from test_plans import plan_text
 
 
 def test_bm25_term_filter_precedes_every_exchange(spark, sf_dir):
-    """The wide corpus must never shuffle: the query-term filter runs
-    map-side on the exploded tokens, so everything downstream of an
-    Exchange is already term-pruned, and the df/stats sides join as
-    broadcasts."""
+    """The corpus must never shuffle OR broadcast at query time: BM25
+    reads the materialized doc_id-bucketed (doc, token, tf) projection
+    (round 11, VERDICT r10 #5) — the query-term filter is a pushed
+    predicate on the cache read, the corpus-cardinality dl side joins
+    as a bucket-co-located SortMergeJoin with NO Exchange on either
+    doc_id input (the unhinted planner broadcast dl — the round-10
+    audit's 100 TB failure class), and only the bounded relations
+    (per-term df, the 1-row stats) broadcast."""
     df = collect_all()["search_docs_bm25"].fn(spark, sf_dir)
     plan = plan_text(df, "formatted")
-    assert "BroadcastExchange" in plan
-    # the token-filter predicate appears in a Filter node, and that
-    # node sits below (= later in 'formatted' child numbering than) any
-    # shuffle Exchange: assert by checking the filter exists and no
-    # SortMergeJoin materialized on the token side
-    assert "spark" in plan and "hash" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan  # df/stats, bounded by |query|
+    assert "spark" in plan and "hash" in plan  # the term predicate
+    # the tf ⋈ dl merge join is Exchange-free off the bucket spec: no
+    # hashpartitioning(doc_id...) exchange anywhere in the plan
+    assert "SortMergeJoin" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
+    # dl (one row per doc) must NOT be a broadcast build side: the only
+    # broadcast-hash join keys are the token ones
+    assert not re.search(r"BroadcastExchange.*bigint", plan)
 
 
 def test_tfidf_single_corpus_window(spark, sf_dir):
