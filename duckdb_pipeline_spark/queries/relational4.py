@@ -561,10 +561,18 @@ def quality_expectations_gate(spark, sf_dir):
     are exact integer counts; `passed` is an integer comparison — the
     whole report is hash-checked.
 
-    Scale shape: one aggregation per table (map-side partials; the
-    uniqueness check rides countDistinct's partial aggregation) plus
-    one broadcast-probe anti-join count for the referential check —
-    no row-level materialization of violations (a debugging variant
+    Scale shape: EXACTLY one aggregation pass per table — the
+    referential check no longer runs its own anti-join scan of orders
+    (round 11, VERDICT r10 #8): customer's key set folds to per-word
+    64-bit BITMAPS (1.5M keys -> ~23k (word, bits) rows at sf10, a
+    ~65x smaller broadcast than the anti-join's key hash relation),
+    the orders fold left-joins that broadcast on the key's word and
+    the orphan test is one AND+compare expression riding the same
+    shuffle as every other orders check (A/B at sf10: 0.99 s fused vs
+    1.22 s with the separate anti-join branch; identical counts). At
+    extreme dimension cardinality (1B+ keys) the bitmap broadcast is
+    ~n/64*16B — fall back to the plain anti-join branch there. No
+    row-level materialization of violations (a debugging variant
     would sample them; the gate only counts)."""
     ev = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
@@ -615,21 +623,33 @@ def quality_expectations_gate(spark, sf_dir):
             "neg_value": F.col("value") < 0,
         },
     )
-    ord_checks = word_fold(
-        orders,
-        "o_orderkey",
-        {"bad_price": F.col("o_totalprice") <= 0},
+    # Referential orphans ride the orders fold as a word-bitmap probe.
+    # (History: an id-level broadcast LEFT join in-fold was A/B'd and
+    # rejected in round 10 — the 1.5M-key hash build+probe added ~1 s;
+    # the per-word bitmap build side is ~23k rows and beats BOTH that
+    # and the standalone anti-join branch it replaces.) NULL o_custkey:
+    # no word row matches -> cbits IS NULL -> counted as an orphan,
+    # matching the previous left_anti semantics (a NULL key references
+    # no customer).
+    cust_words = cust.groupBy(
+        F.shiftright("c_custkey", 6).alias("cw")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pmod(c_custkey, 64) as int))")
+        ).alias("cbits")
     )
-    # Orphans stay a SEPARATE anti-join job: riding the orders fold via
-    # a broadcast LEFT join against the customer keys was A/B'd and
-    # REJECTED at sf10 — the 1.5M-key hash build+probe added ~1 s to
-    # the fold vs ~0.4 s for the standalone anti-join branch.
-    orphans = (
-        orders.join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
-            "o_custkey",
-            "left_anti",
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    orders_probed = orders.join(
+        F.broadcast(cust_words),
+        F.shiftright(F.col("o_custkey"), 6) == F.col("cw"),
+        "left",
+    )
+    is_orphan = F.col("cbits").isNull() | (
+        F.expr("cbits & shiftleft(1L, cast(pmod(o_custkey, 64) as int))") == 0
+    )
+    ord_checks = word_fold(
+        orders_probed,
+        "o_orderkey",
+        {"bad_price": F.col("o_totalprice") <= 0, "n_orphans": is_orphan},
     )
 
     def rows(df, table, checks):
@@ -661,10 +681,9 @@ def quality_expectations_gate(spark, sf_dir):
         rows(
             ord_checks,
             "orders",
-            [("pk_unique", "dup_pk"), ("price_positive", "bad_price")],
+            [("pk_unique", "dup_pk"), ("price_positive", "bad_price"),
+             ("custkey_references_customer", "n_orphans")],
         )
-    ).unionByName(
-        rows(orphans, "orders", [("custkey_references_customer", "n_orphans")])
     )
     return out
 
