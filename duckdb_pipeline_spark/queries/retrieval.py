@@ -247,28 +247,36 @@ def search_mrr_audit(spark, sf_dir):
     1.32 s). Both intermediates are probe-vocabulary-bounded (rows only
     for docs containing a probe token), so caching them is safe at any
     corpus size; DISK_ONLY per the dsir sizing note (curation.py)."""
+    from .tokcache import doc_tf
+
     docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # qterms NEEDS token POSITIONS (each query = its doc's first 3
+    # tokens), which the bag-of-words tf cache cannot provide — but the
+    # doc_id < Q predicate pushes into the scan, so this reads Q docs,
+    # not the corpus
     qterms = (
-        base.where(F.col("doc_id") < _MRR_Q)
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.col("doc_id") < _MRR_Q)
         .select(
             F.col("doc_id").alias("q_id"),
             F.explode(F.expr("slice(t, 1, 3)")).alias("token"),
         )
         .distinct()
     )
-    dl = base.select("doc_id", F.size("t").cast("long").alias("dl")).persist(
-        StorageLevel.DISK_ONLY
-    )
+    # dl and the probe tf come off the SHARED materialized (doc, token,
+    # tf) projection (round 11 — the BM25/RRF serving shape, VERDICT
+    # r10 #5): the corpus text is never tokenized at query time. dl's
+    # two consumers each run an Exchange-free per-doc fold off the
+    # bucket spec (cheaper than the DISK_ONLY persist it replaces).
+    toktf = doc_tf(spark, sf_dir)
+    dl = toktf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
     ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
     tf = (
-        base.select("doc_id", F.explode("t").alias("token"))
-        .join(F.broadcast(qterms.select("token").distinct()), "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        toktf.join(F.broadcast(qterms.select("token").distinct()), "token")
+        .select("doc_id", "token", "tf")
         .persist(StorageLevel.DISK_ONLY)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -282,7 +290,9 @@ def search_mrr_audit(spark, sf_dir):
     pair = (
         tf.join(F.broadcast(qterms), "token")
         .join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
+        # dl is corpus-cardinality: pin the merge join (the BM25 dl
+        # lesson — unhinted, the planner broadcasts it)
+        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "q_id", "doc_id",
