@@ -433,6 +433,134 @@ FROM u1 JOIN u2 USING (metric)
 """
 
 
+def _ensure_vacuumed_customers(spark, sf_dir: str) -> str:
+    """A SEPARATE 3-version customer table (v3 = v2 minus
+    c_custkey % 3 == 0), vacuumed to keep=2 — so version 1 is pruned.
+    Separate root from `_ensure_versioned_customers` because vacuum
+    MUTATES table state and the CDC/time-travel queries need their v1.
+    Built + vacuumed once per source content (same stamp contract), so
+    the audit query below is a pure READ and re-runs idempotently."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from ..sinks import vacuum_versions, write_version
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    absd = os.path.abspath(sf_dir)
+    label = (
+        f"{os.path.basename(os.path.normpath(absd)) or 'sf'}-"
+        f"{hashlib.sha256(absd.encode()).hexdigest()[:12]}"
+    )
+    root = os.path.join(repo, ".scratch", "versioned_cust_vac", label)
+    src = os.path.join(sf_dir, "customer.parquet")
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    stamp = {"size": os.path.getsize(src), "sha256": h.hexdigest(), "v": 1}
+    marker = os.path.join(root, "_STAMP.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == stamp:
+                return root
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+
+    # same v1/v2 derivations as _ensure_versioned_customers (shared
+    # _V1_SQL/_V2_SQL oracle text), plus v3
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    v2 = (
+        v1.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "bal_cents",
+            F.col("bal_cents")
+            + F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1000)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.col("c_custkey").cast("long").alias("bal_cents"),
+            )
+        )
+    )
+    v3 = v2.where(F.col("c_custkey") % 3 != 0)
+    assert write_version(v1, root) == 1
+    assert write_version(v2, root) == 2
+    assert write_version(v3, root) == 3
+    assert vacuum_versions(root, keep=2) == [1]
+    with open(marker, "w") as fh:
+        json.dump(stamp, fh)
+    return root
+
+
+def snapshot_vacuum_audit(spark, sf_dir):
+    """Vacuum CONTRACT audit (VERDICT r10 missing #3 — was pytest-only):
+    after `vacuum_versions(keep=2)` on a 3-version table, (a) the
+    pruned version must be UNRESOLVABLE (time travel to it raises —
+    asserted at plan build; an unexpectedly-resolvable pruned version
+    fails the query loudly), and (b) the kept versions must read back
+    exactly. Output: one row per version with resolvability and the
+    surviving snapshots' exact profile (row count, balance sum); the
+    oracle reconstructs v2/v3 from `customer` and pins v1's row as
+    unresolvable, so a vacuum that dropped the wrong snapshot or
+    corrupted a kept one breaks the hash.
+
+    Scale shape: manifest-resolved reads of exactly two snapshot dirs,
+    each folding to one row map-side; the pruned check is one manifest
+    lookup (no I/O against data files)."""
+    from ..sinks import read_version
+
+    root = _ensure_vacuumed_customers(spark, sf_dir)
+    try:
+        read_version(spark, root, 1)
+        raise RuntimeError(
+            "vacuum audit: pruned version 1 is still resolvable"
+        )
+    except ValueError:
+        pass  # the contract: pruned versions are unresolvable
+    pruned = spark.createDataFrame(
+        [(1, False, 0, 0)],
+        "version long, resolvable boolean, n_rows long, sum_bal_cents long",
+    )
+    kept = [
+        read_version(spark, root, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.lit(True).alias("resolvable"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        ).select("version", "resolvable", "n_rows", "sum_bal_cents")
+        for v in (2, 3)
+    ]
+    out = pruned
+    for k in kept:
+        out = out.unionByName(k)
+    return out
+
+
+SNAPSHOT_VACUUM_SQL = f"""
+WITH v1 AS ({_V1_SQL}),
+v2 AS ({_V2_SQL}),
+v3 AS (SELECT * FROM v2 WHERE c_custkey % 3 <> 0)
+SELECT CAST(1 AS BIGINT) AS version, FALSE AS resolvable,
+       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_bal_cents
+UNION ALL
+SELECT 2, TRUE, count(*), CAST(SUM(bal_cents) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, TRUE, count(*), CAST(SUM(bal_cents) AS BIGINT) FROM v3
+"""
+
+
 QUERIES.update(
     {
         "snapshot_cdc_diff": QuerySpec(
@@ -454,6 +582,11 @@ QUERIES.update(
             snapshot_drift_report,
             SNAPSHOT_DRIFT_SQL,
             "exact-stat drift report between two snapshot versions (5% gate)",
+        ),
+        "snapshot_vacuum_audit": QuerySpec(
+            snapshot_vacuum_audit,
+            SNAPSHOT_VACUUM_SQL,
+            "post-vacuum contract: pruned version unresolvable, kept versions exact",
         ),
     }
 )
