@@ -314,9 +314,105 @@ GROUP BY pb.user_id, pb.exact_n
 """
 
 
+_MG_K = 256  # Misra-Gries counter budget
+
+
+def sketch_mg_heavyhitters_audit(spark, sf_dir):
+    """Misra-Gries heavy-hitters sketch + error-bound AUDIT (the
+    missing member of the sketch family beside HLL/CMS/quantiles —
+    frequent-items is the fourth classic bounded-state streaming
+    summary; Misra & Gries 1982, mergeability per Agarwal et al.
+    "Mergeable Summaries", PODS'12): k=256 counters per partition over
+    the corpus token stream, per-partition summaries merged by
+    counter-sum (a valid MG merge; the theorem gives the merged
+    estimate est in [exact - n/(k+1), exact] for EVERY token, retained
+    or not). Output: the 5 exact-heaviest tokens with their exact
+    counts and the two deterministic verdicts (never_overcounts,
+    within_bound) — the estimates themselves are order/partitioning-
+    dependent (any MG implementation is), so the hash-checked surface
+    is the exact values plus the guarantee booleans, the
+    sketch_ndv_audit pattern.
+
+    Scale shape: input is the materialized (doc, token, tf) projection
+    (tokcache — weighted MG updates, so the stream is tf rows, not
+    token instances); the per-partition summary is Arrow-batched
+    (pandas groupby-sum per batch = a zero-error MG summary, merged
+    into the running k-counter dict with one vectorized numpy
+    truncation per batch — no per-token Python loop); summaries are
+    <= k rows per partition regardless of volume, and the global merge
+    is a groupBy over <= k * n_partitions rows. The exact side exists
+    only because this is an audit; production keeps the sketch."""
+    import numpy as np
+    import pandas as pd
+
+    from .tokcache import doc_tf
+
+    tf = doc_tf(spark, sf_dir).where(F.col("token") != "").select("token", "tf")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            batch = pdf.groupby("token")["tf"].sum()
+            for tok, c in batch.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > _MG_K:
+                toks = np.array(list(counters.keys()), dtype=object)
+                cnts = np.array(list(counters.values()), dtype=np.int64)
+                # subtract the (k+1)-th largest count from everything,
+                # drop the non-positive — one vectorized truncation
+                t = np.partition(cnts, -( _MG_K + 1))[-(_MG_K + 1)]
+                keep = cnts - t > 0
+                counters = dict(zip(toks[keep], (cnts - t)[keep]))
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters.keys()),
+                 "est": np.fromiter(counters.values(), dtype=np.int64)}
+            )
+
+    summaries = tf.mapInPandas(mg_partition, "token string, est long")
+    merged = summaries.groupBy("token").agg(F.sum("est").alias("est"))
+
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("exact_n"))
+    n_total = vocab.agg(F.sum("exact_n").alias("n"))
+    top5 = vocab.orderBy(F.desc("exact_n"), "token").limit(5)
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        top5.join(merged, "token", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "exact_n",
+            (est0 <= F.col("exact_n")).alias("never_overcounts"),
+            # exact integer arithmetic: exact - est <= n/(k+1)
+            (
+                (F.col("exact_n") - est0) * F.lit(_MG_K + 1) <= F.col("n")
+            ).alias("within_bound"),
+        )
+    )
+
+
+MG_HEAVYHITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks WHERE token <> '' GROUP BY token
+),
+top5 AS (SELECT * FROM vocab ORDER BY exact_n DESC, token LIMIT 5)
+SELECT token, exact_n, TRUE AS never_overcounts, TRUE AS within_bound
+FROM top5
+"""
+
+
 QUERIES = {
     "agg_percentiles_exact": QuerySpec(
         agg_percentiles_exact, PCT_SQL, "exact interpolated quantiles"
+    ),
+    "sketch_mg_heavyhitters_audit": QuerySpec(
+        sketch_mg_heavyhitters_audit,
+        MG_HEAVYHITTERS_SQL,
+        "Misra-Gries frequent-items sketch + exact top-5 with bound verdicts",
     ),
     "sketch_cms_user_counts": QuerySpec(
         sketch_cms_user_counts,

@@ -140,3 +140,28 @@ def test_routed_per_doc_folds_are_exchange_free(spark, sf_dir):
         F.sum("tf").alias("n_words"), F.max("tf").alias("top_word_n")
     )
     assert _shuffle_exchanges(plan_text(fold2, "simple")) == 0
+
+
+def test_mg_sketch_bounds_on_adversarial_stream(spark, tmp_path):
+    """Misra-Gries guarantee on a stream built to force truncations:
+    one token at ~2n/k plus k*3 distinct near-ties. The heavy token
+    must survive with est <= exact and exact - est <= n/(k+1); the
+    verdict columns must both be TRUE for every audited row."""
+    import os
+
+    from duckdb_pipeline_spark.queries.sketches import (
+        sketch_mg_heavyhitters_audit,
+    )
+
+    d = str(tmp_path / "sfmg")
+    os.makedirs(d)
+    heavy = " ".join(["hot"] * 400)
+    noise_docs = [
+        (i + 1, " ".join(f"t{i}_{j}" for j in range(40)), "en", "s", 0)
+        for i in range(30)
+    ]
+    _land(spark, d, [(0, heavy, "en", "s", 0)] + noise_docs)
+    rows = {r.token: r for r in sketch_mg_heavyhitters_audit(spark, d).collect()}
+    assert "hot" in rows and rows["hot"].exact_n == 400
+    for r in rows.values():
+        assert r.never_overcounts and r.within_bound, r
