@@ -350,23 +350,23 @@ def sketch_mg_heavyhitters_audit(spark, sf_dir):
     tf = doc_tf(spark, sf_dir).where(F.col("token") != "").select("token", "tf")
 
     def mg_partition(batches):
-        counters: dict[str, int] = {}
+        # running summary as an index-aligned Series: the per-batch
+        # merge (groupby-sum + add) and the truncation are all
+        # vectorized — no per-token Python loop anywhere
+        summary = pd.Series(dtype=np.int64)
         for pdf in batches:
             batch = pdf.groupby("token")["tf"].sum()
-            for tok, c in batch.items():
-                counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > _MG_K:
-                toks = np.array(list(counters.keys()), dtype=object)
-                cnts = np.array(list(counters.values()), dtype=np.int64)
+            summary = summary.add(batch, fill_value=0).astype(np.int64)
+            if len(summary) > _MG_K:
+                cnts = summary.to_numpy()
                 # subtract the (k+1)-th largest count from everything,
                 # drop the non-positive — one vectorized truncation
-                t = np.partition(cnts, -( _MG_K + 1))[-(_MG_K + 1)]
-                keep = cnts - t > 0
-                counters = dict(zip(toks[keep], (cnts - t)[keep]))
-        if counters:
+                t = np.partition(cnts, -(_MG_K + 1))[-(_MG_K + 1)]
+                summary = (summary - t)[cnts - t > 0]
+        if len(summary):
             yield pd.DataFrame(
-                {"token": list(counters.keys()),
-                 "est": np.fromiter(counters.values(), dtype=np.int64)}
+                {"token": summary.index.to_numpy(dtype=object),
+                 "est": summary.to_numpy()}
             )
 
     summaries = tf.mapInPandas(mg_partition, "token string, est long")
