@@ -158,17 +158,15 @@ def tfidf_top_terms(spark, sf_dir):
     partitioned by doc_id. No driver-side state, no collect. Ranking
     compares the ROUNDED score (cross-engine stable, module doc) with a
     token tie-break."""
+    from .tokcache import doc_tf
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    # tf feeds both the df groupBy and the scoring join; Spark doesn't
-    # CSE across branches, so persist it — one corpus text scan total
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.DISK_ONLY)  # corpus-sized; see curation.py dsir note
-    )
+    # tf comes off the SHARED materialized (doc, token, tf) projection
+    # (round 11): both consumers (df groupBy, scoring join) read the
+    # 33 MB bucketed table instead of re-deriving + DISK_ONLY-persisting
+    # the corpus explode per session. n_docs stays a count(*) over the
+    # parquet footers (row-group stats, no data read).
+    tf = doc_tf(spark, sf_dir).where(F.col("token") != "")
     stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
