@@ -921,20 +921,21 @@ def vocab_top_tokens(spark, sf_dir):
     """Tokenizer-prep vocabulary candidates: the 500 most frequent
     whitespace tokens with occurrence and document frequencies — the
     counting pass every tokenizer training run (BPE/unigram) starts
-    from. Scale shape: explode -> two-phase groupBy (map-side partial
-    counts; the distinct doc count is Spark's partial-distinct
-    rewrite), then TakeOrdered for the top-k — no global sort
-    materialization. Ties at the cut break (count DESC, token ASC), so
-    the result is deterministic."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
+    from. Scale shape (round 11): reads the SHARED materialized
+    (doc, token, tf) projection — n_occurrences folds sum(tf) and the
+    distinct doc count is a plain count(*) because the cache has
+    exactly one row per (doc, token), so the countDistinct Expand
+    disappears entirely; then TakeOrdered for the top-k — no global
+    sort materialization. Ties at the cut break (count DESC, token
+    ASC), so the result is deterministic."""
+    from .tokcache import doc_tf
+
+    tf = doc_tf(spark, sf_dir).where(F.col("token") != "")
     return (
-        toks.groupBy("token")
+        tf.groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(500)

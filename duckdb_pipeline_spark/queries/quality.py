@@ -475,21 +475,22 @@ def quality_zipf_audit(spark, sf_dir):
     are one shared IEEE tree (slope and r2 are scale-invariant; the
     intercept rescales by 1e-6 at the end).
 
-    Scale shape: one token explode collapses map-side to the vocab
-    spine; ranking is one window over the bounded vocab (cnt desc,
-    token); the regression folds 1000 rows."""
+    Scale shape (round 11): the vocab spine folds sum(tf) off the
+    SHARED materialized (doc, token, tf) projection — no token explode
+    at query time (the explode-then-WHERE vs filter(lambda) A/B that
+    shaped the previous form is preserved in git history); ranking is
+    one TakeOrdered over the bounded vocab (cnt desc, token); the
+    regression folds 1000 rows."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    from .tokcache import doc_tf
+
     counts = (
-        # explode-then-WHERE, not filter(lambda): the array lambda is
-        # interpreted per element and measured 2x the whole stage at
-        # sf10 (2.1 -> 1.0 s); the post-explode predicate stays inside
-        # whole-stage codegen. Identical token multiset.
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
+        doc_tf(spark, sf_dir)
+        .where(F.col("token") != "")
+        .select(F.col("token").alias("tok"), "tf")
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
     )
     # top-1000 via orderBy+limit (TakeOrderedAndProject: per-partition
     # top-k merged on the driver), NOT a global row_number window — the
