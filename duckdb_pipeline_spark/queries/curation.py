@@ -1122,12 +1122,14 @@ def corpus_source_kl(spark, sf_dir):
     `corpus_overlap_matrix`'s exact-content overlap: this measures
     DISTRIBUTIONAL distance).
 
-    Scale shape: one (source, token) groupBy over the exploded corpus
-    (the only corpus-sized shuffle), persisted for its three consumers
-    (global vocab counts, per-source totals, term scoring); the term
-    join is vocab-sized on token (left to AQE); per-source totals are
-    a broadcast; the final fold is a |sources|-cardinality groupBy.
-    No driver state, no collect.
+    Scale shape (round 11): the (source, token) counts fold off the
+    SHARED materialized (doc, token, tf, source) projection — sum(tf)
+    grouped by (source, token), the only remaining shuffle, over 16M
+    pre-counted cache rows instead of the raw token explode — then
+    persist for the three consumers (global vocab counts, per-source
+    totals, term scoring); the term join is vocab-sized on token (left
+    to AQE); per-source totals are a broadcast; the final fold is a
+    |sources|-cardinality groupBy. No driver state, no collect.
 
     Cross-engine determinism: probabilities are IEEE divisions of
     identical long-derived doubles (explicit double casts pin operand
@@ -1141,12 +1143,13 @@ def corpus_source_kl(spark, sf_dir):
 
     from .common import dsum
 
-    docs = load(spark, sf_dir, "documents")
+    from .tokcache import doc_tf
+
     st = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        doc_tf(spark, sf_dir)
         .where(F.col("token") != "")
         .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
         .persist(StorageLevel.DISK_ONLY)  # vocab-sized; 3 consumers
     )
     g = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))

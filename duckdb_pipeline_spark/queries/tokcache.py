@@ -78,7 +78,7 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
     sizes = [os.stat(f) for f in parts]
     size = sum(s.st_size for s in sizes)
     mtime_ns = max((s.st_mtime_ns for s in sizes), default=0)
-    spec = {"n_buckets": _N_BUCKETS, "key": "doc_id", "scheme": "split-space-v1"}
+    spec = {"n_buckets": _N_BUCKETS, "key": "doc_id", "scheme": "split-space-v2"}
     marker = os.path.join(path, "_SRC.json")
     old = None
     try:
@@ -120,9 +120,17 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
         invalidate_source(spark, sf_dir, "documents")
         tf = (
             load(spark, sf_dir, "documents")
-            .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-            .groupBy("doc_id", "token")
+            .select(
+                "doc_id",
+                "source",
+                F.explode(F.split("text", " ")).alias("token"),
+            )
+            # source is functionally dependent on doc_id, so carrying
+            # it through the groupBy adds no groups — it rides along
+            # (scheme v2) for the per-source consumers (corpus_source_kl)
+            .groupBy("doc_id", "source", "token")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select("doc_id", "token", "tf", "source")
         )
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
         (
