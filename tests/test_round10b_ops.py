@@ -165,7 +165,7 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
     assert by_doc  # sanity: non-empty fusion
 
 
-def test_source_kl_axioms(spark, sf_dir):
+def test_source_kl_axioms(spark, sf_dir, tmp_path):
     """KL(p_s || corpus) is ~non-negative (exact up to the 6-dp term
     rounding) and zero when every source IS the corpus distribution."""
     from duckdb_pipeline_spark.queries.curation import corpus_source_kl
@@ -178,29 +178,25 @@ def test_source_kl_axioms(spark, sf_dir):
         assert r["n_tokens"] >= r["n_types"] > 0
 
     # planted: two sources with IDENTICAL token distributions -> KL 0
-    import pandas as pd
+    # (landed as real parquet: the query now reads the tf projection,
+    # which stamps the source path — monkeypatching load no longer
+    # covers it)
+    import os
 
-    docs = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "doc_id": [0, 1, 2, 3],
-                "text": ["x y z", "x y", "x y z", "x y"],
-                "lang": ["en"] * 4,
-                "source": ["s0", "s0", "s1", "s1"],
-                "n_chars": [5, 3, 5, 3],
-            }
-        )
-    )
-    docs.createOrReplaceTempView("_kl_docs")
-    import duckdb_pipeline_spark.queries.curation as cur
+    from duckdb_pipeline_spark.queries.curation import corpus_source_kl as kl
 
-    orig_load = cur.load
-    try:
-        cur.load = lambda spark_, sf_, name: spark_.table("_kl_docs")
-        out = {r["source"]: r["kl_vs_corpus"] for r in
-               cur.corpus_source_kl(spark, "ignored").collect()}
-    finally:
-        cur.load = orig_load
+    d = str(tmp_path / "sfkl")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (0, "x y z", "en", "s0", 5),
+            (1, "x y", "en", "s0", 3),
+            (2, "x y z", "en", "s1", 5),
+            (3, "x y", "en", "s1", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r["kl_vs_corpus"] for r in kl(spark, d).collect()}
     assert out == {"s0": 0.0, "s1": 0.0}
 
 
