@@ -162,3 +162,50 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
 def doc_tf(spark, sf_dir: str):
     """The shared (doc_id, token, tf) relation, bucketed by doc_id."""
     return spark.table(_ensure_doc_tf(spark, sf_dir))
+
+
+def append_doc_tf(spark, sf_dir: str, new_docs) -> str:
+    """Incrementally EXTEND the tf projection with a new document
+    batch — the hourly-cron shape (the reference's cadence,
+    run_serialise_raw_data.py): tokenize ONLY the arriving docs and
+    append their (doc_id, token, tf, source) rows to the bucketed
+    table; the corpus is never re-tokenized. Spark appends bucketed
+    data bucket-aligned (same spec), so the Exchange-free per-doc
+    folds keep working over the union.
+
+    Contract: ``new_docs`` (doc_id, text, source) must be NEW doc_ids —
+    tf rows are per-document, so appending an existing doc would
+    double-count it (the caller gates admission; `stream_neardup_gate`
+    is that front door). The source stamp is REMOVED (not updated):
+    the on-disk table now deliberately leads the source parquet, and
+    the next `_ensure_doc_tf` against a changed source rebuilds from
+    scratch — append is an optimization between corpus versions, never
+    a substitute for the staleness contract. Append==rebuild equality
+    is pytest-pinned."""
+    tname = _ensure_doc_tf(spark, sf_dir)
+    batch_tf = (
+        new_docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("doc_id", "token", "tf", "source")
+    )
+    (
+        batch_tf.repartition(_N_BUCKETS, F.col("doc_id"))
+        .write.mode("append")
+        .insertInto(tname)
+    )
+    # the table now contains docs the stamped source doesn't: drop the
+    # stamp so a later ensure() against a NEW corpus version rebuilds
+    # rather than trusting a stale marker
+    absd = os.path.abspath(sf_dir)
+    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
+    marker = os.path.join(_repo_root(), ".scratch", "toktf", label, "_SRC.json")
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    return tname

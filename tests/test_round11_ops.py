@@ -165,3 +165,40 @@ def test_mg_sketch_bounds_on_adversarial_stream(spark, tmp_path):
     assert "hot" in rows and rows["hot"].exact_n == 400
     for r in rows.values():
         assert r.never_overcounts and r.within_bound, r
+
+
+def test_append_doc_tf_equals_union_rebuild_then_supersedes(spark, tmp_path):
+    """Incremental tf append: (a) right after append_doc_tf the table
+    content equals the from-scratch (doc, token, tf, source) derivation
+    over corpus UNION batch — bucket-aligned, no corpus re-tokenize;
+    (b) the stamp is dropped, so the next ensure() rebuilds from the
+    SOURCE alone — appends are a between-versions optimization, never
+    a substitute for the staleness contract."""
+    from duckdb_pipeline_spark.queries import tokcache
+
+    d = str(tmp_path / "sfap")
+    os.makedirs(d)
+    _land(spark, d, [(1, "a a b", "en", "s0", 5), (2, "b c", "en", "s1", 3)])
+    batch = spark.createDataFrame(
+        [(10, "a c c", "s9"), (11, "d", "s9")],
+        "doc_id long, text string, source string",
+    )
+    tname = tokcache.append_doc_tf(spark, d, batch)
+    got = {
+        (r.doc_id, r.token): (r.tf, r.source)
+        for r in spark.table(tname).collect()
+    }
+    assert got == {
+        (1, "a"): (2, "s0"), (1, "b"): (1, "s0"),
+        (2, "b"): (1, "s1"), (2, "c"): (1, "s1"),
+        (10, "a"): (1, "s9"), (10, "c"): (2, "s9"),
+        (11, "d"): (1, "s9"),
+    }
+    # the per-doc fold over the appended table stays Exchange-free
+    fold = spark.table(tname).groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    assert _shuffle_exchanges(plan_text(fold, "simple")) == 0
+    # (b) next ensure(): stamp was dropped -> source-governed rebuild
+    t2 = tokcache._ensure_doc_tf(spark, d)
+    assert t2 == tname
+    docs_after = {r.doc_id for r in spark.table(t2).select("doc_id").distinct().collect()}
+    assert docs_after == {1, 2}
