@@ -31,91 +31,96 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 11 window (VERDICT r10 #1: drain the r10 verification
-    # debt and close the staleness ledger). Composition = EXACTLY the 13
-    # queries added in round 10 that have never had a driver row + the 15
-    # r4-stale rows + 22 of the 25 r5-stale rows = 50, the driver cap
-    # observed in all ten prior rounds. Sets recomputed this round by
-    # aggregating CORRECTNESS_r01-r10 against collect_all(); they match
-    # the verdict's own recount. Round-11 newcomers (stream_neardup_gate,
-    # vacuum_audit, ...) are frozen OUT per the standing policy and lead
-    # the round-12 rotation below.
+    # ---- round 12 window (VERDICT r11 #1: drain the r11 re-verification
+    # debt — every query whose PLAN changed in round 11 outside that
+    # round's window, every never-checked newcomer, and the oldest rows
+    # in the staleness ledger). Composition (recomputed this round by
+    # aggregating CORRECTNESS_r01-r11 against collect_all(); matches the
+    # verdict's recount):
+    #   (a) 3 r11 newcomers (never driver-checked) + the 1 r12 newcomer
+    #       `toktf_append_equals_rebuild` (VERDICT r11 #2 explicitly
+    #       requires a passing CORRECTNESS entry, overriding the
+    #       freeze-out-newcomers default);
+    #   (b) the 9 r11 serving-rewired queries whose latest driver rows
+    #       predate their tokcache/bucketed-serving plans, plus
+    #       q5_regional_revenue (r11 spine prefilter, last row r9);
+    #   (c) the 3 r5 holdovers (no more deferrals);
+    #   (d) the 10 r6-stale rows not already in (b) (vocab_top_tokens is
+    #       both r6-stale and serving-rewired — counted once);
+    #   (e) fill to 50 with 23 of the 26 r7-stale rows not already in
+    #       (b). Excluded, staying at r7 into round 13:
+    #       sketch_approx_quantiles + sketch_hll_merge (rows-only
+    #       estimates by design — a driver row carries the least
+    #       information; their hash-checked *_audit twins rotate in
+    #       r13 per VERDICT r11 #7) and q1_pricing_summary_fast
+    #       (plan-variant twin of in-window q1_pricing_summary).
+    # After this window lands green: no query's latest driver row is
+    # older than r7, satisfying the verdict's Done criterion.
     #
-    # (a) the 13 never-driver-checked round-10 queries:
-    # versioned tables / CDC / MV
-    "snapshot_cdc_diff",
-    "read_version_pinned",
-    "mv_incremental_maintain",
-    "snapshot_drift_report",
-    # ANN operating knobs + multiprobe kNN
-    "ann_recall_clustered",
-    "knn_join_topk_ivf_mp",
-    "knn_recall_multiprobe_audit",
-    # retrieval / curation round-10 additions
-    "search_hybrid_rrf",
-    "search_mmr_topk",
-    "corpus_source_kl",
-    "corpus_budget_select",
-    # graph / events
-    "graph_label_propagation",
-    "events_markov_transitions_bucketed",
-    #
-    # (b) the 15 r4-stale rows (latest driver row = r4):
-    "window_moving_7d",
-    "sample_stratified",
-    "scalar_map_funcs",
-    "q8_market_share",
-    "q13_order_counts",
-    "scalar_pandas_udf",
-    "agg_pandas_udaf",
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q20_potential_promotion",
-    "agg_corr_exact",
-    "timeseries_ewma",
-    "timeseries_resample_ohlc",
-    "text_fingerprint",
-    "stream_sliding_2h_1h",
-    #
-    # (c) 22 of the 25 r5-stale rows. Includes every r5-stale query whose
-    # plan changes THIS round (dedup_components auto-fallback,
-    # text_repetition_stats shared token-fold) so the new plans get a
-    # driver row immediately. Excluded (stay r5-stale into round 12,
-    # lowest-risk picks: unchanged-since-r1 simple projections/windows):
-    # pipeline_clean_events, pipeline_hourly_type_counts,
-    # sample_topk_per_group.
-    "dedup_exact",
-    "dedup_components",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_neardup_blocked",
-    "similarity_topk_lsh",
-    "embedding_quantize_int8",
-    "sketch_approx_ndv",
-    "text_scrub_pii",
-    "text_chunk_windows",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_repetition_stats",
-    "multimodal_binary_meta",
-    "corpus_shard_manifest",
-    "seq_pack_offsets",
-    "stream_tumbling_hourly",
-    "stream_session_30m",
-    "stream_interval_join",
-    # ---- round-12 window candidates (lead the next rotation):
-    # (a) every query NEW in round 11 (frozen out of this window);
-    # (b) every query whose plan CHANGED in round 11 but sat outside
-    # this window (q5_regional_revenue / q3_top_orders if the bucketed
-    # serving lands, search_hybrid_rrf fuse is IN-window,
-    # quality_expectations_gate orphan fold — r10-green, re-check);
-    # (c) the 3 r5-stale holdovers above + the 11 r6-stale rows.
-    # Rotated out round 11 (driver-green r10, unchanged): the full r10
-    # window (knn_join_topk .. window_moving_avg); earlier rotation
-    # history is in git.
+    # (a) newcomers:
+    "stream_neardup_gate",
+    "snapshot_vacuum_audit",
+    "sketch_mg_heavyhitters_audit",
+    "toktf_append_equals_rebuild",
+    # (b) serving-rewired + q5:
+    "tfidf_top_terms",
+    "vocab_top_tokens",
+    "quality_zipf_audit",
+    "text_unigram_xent",
+    "search_docs_bm25",
+    "search_mrr_audit",
+    "quality_gopher_repetition",
+    "quality_expectations_gate",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    # (c) r5 holdovers:
+    "pipeline_clean_events",
+    "pipeline_hourly_type_counts",
+    "sample_topk_per_group",
+    # (d) r6-stale:
+    "corpus_filter_funnel",
+    "funnel_view_to_purchase",
+    "histogram_prices",
+    "join_salted_skew",
+    "ngram_lm_counts",
+    "search_docs_keywords",
+    "stats_trimmed_mean",
+    "text_rolling_fingerprint",
+    "text_udtf_sentences",
+    "unnest_tokens",
+    # (e) r7-stale fill:
+    "agg_rollup",
+    "bpe_apply_tokenize",
+    "bpe_train_merges",
+    "corpus_mix_allocation",
+    "corpus_overlap_matrix",
+    "dedup_semantic_cells",
+    "dedup_span_exact",
+    "dedup_span_scrub",
+    "funnel_top_paths",
+    "fuzzy_match_names",
+    "multimodal_decode_features",
+    "multimodal_phash_groups",
+    "multimodal_wav_frames",
+    "q1_pricing_summary",
+    "quality_logreg_score",
+    "range_join_next_10m",
+    "similarity_adc_topk",
+    "similarity_adc_topk_np",
+    "similarity_topk_ivf",
+    "sketch_cms_user_counts",
+    "stream_dedup_events",
+    "stream_user_state_totals",
+    "user_sessions_gap30",
+    # ---- round-13 window candidates (lead the next rotation):
+    # (a) q3_top_orders_plain (new r12, the resurrected plain-layout
+    # bench row — frozen out per the newcomer policy);
+    # (b) sketch_ndv_audit / sketch_quantiles_audit /
+    # sketch_hll_merge_audit (r8; VERDICT r11 #7) plus the 2 rows-only
+    # estimates excluded above and q1_pricing_summary_fast (r7);
+    # (c) the remaining 42 r8-stale rows.
+    # Rotated out round 12 (driver-green r11, unchanged): the full r11
+    # window; earlier rotation history is in git.
 )
 
 
@@ -137,6 +142,7 @@ def collect_all() -> dict[str, QuerySpec]:
         sketches,
         streaming_like,
         timeseries,
+        tokcache,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -157,6 +163,7 @@ def collect_all() -> dict[str, QuerySpec]:
         curation,
         streaming_like,
         analytics,
+        tokcache,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

