@@ -133,9 +133,14 @@ HEADLINE = HEADLINE + V2_ADDITIONS
 # delegates to q3_top_orders_bucketed), so the q3_top_orders and
 # q3_top_orders_bucketed rows time the SAME plan by design and any
 # r10->r11 improvement in the q3_top_orders row is the LAYOUT, not a
-# plan win. q5_regional_revenue stays inline — its bucketed twin
+# plan win. ROUND 12 restores attribution (VERDICT r11 #4): the
+# artifact's `extras` carries q3_top_orders_plain (best plain-layout
+# plan, outside the official basis) plus the COLD build cost of the tf
+# projection and the orderkey-bucketed silver (`_cold_build_costs`),
+# so both the layout delta and the amortized write are visible in the
+# artifact itself. q5_regional_revenue stays inline — its bucketed twin
 # measured worse at sf10 (BASELINE round 11). The BM25/MRR rows and
-# the token-shuffle family now serve from the materialized tf
+# the token-shuffle family serve from the materialized tf
 # projection (queries/tokcache.py), built untimed at plan construction
 # — the same at-rest accounting as the bucketed twins and the IVF
 # index, with the build cost recorded in BASELINE (17.5 s at sf10,
@@ -220,6 +225,49 @@ def _spark_session(cpus: int, sf_dir: str):
     )
 
 
+def _cold_build_costs(spark, sf_dir: str) -> dict[str, float]:
+    """One-line amortized-build transparency (VERDICT r11 wrong #1 /
+    next #4): the tf projection and the orderkey-bucketed silver are
+    built UNTIMED at plan construction (at-rest layout accounting —
+    written once per corpus version, like a lake's ingest job), so the
+    artifact carries their COLD build cost explicitly. Measured by
+    wiping the stamped scratch dirs and timing the ensure() calls,
+    BEFORE the headline plans are built — the headline run then pays
+    only the warm-stamp fast path, exactly as every session after the
+    corpus lands."""
+    import hashlib
+    import shutil
+
+    from duckdb_pipeline_spark.queries import bucketed, tokcache
+
+    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = tokcache._repo_root()
+    out: dict[str, float] = {}
+    shutil.rmtree(os.path.join(root, ".scratch", "toktf", label), ignore_errors=True)
+    t0 = time.time()
+    tokcache._ensure_doc_tf(spark, sf_dir)
+    out["toktf_build"] = round(time.time() - t0, 3)
+    for table in ("orders", "lineitem"):
+        shutil.rmtree(
+            os.path.join(root, ".scratch", "bucketed", label, table),
+            ignore_errors=True,
+        )
+    t0 = time.time()
+    bucketed._ensure_bucketed(spark, sf_dir, "orders")
+    bucketed._ensure_bucketed(spark, sf_dir, "lineitem")
+    out["bkt_silver_build"] = round(time.time() - t0, 3)
+    return out
+
+
+# Layout-attribution rows (VERDICT r11 #4): timed like the headline
+# (warmup + min of passes) but kept OUTSIDE the official v2 basis so
+# the anchor composition stays frozen. q3_top_orders_plain is the best
+# plain-layout Q3 plan; its DuckDB twin is the q3_top_orders row
+# (same oracle SQL, plain files) — the extras row makes the
+# serving-vs-plain layout delta attributable from the artifact alone.
+EXTRA_QUERIES = ["q3_top_orders_plain"]
+
+
 def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
     """Run both engines with INTERLEAVED round-robin passes (spark pass
     1, duck pass 1, spark pass 2, ...): this host's background load
@@ -235,19 +283,21 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
     import __spark_entry__ as entrymod
 
     spark = _spark_session(cpus, sf_dir)
+    extras = _cold_build_costs(spark, sf_dir)
     qs = entrymod.queries()
     # one broken query must not kill the whole artifact (a round-4-style
     # environment change broke one query at ANALYSIS time; the bench
     # record is worth more than its completeness) — drop it with a note
     dfs = {}
     broken = []
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA_QUERIES:
         try:
             dfs[name] = qs[name](spark, sf_dir)
         except Exception as exc:
             broken.append(name)
             print(f"bench: dropping {name}: {exc}", file=sys.stderr)
     live = [n for n in HEADLINE if n not in broken]
+    live_extras = [n for n in EXTRA_QUERIES if n not in broken]
 
     def srun(name: str) -> float:
         t0 = time.time()
@@ -319,15 +369,15 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
             con.execute(oracles[name]).fetchall()
             return time.time() - t0
 
-    for name in live:  # untimed warmup (JVM, codegen, listing)
+    for name in live + live_extras:  # untimed warmup (JVM, codegen, listing)
         srun(name)
     for name in duck_names:
         drun(name)
 
-    ss: dict[str, list[float]] = {name: [] for name in live}
+    ss: dict[str, list[float]] = {name: [] for name in live + live_extras}
     ds: dict[str, list[float]] = {name: [] for name in duck_names}
     for _ in range(5):
-        for name in live:
+        for name in live + live_extras:
             ss[name].append(srun(name))
         for name in duck_names:
             ds[name].append(drun(name))
@@ -338,6 +388,8 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
         if max(ss[name]) > 1.3 * best:  # spiky query: one more vote
             best = min(best, srun(name))
         timings[name] = round(best, 3)
+    for name in live_extras:
+        extras[name] = round(min(ss[name]), 3)
     duck: dict[str, float] = {}
     for name in duck_names:
         best = min(ds[name])
@@ -345,7 +397,7 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
             best = min(best, drun(name))
         duck[name] = round(best, 3)
     spark.stop()
-    return timings, duck, broken
+    return timings, duck, broken, extras
 
 
 def main() -> None:
@@ -355,22 +407,32 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
-    timings, duck, dropped = bench_both(sf_dir, cpus, skip_duck)
+    timings, duck, dropped, extras = bench_both(sf_dir, cpus, skip_duck)
     v2set = set(V2_ADDITIONS)
     # official gate numbers (round 11+): the v2 51-query basis —
     # everything in HEADLINE (anchor: BENCH_r10's v2_basis_ratio 1.467)
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3) if duck else None
     ratio = round(total / duck_total, 3) if duck_total else None
-    # the retired r9 41-query basis, carried one round for continuity
-    # (identical composition to BENCH_r09/r10's official number)
-    r9_total = round(sum(v for k, v in timings.items() if k not in v2set), 3)
-    r9_duck = (
-        round(sum(v for k, v in duck.items() if k not in v2set), 3)
-        if duck
-        else None
-    )
-    r9_ratio = round(r9_total / r9_duck, 3) if r9_duck else None
+    # Normalizer policy (VERDICT r11 #8, pinned round 12): the OFFICIAL
+    # round-over-round number is `ratio_vs_duckdb_same_session` — the
+    # per-query min-of-5 INTERLEAVED same-session DuckDB twin is the
+    # normalizer, and the ratio of basis totals is the headline (raw
+    # wall totals drift ±15-30% with host load on BOTH engines and are
+    # not comparable across sessions; the twin-normalized ratio is).
+    # `ratio_per_query_median` is a secondary FLOOR indicator, not a
+    # throughput number: the median headline query is sub-second at
+    # sf0.1, where Spark's ~0.15-0.4 s per-query scheduling floor sits
+    # against DuckDB's ~1 ms parse, so expect ~2-4 here by construction
+    # (measured 3.6 at sf0.1; the same queries cross below 1x at sf10 —
+    # BASELINE). Track it round-over-round for FLOOR regressions (a
+    # jump means added per-query jobs, the VERDICT r8 job-floor class);
+    # read throughput from the totals ratio.
+    pq = sorted(timings[k] / duck[k] for k in duck if duck[k] > 0)
+    pq_median = round(pq[len(pq) // 2], 3) if pq else None
+    # the retired r9 41-query basis was carried through BENCH_r11 for
+    # continuity and is dropped from the stdout line in round 12 (the
+    # 2 KB driver capture is the binding budget; history in BENCH_r09-11)
     base_total = round(
         sum(
             v
@@ -405,13 +467,12 @@ def main() -> None:
         "duckdb_value": duck_total,
         "duckdb_queries": duck,
         "ratio_vs_duckdb_same_session": ratio,
+        "ratio_per_query_median": pq_median,
         "basis": "v2 (51-query, official since r11; anchor BENCH_r10 v2 1.467)",
-        "r9_basis_value": r9_total,
-        "r9_basis_duckdb_value": r9_duck,
-        "r9_basis_ratio": r9_ratio,
         "r5_basis_value": base_total,
         "r5_basis_duckdb_value": base_duck,
         "r5_basis_ratio": base_ratio,
+        "extras": extras,
         "dropped": dropped,
     }
     print("bench detail: " + json.dumps(detail), file=sys.stderr)
@@ -436,12 +497,11 @@ def main() -> None:
                 "sf": sf,
                 "duckdb_value": duck_total,
                 "ratio_vs_duckdb_same_session": ratio,
-                "r9_basis_value": r9_total,
-                "r9_basis_duckdb_value": r9_duck,
-                "r9_basis_ratio": r9_ratio,
+                "ratio_per_query_median": pq_median,
                 "r5_basis_value": base_total,
                 "r5_basis_duckdb_value": base_duck,
                 "r5_basis_ratio": base_ratio,
+                "extras": extras,
                 "dropped": dropped,
             },
             separators=(",", ":"),
