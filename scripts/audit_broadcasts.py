@@ -72,6 +72,11 @@ SKIP_PREFIXES = (
     "snapshot_drift_report",
     "snapshot_cdc_diff",
     "read_version_pinned",
+    # round-12: lands the base corpus + builds/appends the tf
+    # projection at construction (the incremental-protocol shape); its
+    # one broadcast is the duplicate guard's distinct batch-id side,
+    # batch-bounded by construction
+    "toktf_append_equals_rebuild",
 )
 
 
