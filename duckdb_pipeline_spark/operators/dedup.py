@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
+from pyspark.sql.column import Column
 
 
 def word_shingles(
@@ -633,6 +634,42 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Casefold + trim + collapse internal whitespace — the standard
+    normalization applied before exact dedup in web-corpus pipelines
+    (the CCNet/Dolma "exact dedup after normalization" tier between raw
+    byte-hash dedup and MinHash: catches trivially re-encoded twins at
+    exact-dedup cost). Expressed with built-ins only so both engines
+    compute the identical key (Spark regexp_replace is global by
+    default; the oracle SQL passes the 'g' flag)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def normalized_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED content key. Same single-shuffle
+    shape as `exact_dedup` (normalization is a map-side expression, so
+    the 100 TB cost is identical: one groupBy on a 32-byte hash);
+    `n_raw_variants` counts how many distinct RAW hashes each
+    normalized group collapses — the rows this tier catches that raw
+    exact dedup misses."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(norm).alias("norm_hash"),
+            F.md5(F.col(text_col)).alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
     )
 
 

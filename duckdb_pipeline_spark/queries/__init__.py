@@ -113,8 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "stream_user_state_totals",
     "user_sessions_gap30",
     # ---- round-13 window candidates (lead the next rotation):
-    # (a) q3_top_orders_plain (new r12, the resurrected plain-layout
-    # bench row — frozen out per the newcomer policy);
+    # (a) the r12 newcomers frozen out per policy: q3_top_orders_plain
+    # (the resurrected plain-layout bench row) and
+    # dedup_exact_normalized (normalization-keyed exact dedup tier);
     # (b) sketch_ndv_audit / sketch_quantiles_audit /
     # sketch_hll_merge_audit (r8; VERDICT r11 #7) plus the 2 rows-only
     # estimates excluded above and q1_pricing_summary_fast (r7);

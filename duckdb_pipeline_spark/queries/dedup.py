@@ -95,6 +95,50 @@ FROM corpus GROUP BY md5(text)
 """
 
 
+def dedup_exact_normalized(spark, sf_dir):
+    """Normalization-keyed exact dedup (round 12): the standard tier
+    between raw byte-hash dedup and MinHash — casefold + trim +
+    whitespace-collapse, then content-hash groupBy (one shuffle, same
+    100 TB cost as `dedup_exact`). The test corpus plants twins raw
+    hashing CANNOT catch: an uppercased slice (doc_id % 10 == 0) and a
+    whitespace-mangled slice (doc_id % 10 == 5, doubled internal +
+    padded edge spaces); `n_raw_variants` > 1 marks exactly the groups
+    this tier collapses that raw exact dedup misses."""
+    from ..operators.dedup import normalized_exact_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    upper_twin = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), F.upper("text").alias("text")
+    )
+    ws_twin = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2 * ID_SHIFT).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        ).alias("text"),
+    )
+    return normalized_exact_dedup(docs.unionByName(upper_twin).unionByName(ws_twin))
+
+
+DEDUP_EXACT_NORM_SQL = f"""
+WITH ncorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * ID_SHIFT} AS doc_id,
+         '  ' || replace(text, ' ', '  ') || ' ' AS text
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies,
+       count(DISTINCT md5(text)) AS n_raw_variants
+FROM ncorpus
+GROUP BY 1
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
     with exact shingle Jaccard >= 0.5 (shuffle-minimal mapInPandas
@@ -1773,6 +1817,11 @@ QUERIES = {
         "planted-twin recall audit of the MinHash-LSH dedup pipeline",
     ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact content-hash dedup"),
+    "dedup_exact_normalized": QuerySpec(
+        dedup_exact_normalized,
+        DEDUP_EXACT_NORM_SQL,
+        "normalization-keyed exact dedup (casefold+whitespace tier before MinHash)",
+    ),
     "dedup_span_scrub": QuerySpec(
         dedup_span_scrub,
         DEDUP_SPAN_SCRUB_SQL,

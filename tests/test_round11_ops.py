@@ -265,6 +265,27 @@ def test_append_doc_tf_duplicate_guard(spark, tmp_path):
     assert n10 == 2
 
 
+def test_normalized_exact_dedup_collapses_case_and_whitespace(spark):
+    """Round-12 tier: twins differing only in case / edge+internal
+    whitespace share one normalized group (raw hashes differ ->
+    n_raw_variants counts them); genuinely different texts do not."""
+    from duckdb_pipeline_spark.operators.dedup import normalized_exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "  hello world "),   # case + whitespace twin of 1
+            (3, "HELLO WORLD"),      # case twin of 1
+            (4, "hello words"),      # different content
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.keeper_id: r for r in normalized_exact_dedup(df).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1].n_copies == 3 and rows[1].n_raw_variants == 3
+    assert rows[4].n_copies == 1 and rows[4].n_raw_variants == 1
+
+
 def test_toktf_append_query_matches_duckdb_oracle(spark, sf_dir):
     """The declared protocol row, checked locally exactly the way the
     driver checks it (oracle_check.compare) at the pytest scale."""
