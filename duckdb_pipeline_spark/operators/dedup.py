@@ -637,15 +637,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# The whitespace class is EXPLICIT (not \s) because the two engines'
+# regex dialects disagree at the edges: Java \s includes \x0B vertical
+# tab, RE2 (DuckDB) \s does not — a text containing \x0B would hash
+# differently per engine and break oracle parity (ADVICE r12). This
+# class is the intersection both dialects spell identically.
+NORM_WS_CLASS = r"[ \t\r\n\f\x0B]+"
+
+
 def normalize_text(col: Column) -> Column:
-    """Casefold + trim + collapse internal whitespace — the standard
+    """Casefold + collapse whitespace + trim — the standard
     normalization applied before exact dedup in web-corpus pipelines
     (the CCNet/Dolma "exact dedup after normalization" tier between raw
     byte-hash dedup and MinHash: catches trivially re-encoded twins at
     exact-dedup cost). Expressed with built-ins only so both engines
-    compute the identical key (Spark regexp_replace is global by
-    default; the oracle SQL passes the 'g' flag)."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    compute the identical key: the explicit NORM_WS_CLASS (see above)
+    replaces \\s, and the collapse runs BEFORE trim so edge tabs /
+    newlines reduce to ' ' and are then trimmed by both engines' plain
+    space-trim identically. Residual caveat (documented, not fixed):
+    JVM lower() and DuckDB lower() can diverge on exotic Unicode
+    casefold edge cases (e.g. U+0130 İ) — the corpus contract here is
+    ASCII-cased text; a locale-robust tier would key on
+    unicode-NFKC+casefold via an Arrow kernel."""
+    return F.trim(F.regexp_replace(F.lower(col), NORM_WS_CLASS, " "))
 
 
 def normalized_exact_dedup(

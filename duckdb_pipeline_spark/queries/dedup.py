@@ -130,7 +130,7 @@ WITH ncorpus AS (
          '  ' || replace(text, ' ', '  ') || ' ' AS text
   FROM documents WHERE doc_id % 10 = 5
 )
-SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_hash,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g'))) AS norm_hash,
        min(doc_id) AS keeper_id,
        count(*) AS n_copies,
        count(DISTINCT md5(text)) AS n_raw_variants

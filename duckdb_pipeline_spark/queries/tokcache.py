@@ -199,6 +199,24 @@ def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -
     supersession are pytest-pinned."""
     tname = _ensure_doc_tf(spark, sf_dir)
     if check_duplicates:
+        # probe #1 — INTRA-batch duplicates (ADVICE r12): the
+        # table-overlap probe below distincts the batch side, and
+        # batch_tf's groupBy would merge a repeated doc_id's rows into
+        # one double-counted tf — the exact silent failure this guard
+        # exists to prevent, arriving inside a single batch instead of
+        # across appends. One extra agg on the (small) batch.
+        sizes = new_docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        ).collect()[0]
+        if sizes.n != sizes.n_ids:
+            raise ValueError(
+                f"append_doc_tf: batch contains duplicate doc_ids "
+                f"({sizes.n} rows, {sizes.n_ids} distinct) — a repeated "
+                "doc_id would merge into one double-counted tf row; "
+                "dedup the batch before appending"
+            )
+        # probe #2 — overlap with the existing table
         dup = (
             spark.table(tname)
             .select("doc_id")
@@ -244,8 +262,20 @@ def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -
         st["appends"] = int(st.get("appends", 0)) + 1
         with open(marker, "w") as fh:
             json.dump(st, fh)
-    except (OSError, ValueError):
-        pass
+    except (OSError, ValueError) as exc:
+        # LOUD by design (VERDICT r12 wrong #1): the append itself
+        # succeeded, but the marker _ensure_doc_tf just wrote cannot be
+        # read back / re-stamped. A missing or corrupt marker makes the
+        # NEXT _ensure_doc_tf rebuild from source — silently discarding
+        # every appended batch. That is data loss in the hourly cadence
+        # this function exists for, so surface it immediately; the
+        # operator can re-stamp by hand or rebuild + re-append.
+        raise RuntimeError(
+            f"append_doc_tf: appended batch to {tname} but failed to "
+            f"re-stamp {marker} ({exc!r}) — without the stamp the next "
+            "_ensure_doc_tf will rebuild from source and DISCARD the "
+            "appended docs; restore the marker before serving this table"
+        ) from exc
     return tname
 
 
