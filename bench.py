@@ -235,23 +235,29 @@ def _cold_build_costs(spark, sf_dir: str) -> dict[str, float]:
     BEFORE the headline plans are built — the headline run then pays
     only the warm-stamp fast path, exactly as every session after the
     corpus lands."""
-    import hashlib
+    # Scratch paths come from the owning modules' cache_location
+    # helpers (ADVICE r12: hardcoding the layout here meant a scheme
+    # drift silently no-op'd the wipe and reported the warm fast path
+    # as "cold"). Single-session assumption: the wipe deletes live data
+    # files — nothing else may be serving these tables concurrently
+    # (the standing bench-isolation rule, harness-gotchas).
     import shutil
 
     from duckdb_pipeline_spark.queries import bucketed, tokcache
 
-    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = tokcache._repo_root()
     out: dict[str, float] = {}
-    shutil.rmtree(os.path.join(root, ".scratch", "toktf", label), ignore_errors=True)
+    tok_path = tokcache.cache_location(sf_dir, "space")[1]
+    shutil.rmtree(tok_path, ignore_errors=True)
+    if os.path.exists(tok_path):
+        raise RuntimeError(f"cold-build wipe failed to remove {tok_path}")
     t0 = time.time()
     tokcache._ensure_doc_tf(spark, sf_dir)
     out["toktf_build"] = round(time.time() - t0, 3)
     for table in ("orders", "lineitem"):
-        shutil.rmtree(
-            os.path.join(root, ".scratch", "bucketed", label, table),
-            ignore_errors=True,
-        )
+        bkt_path = bucketed.cache_location(sf_dir, table)[1]
+        shutil.rmtree(bkt_path, ignore_errors=True)
+        if os.path.exists(bkt_path):
+            raise RuntimeError(f"cold-build wipe failed to remove {bkt_path}")
     t0 = time.time()
     bucketed._ensure_bucketed(spark, sf_dir, "orders")
     bucketed._ensure_bucketed(spark, sf_dir, "lineitem")
@@ -265,7 +271,15 @@ def _cold_build_costs(spark, sf_dir: str) -> dict[str, float]:
 # plain-layout Q3 plan; its DuckDB twin is the q3_top_orders row
 # (same oracle SQL, plain files) — the extras row makes the
 # serving-vs-plain layout delta attributable from the artifact alone.
-EXTRA_QUERIES = ["q3_top_orders_plain"]
+EXTRA_QUERIES = [
+    "q3_top_orders_plain",
+    # round-13 (VERDICT r12 #6): the normalization-keyed exact-dedup
+    # tier gets a timed row in the artifact (it has a two-engine sf10
+    # row in BASELINE — 0.98x — but had no per-round presence here);
+    # stays OUTSIDE the official v2 basis so the anchor composition
+    # remains frozen.
+    "dedup_exact_normalized",
+]
 
 
 def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
@@ -382,22 +396,27 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
         for name in duck_names:
             ds[name].append(drun(name))
 
-    timings: dict[str, float] = {}
+    # raw (unrounded) best times feed the per-query ratio indicator —
+    # rounding first silently dropped any DuckDB twin under ~0.5 ms via
+    # the >0 filter, i.e. exactly the extreme floor ratios the
+    # indicator exists to track (ADVICE r12). The artifact's per-query
+    # values stay rounded to 3 decimals as before.
+    timings_raw: dict[str, float] = {}
     for name in live:
         best = min(ss[name])
         if max(ss[name]) > 1.3 * best:  # spiky query: one more vote
             best = min(best, srun(name))
-        timings[name] = round(best, 3)
+        timings_raw[name] = best
     for name in live_extras:
         extras[name] = round(min(ss[name]), 3)
-    duck: dict[str, float] = {}
+    duck_raw: dict[str, float] = {}
     for name in duck_names:
         best = min(ds[name])
         if max(ds[name]) > 1.3 * best:
             best = min(best, drun(name))
-        duck[name] = round(best, 3)
+        duck_raw[name] = best
     spark.stop()
-    return timings, duck, broken, extras
+    return timings_raw, duck_raw, broken, extras
 
 
 def main() -> None:
@@ -407,7 +426,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
-    timings, duck, dropped, extras = bench_both(sf_dir, cpus, skip_duck)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    timings_raw, duck_raw, dropped, extras = bench_both(sf_dir, cpus, skip_duck)
+    timings = {k: round(v, 3) for k, v in timings_raw.items()}
+    duck = {k: round(v, 3) for k, v in duck_raw.items()}
     v2set = set(V2_ADDITIONS)
     # official gate numbers (round 11+): the v2 51-query basis —
     # everything in HEADLINE (anchor: BENCH_r10's v2_basis_ratio 1.467)
@@ -428,8 +450,19 @@ def main() -> None:
     # BASELINE). Track it round-over-round for FLOOR regressions (a
     # jump means added per-query jobs, the VERDICT r8 job-floor class);
     # read throughput from the totals ratio.
-    pq = sorted(timings[k] / duck[k] for k in duck if duck[k] > 0)
-    pq_median = round(pq[len(pq) // 2], 3) if pq else None
+    # unrounded times + epsilon floor on the denominator (a sub-ms
+    # DuckDB parse is a real floor ratio, not a row to drop); true
+    # median (average of the two middle elements for even counts)
+    pq = sorted(
+        timings_raw[k] / max(duck_raw[k], 1e-6) for k in duck_raw
+    )
+    if pq:
+        mid = len(pq) // 2
+        pq_median = round(
+            pq[mid] if len(pq) % 2 else (pq[mid - 1] + pq[mid]) / 2, 3
+        )
+    else:
+        pq_median = None
     # the retired r9 41-query basis was carried through BENCH_r11 for
     # continuity and is dropped from the stdout line in round 12 (the
     # 2 KB driver capture is the binding budget; history in BENCH_r09-11)
@@ -474,6 +507,16 @@ def main() -> None:
         "r5_basis_ratio": base_ratio,
         "extras": extras,
         "dropped": dropped,
+        # host-load attribution (VERDICT r12 #5): out-of-band draws
+        # like r12's 1.59 (vs the 1.40-1.52 same-code band) were the
+        # documented busy-host pattern but unprovable from the
+        # artifact. loadavg_start (1/5/15-min, BEFORE the session
+        # starts) is the signal — a non-idle box at draw start means
+        # the draw shared the machine; loadavg_end is dominated by the
+        # bench's own 32-thread bursts and is recorded only for
+        # completeness.
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print("bench detail: " + json.dumps(detail), file=sys.stderr)
     try:

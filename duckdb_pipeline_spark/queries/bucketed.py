@@ -68,6 +68,17 @@ def _ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def cache_location(sf_dir: str, table: str) -> tuple[str, str]:
+    """(table_name, data_dir) for a corpus dir + bucketed table — the
+    single source of truth for the bucketed-layout scratch scheme
+    (bench.py's cold-build wipe uses this instead of hardcoding the
+    path, so a layout change breaks loudly there; ADVICE r12)."""
+    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"bkt_{table}_{label}", os.path.join(
+        _repo_root(), ".scratch", "bucketed", label, table
+    )
+
+
 def _ensure_bucketed(spark, sf_dir: str, table: str) -> str:
     """Write (once per corpus version) the bucketed layout for
     ``table`` and register it in this session's catalog; returns the
@@ -75,10 +86,7 @@ def _ensure_bucketed(spark, sf_dir: str, table: str) -> str:
     CONTENT (size + sha256) — same contract as the IVF/band-index
     caches."""
     key, sort_cols = _SPECS[table]
-    absd = os.path.abspath(sf_dir)
-    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
-    tname = f"bkt_{table}_{label}"
-    path = os.path.join(_repo_root(), ".scratch", "bucketed", label, table)
+    tname, path = cache_location(sf_dir, table)
     src = os.path.join(sf_dir, f"{table}.parquet")
 
     # Fast-path staleness on (size, mtime) like a lake manifest; the

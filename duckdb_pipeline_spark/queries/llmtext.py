@@ -952,6 +952,85 @@ LIMIT 500
 """
 
 
+_U_SHIFT = 40_000_000  # planted-twin id offset (distinct from dedup's)
+
+
+def vocab_top_tokens_unicode(spark, sf_dir):
+    """Vocabulary counts on the UNICODE tokenizer tier (round 13,
+    VERDICT r12 #2): the same top-500 fold as `vocab_top_tokens`, but
+    tokens come from the `tokenizer="unicode"` tf projection — casefold
+    + maximal [\\p{L}\\p{N}]+ runs, so punctuation binds to nothing and
+    non-ASCII delimiters split (the whitespace tier gets BOTH wrong on
+    real text). To make the tier's behavior observable on the synthetic
+    lowercase-space corpus, the query plants decorated twins the space
+    tokenizer would mangle: an UPPERCASED comma-joined slice
+    (doc_id % 7 == 0 — space-split would emit 'word,' tokens; unicode
+    recovers the casefolded words) and an em-dash-joined slice
+    (doc_id % 7 == 3 — space-split would see ONE giant token). The
+    planted corpus lands as its own corpus dir and is served through
+    `_ensure_doc_tf(tokenizer='unicode')`, so the driver row checks the
+    full tier: build, stamp, bucketed serve, and cross-engine regex
+    parity (the oracle re-derives the tokens from raw text with RE2
+    regexp_extract_all)."""
+    import hashlib
+    import os
+
+    from .tokcache import _repo_root, doc_tf
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "source")
+    punct_twin = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _U_SHIFT).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(", "))).alias("text"),
+        "source",
+    )
+    dash_twin = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2 * _U_SHIFT).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("—")).alias("text"),
+        "source",
+    )
+    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    qdir = os.path.join(_repo_root(), ".scratch", "vocab_u_q", label)
+    (
+        base.unionByName(punct_twin)
+        .unionByName(dash_twin)
+        .write.mode("overwrite")
+        .parquet(os.path.join(qdir, "documents.parquet"))
+    )
+    tf = doc_tf(spark, qdir, tokenizer="unicode")
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(500)
+    )
+
+
+VOCAB_TOP_UNICODE_SQL = f"""
+WITH ucorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_U_SHIFT} AS doc_id, upper(replace(text, ' ', ', ')) AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _U_SHIFT} AS doc_id, replace(text, ' ', '—') AS text
+  FROM documents WHERE doc_id % 7 = 3
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS token
+  FROM ucorpus
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 500
+"""
+
+
 _MIX_BUDGET = 1_000_000
 
 
@@ -1271,6 +1350,11 @@ QUERIES = {
     ),
     "vocab_top_tokens": QuerySpec(
         vocab_top_tokens, VOCAB_TOP_SQL, "tokenizer-prep vocabulary counts"
+    ),
+    "vocab_top_tokens_unicode": QuerySpec(
+        vocab_top_tokens_unicode,
+        VOCAB_TOP_UNICODE_SQL,
+        "vocabulary counts on the casefolded Unicode-run tokenizer tier",
     ),
     "corpus_mix_allocation": QuerySpec(
         corpus_mix_allocation, CORPUS_MIX_SQL, "largest-remainder pretraining-mix apportionment"

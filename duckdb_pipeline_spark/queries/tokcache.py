@@ -12,12 +12,15 @@ fold downstream (n_tokens, type counts, top-token) consumes it with NO
 Exchange: Spark proves the groupBy(doc_id) distribution from the bucket
 spec.
 
-Semantics: tf = count per (doc_id, token) of `split(text, ' ')` with
-EMPTY TOKENS KEPT — so `sum(tf)` per doc equals `size(split(...))`
-exactly (what text_repetition_stats needs); consumers that exclude
-empties (`text_unigram_xent`, `corpus_budget_select`) filter
-`token != ''` on the read, which is a data-reducing map-side predicate,
-not a second derivation.
+Semantics (default "space" tier): tf = count per (doc_id, token) of
+`split(text, ' ')` with EMPTY TOKENS KEPT — so `sum(tf)` per doc equals
+`size(split(...))` exactly (what text_repetition_stats needs);
+consumers that exclude empties (`text_unigram_xent`,
+`corpus_budget_select`) filter `token != ''` on the read, which is a
+data-reducing map-side predicate, not a second derivation. Round 13
+adds a second tier, `tokenizer="unicode"` (casefold + maximal
+[\\p{L}\\p{N}]+ runs), materialized as its OWN bucketed table — see
+the tokenizer registry below.
 
 Staleness follows the band-index/bucketed-layout contract: (size,
 mtime) fast path, sha256 slow path, absolute-dir-hashed cache location;
@@ -42,23 +45,66 @@ from .common import load
 _N_BUCKETS = 32  # parallelism ceiling of the bucketed scan; see
 # queries/bucketed.py:_N_BUCKETS for the measured rationale
 
+# ------------------------------------------------------------ tokenizers
+#
+# Round 13 (VERDICT r12 #2): the projection supports TWO tokenizer
+# tiers. "space" is the historical split-space-v2 scheme (empty tokens
+# kept so sum(tf) == size(split()) — what text_repetition_stats needs);
+# "unicode" is the real-corpus tier — casefold, then extract maximal
+# Unicode alphanumeric runs ([\p{L}\p{N}]+), so punctuation binds to
+# nothing, case folds at the token level, and non-ASCII delimiters
+# (em-dash, CJK punctuation) split. Both patterns are spelled
+# identically in Java regex (Spark) and RE2 (DuckDB oracles) — \p{L} /
+# \p{N} are common syntax — and pytest pins the differential. Each tier
+# materializes its OWN bucketed table (separate scheme tag + dir), so
+# consumers mix tiers without invalidating each other.
+UNICODE_TOKEN_RE = r"[\p{L}\p{N}]+"
+
+_SCHEMES = {"space": "split-space-v2", "unicode": "unicode-word-v1"}
+
+
+def _tokens_expr(tokenizer: str):
+    """The token-array expression for a tier — the ONLY place a tier's
+    tokenization is defined on the Spark side (append and ensure share
+    it; every consumer's oracle re-derives it inline in DuckDB)."""
+    if tokenizer == "space":
+        return F.split("text", " ")
+    if tokenizer == "unicode":
+        # extract_all never yields empty tokens; a doc with no
+        # alphanumeric runs contributes NO tf rows (explode drops [])
+        return F.regexp_extract_all(F.lower("text"), F.lit(UNICODE_TOKEN_RE), 0)
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (use 'space' or 'unicode')")
+
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cache_location(sf_dir: str, tokenizer: str = "space") -> tuple[str, str, str]:
+    """(table_name, data_dir, marker_path) for a corpus dir + tier —
+    the single source of truth for the projection's scratch layout
+    (bench.py's cold-build wipe uses this instead of hardcoding the
+    scheme, so a layout change breaks loudly there; ADVICE r12)."""
+    if tokenizer not in _SCHEMES:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # the space tier keeps its historical layout (existing caches stay
+    # valid); other tiers suffix both the label dir and the table name
+    if tokenizer != "space":
+        label = f"{label}_{tokenizer[0]}"
+    path = os.path.join(_repo_root(), ".scratch", "toktf", label)
+    return f"toktf_{label}", path, os.path.join(path, "_SRC.json")
 
 
 def _ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
-def _ensure_doc_tf(spark, sf_dir: str) -> str:
-    """Materialize (once per corpus version) the (doc_id, token, tf)
-    projection of `documents` as a bucketed(doc_id) catalog table;
-    returns the table name."""
-    absd = os.path.abspath(sf_dir)
-    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
-    tname = f"toktf_{label}"
-    path = os.path.join(_repo_root(), ".scratch", "toktf", label)
+def _ensure_doc_tf(spark, sf_dir: str, tokenizer: str = "space") -> str:
+    """Materialize (once per corpus version and tokenizer tier) the
+    (doc_id, token, tf) projection of `documents` as a bucketed(doc_id)
+    catalog table; returns the table name."""
+    tname, path, marker = cache_location(sf_dir, tokenizer)
     src = os.path.join(sf_dir, "documents.parquet")
 
     # `documents.parquet` is a single file in the driver's testdata but
@@ -78,8 +124,7 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
     sizes = [os.stat(f) for f in parts]
     size = sum(s.st_size for s in sizes)
     mtime_ns = max((s.st_mtime_ns for s in sizes), default=0)
-    spec = {"n_buckets": _N_BUCKETS, "key": "doc_id", "scheme": "split-space-v2"}
-    marker = os.path.join(path, "_SRC.json")
+    spec = {"n_buckets": _N_BUCKETS, "key": "doc_id", "scheme": _SCHEMES[tokenizer]}
     old = None
     try:
         with open(marker) as fh:
@@ -123,7 +168,7 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
             .select(
                 "doc_id",
                 "source",
-                F.explode(F.split("text", " ")).alias("token"),
+                F.explode(_tokens_expr(tokenizer)).alias("token"),
             )
             # source is functionally dependent on doc_id, so carrying
             # it through the groupBy adds no groups — it rides along
@@ -159,12 +204,18 @@ def _ensure_doc_tf(spark, sf_dir: str) -> str:
     return tname
 
 
-def doc_tf(spark, sf_dir: str):
+def doc_tf(spark, sf_dir: str, tokenizer: str = "space"):
     """The shared (doc_id, token, tf) relation, bucketed by doc_id."""
-    return spark.table(_ensure_doc_tf(spark, sf_dir))
+    return spark.table(_ensure_doc_tf(spark, sf_dir, tokenizer))
 
 
-def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -> str:
+def append_doc_tf(
+    spark,
+    sf_dir: str,
+    new_docs,
+    check_duplicates: bool = True,
+    tokenizer: str = "space",
+) -> str:
     """Incrementally EXTEND the tf projection with a new document
     batch — the hourly-cron shape (the reference's cadence,
     run_serialise_raw_data.py): tokenize ONLY the arriving docs and
@@ -197,7 +248,7 @@ def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -
     optimization, never a substitute for the staleness contract.
     Append==rebuild equality, append composition, and source-governed
     supersession are pytest-pinned."""
-    tname = _ensure_doc_tf(spark, sf_dir)
+    tname = _ensure_doc_tf(spark, sf_dir, tokenizer)
     if check_duplicates:
         # probe #1 — INTRA-batch duplicates (ADVICE r12): the
         # table-overlap probe below distincts the batch side, and
@@ -237,7 +288,7 @@ def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -
         new_docs.select(
             "doc_id",
             "source",
-            F.explode(F.split("text", " ")).alias("token"),
+            F.explode(_tokens_expr(tokenizer)).alias("token"),
         )
         .groupBy("doc_id", "source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -253,9 +304,7 @@ def append_doc_tf(spark, sf_dir: str, new_docs, check_duplicates: bool = True) -
     # serving the union; consecutive appends compose); the counter
     # records that the table leads the source. A real source change
     # still mismatches and rebuilds from the new version alone.
-    absd = os.path.abspath(sf_dir)
-    label = hashlib.sha256(absd.encode()).hexdigest()[:12]
-    marker = os.path.join(_repo_root(), ".scratch", "toktf", label, "_SRC.json")
+    marker = cache_location(sf_dir, tokenizer)[2]
     try:
         with open(marker) as fh:
             st = json.load(fh)

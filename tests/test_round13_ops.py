@@ -58,7 +58,7 @@ def test_append_doc_tf_restamp_failure_is_loud(spark, tmp_path, monkeypatch):
     tname = tokcache._ensure_doc_tf(spark, d)
     # simulate the marker corrupting between ensure() and the re-stamp:
     # pin ensure to the already-built table, then break the marker
-    monkeypatch.setattr(tokcache, "_ensure_doc_tf", lambda s, sd: tname)
+    monkeypatch.setattr(tokcache, "_ensure_doc_tf", lambda s, sd, tok="space": tname)
     import hashlib
 
     label = hashlib.sha256(os.path.abspath(d).encode()).hexdigest()[:12]
@@ -98,6 +98,98 @@ def test_append_doc_tf_restamp_success_counts(spark, tmp_path):
         )
         with open(marker) as fh:
             assert json.load(fh)["appends"] == i
+
+
+def test_unicode_tokenizer_tier_semantics_and_separation(spark, tmp_path):
+    """Round-13 tokenizer tier: the unicode projection casefolds,
+    strips punctuation, splits on non-alphanumeric runs (em-dash, CJK
+    punctuation), and materializes SEPARATELY from the space tier (the
+    two schemes never invalidate each other)."""
+    from duckdb_pipeline_spark.queries import tokcache
+
+    d = str(tmp_path / "sfu")
+    os.makedirs(d)
+    _land(
+        spark,
+        d,
+        [
+            (1, "Hello, World! hello", "en", "s0", 19),
+            (2, "foo—bar 日本語、テスト 42x", "ja", "s0", 16),
+            (3, "!!! ...", "en", "s0", 7),  # no alphanumeric runs at all
+        ],
+    )
+    utf = {
+        (r.doc_id, r.token): r.tf
+        for r in tokcache.doc_tf(spark, d, tokenizer="unicode").collect()
+    }
+    assert utf[(1, "hello")] == 2 and utf[(1, "world")] == 1
+    assert (1, "hello,") not in utf  # punctuation never binds
+    assert utf[(2, "foo")] == 1 and utf[(2, "bar")] == 1  # em-dash splits
+    assert utf[(2, "日本語")] == 1 and utf[(2, "テスト")] == 1  # 、 splits
+    assert utf[(2, "42x")] == 1
+    assert not any(k[0] == 3 for k in utf)  # punct-only doc: zero rows
+    # the space tier over the SAME corpus is a different table with the
+    # historical semantics (raw case kept, punctuation bound)
+    stf = {
+        (r.doc_id, r.token): r.tf
+        for r in tokcache.doc_tf(spark, d, tokenizer="space").collect()
+    }
+    assert (1, "Hello,") in stf and (1, "hello") in stf
+    t_u = tokcache.cache_location(d, "unicode")[0]
+    t_s = tokcache.cache_location(d, "space")[0]
+    assert t_u != t_s
+    assert spark.catalog.tableExists(t_u) and spark.catalog.tableExists(t_s)
+
+
+def test_unicode_tier_append_uses_same_tokenizer(spark, tmp_path):
+    """append_doc_tf(tokenizer='unicode') tokenizes the batch with the
+    tier's expression — appended rows are casefolded/punct-free and the
+    space tier's table is untouched."""
+    from duckdb_pipeline_spark.queries import tokcache
+
+    d = str(tmp_path / "sfua")
+    os.makedirs(d)
+    _land(spark, d, [(1, "base doc", "en", "s0", 8)])
+    tname = tokcache.append_doc_tf(
+        spark,
+        d,
+        spark.createDataFrame(
+            [(9, "New, TOKENS!", "s1")], "doc_id long, text string, source string"
+        ),
+        tokenizer="unicode",
+    )
+    got = {
+        r.token for r in spark.table(tname).where(F.col("doc_id") == 9).collect()
+    }
+    assert got == {"new", "tokens"}
+
+
+def test_unicode_token_re_matches_duckdb(spark):
+    """Differential: the tier's regex extracts the SAME token arrays in
+    Spark (Java regex) and DuckDB (RE2) across punctuation, case,
+    digits, CJK, and accented text."""
+    import duckdb
+
+    from duckdb_pipeline_spark.queries.tokcache import UNICODE_TOKEN_RE, _tokens_expr
+
+    texts = [
+        "Hello, World!",
+        "foo—bar_baz 42 x9",
+        "日本語、テスト。",
+        "Crème brûlée; naïve",
+        "", "   ", "!!!",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got_spark = {r.i: r.toks for r in df.select("i", _tokens_expr("unicode").alias("toks")).collect()}
+    con = duckdb.connect()
+    got_duck = {
+        i: con.execute(
+            "SELECT regexp_extract_all(lower(?), ?)", [t, UNICODE_TOKEN_RE]
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got_spark == got_duck
+    assert got_spark[0] == ["hello", "world"]
 
 
 def test_normalize_text_ws_class_matches_duckdb(spark):
