@@ -1094,6 +1094,50 @@ def minhash_band_index_write(
     out.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
 
 
+def minhash_band_index_append(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 8,
+) -> None:
+    """Append an admitted batch to the persisted band index — the write
+    half of the hourly trickle (probe gates admission, append indexes
+    what was admitted, so the NEXT batch's probe sees this one). Each
+    new doc's duplicate-cluster label resolves to the smallest existing
+    component among its band collisions (a probe against the current
+    index — partition-pruned, never a corpus rescan) or its own id if
+    it collides with nothing. Labels are incremental by construction:
+    duplicate pairs WITHIN one batch that match no indexed doc stay
+    separate singletons until a rebuild re-clusters — the same
+    incremental-vs-rebuild contract as `dedup_components_incremental`.
+
+    The append writes one file per touched (band, bucket) cell per
+    batch; after many batches the per-cell file count is the classic
+    small-files problem — run `sinks.compact_partitioned(spark, path,
+    ["band", "bucket"])` periodically (round 13; equality and preserved
+    pruning pinned in tests/test_round13_ops.py)."""
+    hits = minhash_band_index_probe(
+        spark, index_path, new_docs, id_col, text_col, n, num_hashes,
+        rows_per_band, n_buckets,
+    )
+    comp = hits.groupBy(id_col).agg(F.min("component").alias("component"))
+    sh = word_shingles(new_docs, id_col, text_col, n, distinct=False)
+    bands = lsh_bands(
+        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
+    )
+    out = (
+        bands.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
+    )
+    out.write.mode("append").partitionBy("band", "bucket").parquet(index_path)
+
+
 def minhash_band_index_probe(
     spark,
     index_path: str,

@@ -31,96 +31,93 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 12 window (VERDICT r11 #1: drain the r11 re-verification
-    # debt — every query whose PLAN changed in round 11 outside that
-    # round's window, every never-checked newcomer, and the oldest rows
-    # in the staleness ledger). Composition (recomputed this round by
-    # aggregating CORRECTNESS_r01-r11 against collect_all(); matches the
-    # verdict's recount):
-    #   (a) 3 r11 newcomers (never driver-checked) + the 1 r12 newcomer
-    #       `toktf_append_equals_rebuild` (VERDICT r11 #2 explicitly
-    #       requires a passing CORRECTNESS entry, overriding the
-    #       freeze-out-newcomers default);
-    #   (b) the 9 r11 serving-rewired queries whose latest driver rows
-    #       predate their tokcache/bucketed-serving plans, plus
-    #       q5_regional_revenue (r11 spine prefilter, last row r9);
-    #   (c) the 3 r5 holdovers (no more deferrals);
-    #   (d) the 10 r6-stale rows not already in (b) (vocab_top_tokens is
-    #       both r6-stale and serving-rewired — counted once);
-    #   (e) fill to 50 with 23 of the 26 r7-stale rows not already in
-    #       (b). Excluded, staying at r7 into round 13:
-    #       sketch_approx_quantiles + sketch_hll_merge (rows-only
-    #       estimates by design — a driver row carries the least
-    #       information; their hash-checked *_audit twins rotate in
-    #       r13 per VERDICT r11 #7) and q1_pricing_summary_fast
-    #       (plan-variant twin of in-window q1_pricing_summary).
-    # After this window lands green: no query's latest driver row is
-    # older than r7, satisfying the verdict's Done criterion.
+    # ---- round 13 window (VERDICT r12 #1 — it composes with zero
+    # slack; recomputed this round by aggregating CORRECTNESS_r01-r12
+    # against collect_all(), matching the verdict's ledger: 3 at r7,
+    # 44 at r8, 2 never-checked):
+    #   (a) the 2 r12 newcomers frozen out last round
+    #       (dedup_exact_normalized — whose whitespace class ALSO
+    #       changed this round, ADVICE r12 — and q3_top_orders_plain)
+    #       plus the 1 r13 newcomer `vocab_top_tokens_unicode`
+    #       (VERDICT r12 #2 explicitly requires a passing CORRECTNESS
+    #       entry for the tokenizer tier, overriding the
+    #       freeze-out-newcomers default — the toktf_append precedent);
+    #   (b) the 3 r7 rows: q1_pricing_summary_fast (the ledger's
+    #       oldest hash-checked row) and the 2 rows-only sketch
+    #       estimates (deferred twice; their *_audit twins are in (c));
+    #   (c) all 44 r8-stale rows — including the 3 sketch audits
+    #       (VERDICT r11 #7 commitment, deferred once) and
+    #       pipeline_corpus_prep, whose plan changed THIS round (the
+    #       composed normalization tier, VERDICT r12 #3).
+    # Round-13 plan changes already covered: pipeline_corpus_prep and
+    # dedup_exact_normalized are in-window; vocab_top_tokens_unicode is
+    # new in-window. toktf_append_equals_rebuild's append path gained
+    # an intra-batch guard + loud re-stamp (same query output; r12
+    # driver row green; re-verified locally this round via
+    # tests/oracle_check.py). The space-tier tf projection layout is
+    # byte-identical after the cache_location refactor, so the 13
+    # tokcache consumers' served plans are unchanged from their r12
+    # green rows. After this window lands green: no query's latest
+    # driver row is older than r9 (the verdict's Done criterion).
     #
     # (a) newcomers:
-    "stream_neardup_gate",
-    "snapshot_vacuum_audit",
-    "sketch_mg_heavyhitters_audit",
-    "toktf_append_equals_rebuild",
-    # (b) serving-rewired + q5:
-    "tfidf_top_terms",
-    "vocab_top_tokens",
-    "quality_zipf_audit",
-    "text_unigram_xent",
-    "search_docs_bm25",
-    "search_mrr_audit",
-    "quality_gopher_repetition",
-    "quality_expectations_gate",
-    "q3_top_orders",
-    "q5_regional_revenue",
-    # (c) r5 holdovers:
-    "pipeline_clean_events",
-    "pipeline_hourly_type_counts",
-    "sample_topk_per_group",
-    # (d) r6-stale:
-    "corpus_filter_funnel",
-    "funnel_view_to_purchase",
-    "histogram_prices",
-    "join_salted_skew",
-    "ngram_lm_counts",
-    "search_docs_keywords",
-    "stats_trimmed_mean",
-    "text_rolling_fingerprint",
-    "text_udtf_sentences",
-    "unnest_tokens",
-    # (e) r7-stale fill:
-    "agg_rollup",
-    "bpe_apply_tokenize",
-    "bpe_train_merges",
-    "corpus_mix_allocation",
-    "corpus_overlap_matrix",
-    "dedup_semantic_cells",
-    "dedup_span_exact",
-    "dedup_span_scrub",
-    "funnel_top_paths",
-    "fuzzy_match_names",
-    "multimodal_decode_features",
-    "multimodal_phash_groups",
-    "multimodal_wav_frames",
-    "q1_pricing_summary",
-    "quality_logreg_score",
-    "range_join_next_10m",
-    "similarity_adc_topk",
-    "similarity_adc_topk_np",
-    "similarity_topk_ivf",
-    "sketch_cms_user_counts",
-    "stream_dedup_events",
-    "stream_user_state_totals",
-    "user_sessions_gap30",
-    # ---- round-13 window candidates (lead the next rotation):
-    # (a) the r12 newcomers frozen out per policy: q3_top_orders_plain
-    # (the resurrected plain-layout bench row) and
-    # dedup_exact_normalized (normalization-keyed exact dedup tier);
-    # (b) sketch_ndv_audit / sketch_quantiles_audit /
-    # sketch_hll_merge_audit (r8; VERDICT r11 #7) plus the 2 rows-only
-    # estimates excluded above and q1_pricing_summary_fast (r7);
-    # (c) the remaining 42 r8-stale rows.
-    # Rotated out round 12 (driver-green r11, unchanged): the full r11
+    "dedup_exact_normalized",
+    "q3_top_orders_plain",
+    "vocab_top_tokens_unicode",
+    # (b) r7 rows:
+    "q1_pricing_summary_fast",
+    "sketch_approx_quantiles",
+    "sketch_hll_merge",
+    # (c) all 44 r8-stale rows (module order):
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup_fast",
+    "agg_stats",
+    "ann_recall_report",
+    "bpe_train_merges_deep",
+    "coalesce_nullif",
+    "corpus_group_split",
+    "corpus_temperature_sample",
+    "dedup_cluster_canonical",
+    "dedup_components_star",
+    "dedup_incremental_probe",
+    "dedup_minhash_lsh",
+    "dedup_recall_report",
+    "distinct_pairs",
+    "dsir_importance",
+    "dsir_select_topk",
+    "embedding_gram_matrix",
+    "events_robust_outliers",
+    "funnel_top_paths_bucketed",
+    "graph_pagerank",
+    "graph_triangles",
+    "in_subquery",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_semi",
+    "kmeans_lloyd_step",
+    "pipeline_corpus_prep",
+    "pipeline_gold_daily_agg",
+    "q10_returned_revenue_bucketed",
+    "q10_returned_revenue_fast",
+    "q3_top_orders_bucketed",
+    "q5_regional_revenue_bucketed",
+    "q5_regional_revenue_fast",
+    "retention_cohorts_bucketed",
+    "scd2_asof_enrich_indexed",
+    "scd2_user_attributes",
+    "similarity_ivf_adc_topk",
+    "sketch_hll_merge_audit",
+    "sketch_ndv_audit",
+    "sketch_quantiles_audit",
+    "text_bigram_xent",
+    "user_sessions_gap30_bucketed",
+    # ---- round-14 window candidates (lead the next rotation): the
+    # ledger after r13 is 48 rows at r9 (the oldest cohort), then 47 at
+    # r10 — a 50-window drains all of r9 plus the 2 oldest r10 rows;
+    # any r13/r14 newcomers and plan-changed queries take precedence.
+    # Rotated out round 13 (driver-green r12, unchanged): the full r12
     # window; earlier rotation history is in git.
 )
 

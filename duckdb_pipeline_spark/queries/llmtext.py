@@ -594,21 +594,51 @@ FROM ex WHERE start <= len(toks)
 """
 
 
+_PREP_SHIFT = 60_000_000  # planted-twin id offsets for the dedup ladder
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """The composed training-corpus prep flow — the reason the
-    north-star ops exist as one engine: exact dedup (keep min id per
-    content hash) -> quality filter (score >= 0.45) -> overlapping
-    token chunking. Each stage is the already-tested operator; the
-    composition itself is the product. Plan shape at 100 TB: dedup is
-    one content-hash shuffle, the quality filter is scan-side codegen
-    on the kept docs, chunking is a map-side explode — no stage
-    re-reads the corpus twice."""
-    from ..operators.dedup import exact_dedup
+    north-star ops exist as one engine. Round 13 (VERDICT r12 #3)
+    composes the FULL CCNet/Dolma dedup ladder: tier 1 raw exact dedup
+    (keep min id per content hash) -> tier 2 normalization-keyed exact
+    dedup on the tier-1 keepers (casefold + whitespace-collapse; the
+    re-encoded twins tier 1 cannot see) -> quality filter
+    (score >= 0.45) -> overlapping token chunking. To make each tier's
+    contribution observable (and hash-checked), the corpus plants one
+    twin class per tier: byte-exact copies (doc_id % 9 == 7 — tier 1
+    catches), uppercased copies (% 9 == 1) and whitespace-mangled
+    copies (% 9 == 4) — both invisible to tier 1, collapsed by tier 2.
+    Originals carry the smaller ids, so min-id keeper selection drops
+    every plant; a ladder that skipped tier 2 would emit chunks of the
+    UPPERCASED text and hash-mismatch. Plan shape at 100 TB: each tier
+    is one content-hash shuffle over progressively fewer rows (tier 2
+    hashes only tier-1 survivors), the quality filter is scan-side
+    codegen on the kept docs, chunking is a map-side explode."""
+    from ..operators.dedup import exact_dedup, normalized_exact_dedup
     from ..operators.text import chunk_tokens, quality_score
 
-    docs = load(spark, sf_dir, "documents")
-    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    kept = docs.join(keepers, "doc_id", "left_semi")
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_twin = base.where(F.col("doc_id") % 9 == 7).select(
+        (F.col("doc_id") + _PREP_SHIFT).alias("doc_id"), "text"
+    )
+    upper_twin = base.where(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 2 * _PREP_SHIFT).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    ws_twin = base.where(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 3 * _PREP_SHIFT).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        ).alias("text"),
+    )
+    docs = base.unionByName(exact_twin).unionByName(upper_twin).unionByName(ws_twin)
+    # tier 1: raw content hash
+    k1 = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept1 = docs.join(k1, "doc_id", "left_semi")
+    # tier 2: normalized content hash over the tier-1 survivors only
+    k2 = normalized_exact_dedup(kept1).select(F.col("keeper_id").alias("doc_id"))
+    kept = kept1.join(k2, "doc_id", "left_semi")
     good_ids = (
         quality_score(kept)
         .where(F.col("quality_score") >= 0.45)
@@ -618,8 +648,26 @@ def pipeline_corpus_prep(spark, sf_dir):
 
 
 CORPUS_PREP_SQL = f"""
-WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-kd AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PREP_SHIFT} AS doc_id, text
+  FROM documents WHERE doc_id % 9 = 7
+  UNION ALL
+  SELECT doc_id + {2 * _PREP_SHIFT} AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id + {3 * _PREP_SHIFT} AS doc_id,
+         '  ' || replace(text, ' ', '  ') || ' ' AS text
+  FROM documents WHERE doc_id % 9 = 4
+),
+k1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kd1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN k1 USING (doc_id)),
+k2 AS (
+  SELECT min(doc_id) AS doc_id FROM kd1
+  GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')))
+),
+kd AS (SELECT d.doc_id, d.text FROM kd1 d JOIN k2 USING (doc_id)),
 qual AS (
   SELECT doc_id FROM (
     SELECT doc_id, string_split(text, ' ') AS toks FROM kd

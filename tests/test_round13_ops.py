@@ -192,6 +192,99 @@ def test_unicode_token_re_matches_duckdb(spark):
     assert got_spark[0] == ["hello", "world"]
 
 
+def test_corpus_prep_ladder_drops_each_twin_class(spark, sf_dir):
+    """pipeline_corpus_prep composes the full dedup ladder (round 13):
+    tier 1 must drop the byte-exact plants, tier 2 the case/whitespace
+    plants — no chunk may come from a planted id, and no UPPERCASED
+    chunk text may survive (the observable a tier-2-skipping pipeline
+    would violate)."""
+    from duckdb_pipeline_spark.queries.llmtext import _PREP_SHIFT, pipeline_corpus_prep
+
+    chunks = pipeline_corpus_prep(spark, sf_dir)
+    assert chunks.where(F.col("doc_id") >= _PREP_SHIFT).count() == 0
+    assert chunks.where(F.col("chunk_text") != F.lower("chunk_text")).count() == 0
+    assert chunks.count() > 0
+    # negative control: tier 1 alone does NOT collapse the case plants
+    # (they carry distinct raw hashes), so tier 2 had real work to do
+    from duckdb_pipeline_spark.operators.dedup import exact_dedup
+    from duckdb_pipeline_spark.queries.common import load
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    upper_twin = base.where(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 2 * _PREP_SHIFT).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    k1 = exact_dedup(base.unionByName(upper_twin))
+    survived = k1.where(F.col("keeper_id") >= _PREP_SHIFT).count()
+    assert survived > 0
+
+
+def test_band_index_append_then_compact_preserves_probe(spark, tmp_path):
+    """Round-13 hourly-trickle maintenance (VERDICT r12 #7): appends
+    accumulate one file per touched cell per batch; compact_partitioned
+    must (a) keep every row bit-identical, (b) keep the band=/bucket=
+    hive layout (the probe's partition pruning depends on it), (c) cut
+    the file count, and (d) leave probe results unchanged."""
+    import glob
+
+    from duckdb_pipeline_spark.operators.dedup import (
+        minhash_band_index_append,
+        minhash_band_index_probe,
+        minhash_band_index_write,
+    )
+    from duckdb_pipeline_spark.sinks import compact_partitioned
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    words = "the quick brown fox jumps over the lazy dog again and again".split()
+    corpus = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+        for i in range(20)
+    ]
+    idx = str(tmp_path / "bandidx")
+    minhash_band_index_write(docs(corpus[:10]), idx)
+    # two hourly batches: one containing exact re-uploads (collide ->
+    # inherit the indexed component), one fresh
+    minhash_band_index_append(
+        spark, idx, docs([(100 + i, t) for i, t in [(0, corpus[0][1]), (1, corpus[1][1])]])
+    )
+    minhash_band_index_append(spark, idx, docs(corpus[10:]))
+    probe_batch = docs([(500, corpus[0][1]), (501, "zzz yyy xxx www vvv uuu ttt sss")])
+
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(idx).collect())
+    )
+    probe_before = sorted(
+        map(tuple, minhash_band_index_probe(spark, idx, probe_batch).collect())
+    )
+    files_before = len(glob.glob(os.path.join(idx, "band=*", "bucket=*", "part-*.parquet")))
+
+    n_after = compact_partitioned(spark, idx, ["band", "bucket"])
+
+    rows_after = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    probe_after = sorted(
+        map(tuple, minhash_band_index_probe(spark, idx, probe_batch).collect())
+    )
+    files_after = len(glob.glob(os.path.join(idx, "band=*", "bucket=*", "part-*.parquet")))
+
+    assert rows_after == rows_before
+    assert probe_after == probe_before
+    assert probe_before  # the re-upload probe doc actually collides
+    assert files_after == n_after < files_before
+    # layout preserved: every data file still lives under band=/bucket=
+    assert not glob.glob(os.path.join(idx, "part-*.parquet"))
+    # appended re-uploads inherited the indexed doc's component label
+    inherited = (
+        spark.read.parquet(idx)
+        .where(F.col("doc_id") == 100)
+        .select("component")
+        .distinct()
+        .collect()
+    )
+    assert [r.component for r in inherited] != [100]
+
+
 def test_normalize_text_ws_class_matches_duckdb(spark):
     """Differential: the explicit whitespace class produces the SAME
     normalized string in Spark (Java regex) and DuckDB (RE2) for texts
