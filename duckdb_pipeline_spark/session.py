@@ -41,6 +41,22 @@ def build_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # Make the package importable in PYTHON WORKERS regardless of the
+    # driver's cwd (round 13): the Arrow mapInPandas kernels pickle
+    # module references, so workers must import duckdb_pipeline_spark;
+    # a driver launched outside the repo dir otherwise fails with
+    # ModuleNotFoundError inside the worker. Local/standalone workers
+    # inherit PYTHONPATH from the driver's environment, and this runs
+    # BEFORE the JVM launches, so exporting here covers them. On a real
+    # cluster ship the package instead (pip install on executors or
+    # spark.submit.pyFiles) — env export does not cross machines.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + (os.pathsep + _pp if _pp else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -285,6 +285,21 @@ def test_band_index_append_then_compact_preserves_probe(spark, tmp_path):
     assert [r.component for r in inherited] != [100]
 
 
+def test_build_spark_exports_pkg_root_on_pythonpath(spark):
+    """Round-13 robustness: Arrow mapInPandas kernels pickle module
+    references, so Python WORKERS must be able to import
+    duckdb_pipeline_spark even when the driver was launched from a
+    foreign cwd. build_spark exports the package root on PYTHONPATH
+    before the JVM starts (local/standalone workers inherit it); the
+    end-to-end reproduction (oracle_check from /tmp) was verified
+    manually — this pins the env contract."""
+    import duckdb_pipeline_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(duckdb_pipeline_spark.__file__)))
+    # the session fixture goes through build_spark, so the export ran
+    assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
 def test_normalize_text_ws_class_matches_duckdb(spark):
     """Differential: the explicit whitespace class produces the SAME
     normalized string in Spark (Java regex) and DuckDB (RE2) for texts
