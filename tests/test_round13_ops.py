@@ -300,6 +300,46 @@ def test_build_spark_exports_pkg_root_on_pythonpath(spark):
     assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
 
 
+def test_unicode_token_re_fuzz_matches_duckdb(spark):
+    """Batched cross-engine fuzz: 300 seeded random strings mixing
+    ASCII, Latin-1 accents, CJK, punctuation, digits, and every
+    whitespace-class member — Java regex and RE2 must extract identical
+    token arrays for all of them (a dialect divergence in \\p{L}/\\p{N}
+    or casefold would surface here before it surfaces in a driver
+    hash-mismatch on real text)."""
+    import random
+
+    import duckdb
+
+    from duckdb_pipeline_spark.queries.tokcache import UNICODE_TOKEN_RE, _tokens_expr
+
+    rng = random.Random(1337)
+    alphabet = (
+        "abcXYZ019 \t\r\n\f\x0b.,;:!?—–-_/()[]«»"
+        "éÉüÜñÑßçœÆ日本語テスト中文字漢한글привет١٢٣"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got_spark = {
+        r.i: r.toks
+        for r in df.select("i", _tokens_expr("unicode").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    mismatches = []
+    for i, t in enumerate(texts):
+        duck = con.execute(
+            "SELECT regexp_extract_all(lower(?), ?)", [t, UNICODE_TOKEN_RE]
+        ).fetchone()[0]
+        if got_spark[i] != duck:
+            mismatches.append((repr(t), got_spark[i], duck))
+    assert not mismatches, mismatches[:3]
+
+
 def test_normalize_text_ws_class_matches_duckdb(spark):
     """Differential: the explicit whitespace class produces the SAME
     normalized string in Spark (Java regex) and DuckDB (RE2) for texts
