@@ -427,6 +427,41 @@ def bench_both(sf_dir: str, cpus: int, skip_duck: bool):
     return timings_raw, duck_raw, broken, extras
 
 
+def _read_proc_stat() -> list[int] | None:
+    """Aggregate cpu jiffies from /proc/stat (user nice system idle
+    iowait irq softirq steal ...), or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        return [int(x) for x in first[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_mix_since(start: list[int] | None) -> dict[str, float] | None:
+    """CPU-time mix over the draw, from /proc/stat deltas — the
+    attribution loadavg cannot provide (round 13: after hours of
+    continuous box use, BOTH engines' totals rose ~20% with
+    loadavg_start < 0.2; hypervisor steal and iowait are the candidate
+    causes a VM can actually observe). busy/steal/iowait as fractions
+    of total elapsed jiffies across all cpus."""
+    end = _read_proc_stat()
+    if start is None or end is None:
+        return None
+    d = [max(0, e - s) for e, s in zip(end, start)]
+    total = sum(d)
+    if total <= 0:
+        return None
+    idle = d[3] if len(d) > 3 else 0
+    iowait = d[4] if len(d) > 4 else 0
+    steal = d[7] if len(d) > 7 else 0
+    return {
+        "busy_frac": round((total - idle - iowait) / total, 4),
+        "iowait_frac": round(iowait / total, 4),
+        "steal_frac": round(steal / total, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -435,7 +470,9 @@ def main() -> None:
 
     skip_duck = os.environ.get("SPARK_GRAFT_SKIP_DUCK", "") == "1"
     load_start = [round(x, 2) for x in os.getloadavg()]
+    stat_start = _read_proc_stat()
     timings_raw, duck_raw, dropped, extras = bench_both(sf_dir, cpus, skip_duck)
+    cpu_mix = _cpu_mix_since(stat_start)
     timings = {k: round(v, 3) for k, v in timings_raw.items()}
     duck = {k: round(v, 3) for k, v in duck_raw.items()}
     v2set = set(V2_ADDITIONS)
@@ -525,6 +562,9 @@ def main() -> None:
         # completeness.
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # /proc/stat delta across the whole draw: steal_frac > ~0.02 or
+        # iowait_frac spikes explain a slow draw that loadavg misses
+        "cpu_mix": cpu_mix,
     }
     print("bench detail: " + json.dumps(detail), file=sys.stderr)
     try:
