@@ -90,8 +90,10 @@ def cache_location(sf_dir: str, tokenizer: str = "space") -> tuple[str, str, str
     label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     # the space tier keeps its historical layout (existing caches stay
     # valid); other tiers suffix both the label dir and the table name
+    # with the FULL tier name (a one-letter suffix would collide for
+    # future tiers sharing an initial)
     if tokenizer != "space":
-        label = f"{label}_{tokenizer[0]}"
+        label = f"{label}_{tokenizer}"
     path = os.path.join(_repo_root(), ".scratch", "toktf", label)
     return f"toktf_{label}", path, os.path.join(path, "_SRC.json")
 
@@ -259,7 +261,13 @@ def append_doc_tf(
         sizes = new_docs.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc_id").alias("n_ids"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("n_null"),
         ).collect()[0]
+        if sizes.n_null:
+            raise ValueError(
+                f"append_doc_tf: batch contains {sizes.n_null} NULL "
+                "doc_ids — every tf row must belong to a document"
+            )
         if sizes.n != sizes.n_ids:
             raise ValueError(
                 f"append_doc_tf: batch contains duplicate doc_ids "
