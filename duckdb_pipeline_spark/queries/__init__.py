@@ -31,93 +31,78 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 13 window (VERDICT r12 #1 — it composes with zero
-    # slack; recomputed this round by aggregating CORRECTNESS_r01-r12
-    # against collect_all(), matching the verdict's ledger: 3 at r7,
-    # 44 at r8, 2 never-checked):
-    #   (a) the 2 r12 newcomers frozen out last round
-    #       (dedup_exact_normalized — whose whitespace class ALSO
-    #       changed this round, ADVICE r12 — and q3_top_orders_plain)
-    #       plus the 1 r13 newcomer `vocab_top_tokens_unicode`
-    #       (VERDICT r12 #2 explicitly requires a passing CORRECTNESS
-    #       entry for the tokenizer tier, overriding the
-    #       freeze-out-newcomers default — the toktf_append precedent);
-    #   (b) the 3 r7 rows: q1_pricing_summary_fast (the ledger's
-    #       oldest hash-checked row) and the 2 rows-only sketch
-    #       estimates (deferred twice; their *_audit twins are in (c));
-    #   (c) all 44 r8-stale rows — including the 3 sketch audits
-    #       (VERDICT r11 #7 commitment, deferred once) and
-    #       pipeline_corpus_prep, whose plan changed THIS round (the
-    #       composed normalization tier, VERDICT r12 #3).
-    # Round-13 plan changes already covered: pipeline_corpus_prep and
-    # dedup_exact_normalized are in-window; vocab_top_tokens_unicode is
-    # new in-window. toktf_append_equals_rebuild's append path gained
-    # an intra-batch guard + loud re-stamp (same query output; r12
-    # driver row green; re-verified locally this round via
-    # tests/oracle_check.py). The space-tier tf projection layout is
-    # byte-identical after the cache_location refactor, so the 13
-    # tokcache consumers' served plans are unchanged from their r12
-    # green rows. After this window lands green: no query's latest
-    # driver row is older than r9 (the verdict's Done criterion).
+    # ---- round 14 window (VERDICT r13 #1): the ledger after r13 is
+    # 48 rows at r9 (the oldest cohort) + 47 at r10; everything else is
+    # r11+. The 50-window drains ALL of r9 plus 2 r10 rows. The verdict
+    # named `q1_pricing_summary`/`dedup_span_scrub` as the r10 fillers,
+    # but the raw CORRECTNESS_r01-r13 aggregation shows both are at r12
+    # (they were in the r12 window); the actual r10 cohort is 47 rows,
+    # from which the two most load-bearing are taken instead:
+    #   - dedup_jaccard_prefix: the r13 sf10 sweep mover (101 s,
+    #     adjudicated as spread — a driver hash row re-proves the plan);
+    #   - quality_perplexity_buckets: switched to the unicode tokenizer
+    #     tier THIS round (VERDICT r13 #3 — the tier's first heavy
+    #     serving consumer), so its plan changed and must be in-window.
+    # Newcomers declared in r14 (band_index_append_equals_rebuild)
+    # freeze OUT of the window per standing policy and lead r15.
+    # After this window lands green: no query's latest driver row is
+    # older than r10 (the verdict's Done criterion).
     #
-    # (a) newcomers:
-    "dedup_exact_normalized",
-    "q3_top_orders_plain",
-    "vocab_top_tokens_unicode",
-    # (b) r7 rows:
-    "q1_pricing_summary_fast",
-    "sketch_approx_quantiles",
-    "sketch_hll_merge",
-    # (c) all 44 r8-stale rows (module order):
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup_fast",
-    "agg_stats",
-    "ann_recall_report",
-    "bpe_train_merges_deep",
-    "coalesce_nullif",
-    "corpus_group_split",
-    "corpus_temperature_sample",
-    "dedup_cluster_canonical",
-    "dedup_components_star",
-    "dedup_incremental_probe",
-    "dedup_minhash_lsh",
-    "dedup_recall_report",
-    "distinct_pairs",
-    "dsir_importance",
-    "dsir_select_topk",
-    "embedding_gram_matrix",
-    "events_robust_outliers",
-    "funnel_top_paths_bucketed",
-    "graph_pagerank",
-    "graph_triangles",
-    "in_subquery",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_semi",
-    "kmeans_lloyd_step",
-    "pipeline_corpus_prep",
-    "pipeline_gold_daily_agg",
-    "q10_returned_revenue_bucketed",
-    "q10_returned_revenue_fast",
-    "q3_top_orders_bucketed",
-    "q5_regional_revenue_bucketed",
-    "q5_regional_revenue_fast",
-    "retention_cohorts_bucketed",
-    "scd2_asof_enrich_indexed",
-    "scd2_user_attributes",
-    "similarity_ivf_adc_topk",
-    "sketch_hll_merge_audit",
-    "sketch_ndv_audit",
-    "sketch_quantiles_audit",
-    "text_bigram_xent",
-    "user_sessions_gap30_bucketed",
-    # ---- round-14 window candidates (lead the next rotation): the
-    # ledger after r13 is 48 rows at r9 (the oldest cohort), then 47 at
-    # r10 — a 50-window drains all of r9 plus the 2 oldest r10 rows;
-    # any r13/r14 newcomers and plan-changed queries take precedence.
-    # Rotated out round 13 (driver-green r12, unchanged): the full r12
+    # (a) the 48 r9-stale rows (alphabetical):
+    "agg_percentiles_exact",
+    "asof_purchase_click",
+    "case_bucketing",
+    "corpus_pack_sequences",
+    "dedup_bloom_probe",
+    "dedup_containment",
+    "join_left_zero_counts",
+    "kmeans_train_audit",
+    "multimodal_png_features",
+    "ntile_quartiles",
+    "pca_variance_audit",
+    "pivot_status_by_priority",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "retention_cohorts",
+    "scalar_array_funcs",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_regexp_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_filter",
+    "scd2_asof_enrich",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "stream_scd2_intervals",
+    "timeseries_gap_fill",
+    "unpivot_part_measures",
+    "window_first_last",
+    "window_percentiles",
+    "window_rank_orders",
+    "window_running_total",
+    "window_topk_per_group",
+    # (b) the 2 r10 fillers:
+    "dedup_jaccard_prefix",
+    "quality_perplexity_buckets",
+    # ---- round-15 window candidates (lead the next rotation): the
+    # remaining 45 r10 rows + any r14 newcomers/plan-changed queries.
+    # Rotated out round 14 (driver-green r13, unchanged): the full r13
     # window; earlier rotation history is in git.
 )
 

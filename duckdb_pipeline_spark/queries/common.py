@@ -426,3 +426,42 @@ def invalidate_source(spark: SparkSession, sf_dir: str, name: str) -> None:
     except Exception:
         pass  # path may not have been read yet this session
     spark.catalog.clearCache()
+
+
+def twin_shift(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "documents",
+    id_col: str = "doc_id",
+    floor: int = 1_000_000,
+) -> int:
+    """Collision-proof planted-twin id offset (ADVICE r13): the
+    max(``floor``, smallest power of ten strictly above max(id)).
+
+    Planted-twin corpora shift copied ids by a module constant
+    (dedup's 1e6, llmtext's 4e7/6e7). gen_scale.py strides real ids by
+    1e6 per scale copy, so at sweep scales a FIXED shift eventually
+    collides with real ids and silently breaks the min-id
+    "originals always win" keeper invariant (oracle parity was never
+    at risk — both engines plant identically — but keeper semantics
+    were). Deriving the shift from the corpus fixes the invariant at
+    every scale, while the ``floor`` keeps the value EQUAL to the old
+    module constant at every oracle scale (sf<=0.1 ids top out at
+    4999, far below each floor), so the static oracle SQL strings —
+    which must embed a literal — remain exact where oracles actually
+    run (driver sf0.01, local checks sf<=0.1; documented at each
+    call site).
+
+    Cost: one max() aggregation over the id column per (session,
+    table), memoized like `load` — parquet footer stats make it a
+    metadata-bounded scan, and sweeps pay it once per table, not per
+    query."""
+    cache = getattr(spark, "_dps_shift_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dps_shift_cache = cache
+    key = (sf_dir, name, id_col)
+    if key not in cache:
+        mx = load(spark, sf_dir, name).agg(F.max(id_col)).collect()[0][0]
+        cache[key] = 10 ** len(str(int(mx))) if mx is not None and mx > 0 else 10
+    return max(floor, cache[key])

@@ -20,9 +20,17 @@ from ..operators.dedup import (
     simhash_fingerprints_mapped,
 )
 from . import QuerySpec
-from .common import load
+from .common import load, twin_shift
 
 ID_SHIFT = 1_000_000
+
+
+def _shift(spark, sf_dir) -> int:
+    """Planted-twin id offset for this module's corpora: exactly
+    ID_SHIFT at every oracle scale (sf<=0.1 — the static oracle SQL
+    embeds the literal), derived collision-free above it
+    (common.twin_shift; ADVICE r13)."""
+    return twin_shift(spark, sf_dir, floor=ID_SHIFT)
 
 # Shared oracle CTE fragments ------------------------------------------------
 
@@ -75,7 +83,7 @@ def _dup_corpus(spark, sf_dir):
     known twins for the dedup operators to find."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shifted = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+        (F.col("doc_id") + _shift(spark, sf_dir)).alias("doc_id"), "text"
     )
     return docs.unionByName(shifted)
 
@@ -107,11 +115,12 @@ def dedup_exact_normalized(spark, sf_dir):
     from ..operators.dedup import normalized_exact_dedup
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shift(spark, sf_dir)
     upper_twin = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), F.upper("text").alias("text")
+        (F.col("doc_id") + sh).alias("doc_id"), F.upper("text").alias("text")
     )
     ws_twin = docs.where(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 2 * ID_SHIFT).alias("doc_id"),
+        (F.col("doc_id") + 2 * sh).alias("doc_id"),
         F.concat(
             F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
         ).alias("text"),
@@ -1123,7 +1132,7 @@ def dedup_incremental_probe(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     fresh = docs.where(F.col("doc_id") % 4 == 0)
     reupload = docs.where(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+        (F.col("doc_id") + _shift(spark, sf_dir)).alias("doc_id"), "text"
     )
     batch = fresh.unionByName(reupload)
     idx = _ensure_band_index(spark, sf_dir)
@@ -1763,7 +1772,7 @@ def dedup_recall_report(spark, sf_dir):
         (F.col("doc_id") % 10 == 0) & (F.size(F.split("text", " ")) >= 3)
     ).select(
         F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + ID_SHIFT).alias("doc_b"),
+        (F.col("doc_id") + _shift(spark, sf_dir)).alias("doc_b"),
         F.lit(1).alias("p"),
     )
     found = minhash_lsh_dedup_mapped(_dup_corpus(spark, sf_dir)).select(

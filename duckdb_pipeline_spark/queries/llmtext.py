@@ -24,7 +24,7 @@ from ..operators.text import (
 )
 from . import QuerySpec
 from .. import fixtures_mm as _fixtures_mm
-from .common import load
+from .common import load, twin_shift
 
 STOPWORD_SQL_LIST = "['the', 'a', 'of', 'and', 'in', 'to', 'is', 'it', 'that', 'for']"
 
@@ -595,6 +595,10 @@ FROM ex WHERE start <= len(toks)
 
 
 _PREP_SHIFT = 60_000_000  # planted-twin id offsets for the dedup ladder
+# (floor for common.twin_shift — the derived branch keeps twin ids
+# collision-free at sweep scales where gen_scale's 1e6 id stride
+# exceeds the literal; ADVICE r13. Oracle SQL keeps the literal: the
+# derived value only diverges above every oracle scale.)
 
 
 def pipeline_corpus_prep(spark, sf_dir):
@@ -627,15 +631,16 @@ def pipeline_corpus_prep(spark, sf_dir):
     from ..operators.text import chunk_tokens, quality_score
 
     base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    psh = twin_shift(spark, sf_dir, floor=_PREP_SHIFT)
     exact_twin = base.where(F.col("doc_id") % 9 == 7).select(
-        (F.col("doc_id") + _PREP_SHIFT).alias("doc_id"), "text"
+        (F.col("doc_id") + psh).alias("doc_id"), "text"
     )
     upper_twin = base.where(F.col("doc_id") % 9 == 1).select(
-        (F.col("doc_id") + 2 * _PREP_SHIFT).alias("doc_id"),
+        (F.col("doc_id") + 2 * psh).alias("doc_id"),
         F.upper("text").alias("text"),
     )
     ws_twin = base.where(F.col("doc_id") % 9 == 4).select(
-        (F.col("doc_id") + 3 * _PREP_SHIFT).alias("doc_id"),
+        (F.col("doc_id") + 3 * psh).alias("doc_id"),
         F.concat(
             F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" ")
         ).alias("text"),
@@ -1045,14 +1050,15 @@ def vocab_top_tokens_unicode(spark, sf_dir):
     from .tokcache import _repo_root, doc_tf
 
     docs = load(spark, sf_dir, "documents")
+    ush = twin_shift(spark, sf_dir, floor=_U_SHIFT)
     base = docs.select("doc_id", "text", "source")
     punct_twin = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + _U_SHIFT).alias("doc_id"),
+        (F.col("doc_id") + ush).alias("doc_id"),
         F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(", "))).alias("text"),
         "source",
     )
     dash_twin = docs.where(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 2 * _U_SHIFT).alias("doc_id"),
+        (F.col("doc_id") + 2 * ush).alias("doc_id"),
         F.replace(F.col("text"), F.lit(" "), F.lit("—")).alias("text"),
         "source",
     )

@@ -243,13 +243,13 @@ def stream_neardup_gate(spark, sf_dir):
     rescan."""
     from ..operators.dedup import minhash_band_index_probe
     from ..streaming.jobs import neardup_gate_verdicts
-    from .dedup import ID_SHIFT, _ensure_band_index
+    from .dedup import _ensure_band_index, _shift
     from .common import load as _load
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     fresh = docs.where(F.col("doc_id") % 4 == 0)
     reupload = docs.where(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+        (F.col("doc_id") + _shift(spark, sf_dir)).alias("doc_id"), "text"
     )
     batch = fresh.unionByName(reupload)
     idx = _ensure_band_index(spark, sf_dir)

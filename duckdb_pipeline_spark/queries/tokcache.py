@@ -251,23 +251,29 @@ def append_doc_tf(
     Append==rebuild equality, append composition, and source-governed
     supersession are pytest-pinned."""
     tname = _ensure_doc_tf(spark, sf_dir, tokenizer)
+    # probe #0 — NULL doc_ids are rejected UNCONDITIONALLY (ADVICE
+    # r13: this is an integrity invariant of the projection, not a
+    # duplicate probe — a gated-admission caller passing
+    # check_duplicates=False must not be able to land ownerless tf
+    # rows). One agg on the (small) batch; folded into the duplicate
+    # probe's agg when that one runs anyway.
+    sizes = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("n_null"),
+    ).collect()[0]
+    if sizes.n_null:
+        raise ValueError(
+            f"append_doc_tf: batch contains {sizes.n_null} NULL "
+            "doc_ids — every tf row must belong to a document"
+        )
     if check_duplicates:
         # probe #1 — INTRA-batch duplicates (ADVICE r12): the
         # table-overlap probe below distincts the batch side, and
         # batch_tf's groupBy would merge a repeated doc_id's rows into
         # one double-counted tf — the exact silent failure this guard
         # exists to prevent, arriving inside a single batch instead of
-        # across appends. One extra agg on the (small) batch.
-        sizes = new_docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("doc_id").alias("n_ids"),
-            F.sum(F.col("doc_id").isNull().cast("long")).alias("n_null"),
-        ).collect()[0]
-        if sizes.n_null:
-            raise ValueError(
-                f"append_doc_tf: batch contains {sizes.n_null} NULL "
-                "doc_ids — every tf row must belong to a document"
-            )
+        # across appends.
         if sizes.n != sizes.n_ids:
             raise ValueError(
                 f"append_doc_tf: batch contains duplicate doc_ids "

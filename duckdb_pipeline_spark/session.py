@@ -45,17 +45,22 @@ def build_spark(
     # driver's cwd (round 13): the Arrow mapInPandas kernels pickle
     # module references, so workers must import duckdb_pipeline_spark;
     # a driver launched outside the repo dir otherwise fails with
-    # ModuleNotFoundError inside the worker. Local/standalone workers
-    # inherit PYTHONPATH from the driver's environment, and this runs
-    # BEFORE the JVM launches, so exporting here covers them. On a real
-    # cluster ship the package instead (pip install on executors or
-    # spark.submit.pyFiles) — env export does not cross machines.
+    # ModuleNotFoundError inside the worker. Carried as
+    # spark.executorEnv.PYTHONPATH on the BUILDER (ADVICE r13 — the
+    # previous os.environ mutation leaked the injected root into every
+    # subprocess the driver spawned afterwards, Spark or not):
+    # SparkContext folds executorEnv into the envVars handed to
+    # PythonWorkerFactory, which applies them at worker launch in
+    # local and standalone modes alike. The driver process environment
+    # is never touched. On a real cluster ship the package instead
+    # (pip install on executors or spark.submit.pyFiles) — an env
+    # var cannot move code across machines.
     _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     _pp = os.environ.get("PYTHONPATH", "")
     if _pkg_root not in _pp.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            _pkg_root + (os.pathsep + _pp if _pp else "")
-        )
+        _worker_pp = _pkg_root + (os.pathsep + _pp if _pp else "")
+    else:
+        _worker_pp = _pp
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -86,6 +91,7 @@ def build_spark(
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", _worker_pp)
     )
 
     if config is not None:

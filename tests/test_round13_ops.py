@@ -286,18 +286,21 @@ def test_band_index_append_then_compact_preserves_probe(spark, tmp_path):
 
 
 def test_build_spark_exports_pkg_root_on_pythonpath(spark):
-    """Round-13 robustness: Arrow mapInPandas kernels pickle module
-    references, so Python WORKERS must be able to import
-    duckdb_pipeline_spark even when the driver was launched from a
-    foreign cwd. build_spark exports the package root on PYTHONPATH
-    before the JVM starts (local/standalone workers inherit it); the
-    end-to-end reproduction (oracle_check from /tmp) was verified
-    manually — this pins the env contract."""
+    """Round-13 robustness, round-14 form (ADVICE r13): Arrow
+    mapInPandas kernels pickle module references, so Python WORKERS
+    must be able to import duckdb_pipeline_spark even when the driver
+    was launched from a foreign cwd. The package root now travels as
+    spark.executorEnv.PYTHONPATH on the session conf (SparkContext
+    folds executorEnv into the worker launch env) instead of a global
+    os.environ mutation that every later subprocess of the driver
+    inherited. Pins both halves: the conf carries the root, and the
+    driver environment was NOT polluted by build_spark (unless the
+    caller had exported it themselves)."""
     import duckdb_pipeline_spark
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(duckdb_pipeline_spark.__file__)))
-    # the session fixture goes through build_spark, so the export ran
-    assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    conf_pp = spark.conf.get("spark.executorEnv.PYTHONPATH", "")
+    assert root in conf_pp.split(os.pathsep)
 
 
 def test_unicode_token_re_fuzz_matches_duckdb(spark):
