@@ -104,7 +104,7 @@ SELECT doc_id, n AS n_tokens, round(-(s) / n, 6) AS xent FROM agg
 """
 
 
-def text_bigram_xent(spark, sf_dir):
+def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
     """Per-document cross-entropy under a BIGRAM LM with Stupid
     Backoff (Brants et al. 2007), trained on the reference slice
     (source = 'src0' — the CCNet pattern: score the whole crawl
@@ -132,13 +132,28 @@ def text_bigram_xent(spark, sf_dir):
     corpus); scoring is three joins against them (AQE broadcasts when
     they fit) plus one per-doc aggregation that partial-aggregates
     map-side. Transcendental results are rounded to 6 decimals before
-    the decimal-exact per-doc sum (module doc)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
-    )
+    the decimal-exact per-doc sum (module doc).
+
+    ``tokenizer`` selects the token stream the bigrams ride on
+    (round 14, VERDICT r13 #3): "space" is the original
+    whitespace-split tier; "unicode" is the tokcache tier — casefold +
+    maximal [\\p{L}\\p{N}]+ runs (`tokcache.UNICODE_TOKEN_RE`, the
+    single Spark-side definition; RE2/Java dialect parity is
+    fuzz-pinned in tests). ``docs`` overrides the corpus (doc_id,
+    source, text) — planted-twin consumers pass their augmented
+    corpus. The DECLARED query stays the space tier on raw documents;
+    `quality_perplexity_buckets` consumes the unicode tier."""
+    from .tokcache import UNICODE_TOKEN_RE
+
+    if docs is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    if tokenizer == "space":
+        t_expr = F.expr("filter(split(text, ' '), x -> x <> '')")
+    elif tokenizer == "unicode":
+        t_expr = F.regexp_extract_all(F.lower("text"), F.lit(UNICODE_TOKEN_RE), 0)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    toks = docs.select("doc_id", "source", t_expr.alias("t"))
     # bigrams via arrays_zip of two shifted slices — all codegen'd
     # built-ins; the transform-lambda struct formulation evaluates
     # interpreted per element (the ADC HOF lesson) and measured 2x
@@ -212,11 +227,21 @@ def text_bigram_xent(spark, sf_dir):
     )
 
 
-TEXT_BIGRAM_XENT_SQL = f"""
+_SPACE_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+# RE2 twin of tokcache.UNICODE_TOKEN_RE over casefolded text (the
+# vocab_top_tokens_unicode oracle recipe)
+_UNICODE_TOKS_SQL = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
+
+
+def _bigram_xent_sql(src: str = "documents", toks: str = _SPACE_TOKS_SQL) -> str:
+    """The bigram-xent oracle CTE chain over corpus ``src`` with token
+    expression ``toks`` — shared by the declared space-tier query and
+    the unicode-tier perplexity buckets."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, source,
-         list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
+         {toks} AS t
+  FROM {src}
 ),
 bg AS (
   SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
@@ -252,6 +277,9 @@ SELECT doc_id, n AS n_bigrams,
        round(-(CAST(sm AS DOUBLE) / 1e6) / n, 6) AS xent
 FROM agg
 """
+
+
+TEXT_BIGRAM_XENT_SQL = _bigram_xent_sql()
 
 
 def quality_logreg_score(spark, sf_dir):
@@ -406,6 +434,9 @@ FROM j
 
 
 
+_PPLX_SHIFT = 40_000_000  # planted-twin id offset (floor for twin_shift)
+
+
 def quality_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity tiering (Wenzek et al. 2020): per
     language, rank every document by its bigram-LM cross-entropy
@@ -414,6 +445,18 @@ def quality_perplexity_buckets(spark, sf_dir):
     cell's size and exact xent min/max/mean. This is the query that
     decides which slice of a crawl becomes training data.
 
+    Round 14 (VERDICT r13 #3 — the unicode tokenizer tier under a
+    heavy serving plan): scoring runs on the UNICODE tier (casefold +
+    maximal [\p{L}\p{N}]+ runs) over a corpus with planted decorated
+    twins the space tier would mis-tokenize: an UPPERCASED
+    comma-joined slice (doc_id % 7 == 2) and an em-dash-joined slice
+    (doc_id % 7 == 5), both with source='twin' so the reference LM
+    (src0) stays exactly the original slice. Under the unicode tier a
+    twin's token stream equals its original's, so its xent is
+    BITWISE the original's; a space-tier tokenization would glue
+    punctuation into tokens and push every twin to the OOV floor —
+    the oracle hash therefore pins the tier, not just the rollup.
+
     Determinism: the rank order is (xent, doc_id) — xent values are
     hash-checked identical cross-engine, doc_id breaks ties — and
     ntile's equal-split semantics match on both engines. The bucket
@@ -421,17 +464,42 @@ def quality_perplexity_buckets(spark, sf_dir):
     construction).
 
     Scale shape: scoring is the bigram-xent pipeline (one corpus
-    explode, broadcast LM tables); bucketing adds one Exchange on
-    lang plus a per-lang window. A total per-lang sort is the honest
-    cost of EXACT tertiles — CCNet's production shortcut (approximate
-    percentile thresholds, then a map-side bucket assignment) drops
-    the sort at the price of boundary error, and this exact query is
-    the audit that validates those thresholds."""
+    explode, broadcast LM tables; the unicode tier swaps the split
+    for one RE2-compatible regexp pass, still codegen'd scan-side);
+    bucketing adds one Exchange on lang plus a per-lang window. A
+    total per-lang sort is the honest cost of EXACT tertiles —
+    CCNet's production shortcut (approximate percentile thresholds,
+    then a map-side bucket assignment) drops the sort at the price of
+    boundary error, and this exact query is the audit that validates
+    those thresholds."""
     from pyspark.sql import Window
 
-    xent = text_bigram_xent(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = xent.join(docs, "doc_id")
+    from .common import twin_shift
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "lang"
+    )
+    sh = twin_shift(spark, sf_dir, floor=_PPLX_SHIFT)
+    punct_twin = base.where(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + sh).alias("doc_id"),
+        F.lit("twin").alias("source"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(", "))).alias("text"),
+        "lang",
+    )
+    dash_twin = base.where(F.col("doc_id") % 7 == 5).select(
+        (F.col("doc_id") + 2 * sh).alias("doc_id"),
+        F.lit("twin").alias("source"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("—")).alias("text"),
+        "lang",
+    )
+    corpus = base.unionByName(punct_twin).unionByName(dash_twin)
+    xent = text_bigram_xent(
+        spark,
+        sf_dir,
+        tokenizer="unicode",
+        docs=corpus.select("doc_id", "source", "text"),
+    )
+    j = xent.join(corpus.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy("xent", "doc_id")
     b = j.select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
     return (
@@ -446,10 +514,21 @@ def quality_perplexity_buckets(spark, sf_dir):
 
 
 PERPLEXITY_BUCKETS_SQL = f"""
-WITH xent AS ({TEXT_BIGRAM_XENT_SQL}),
+WITH pcorpus AS (
+  SELECT doc_id, source, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {_PPLX_SHIFT} AS doc_id, 'twin' AS source,
+         upper(replace(text, ' ', ', ')) AS text, lang
+  FROM documents WHERE doc_id % 7 = 2
+  UNION ALL
+  SELECT doc_id + {2 * _PPLX_SHIFT} AS doc_id, 'twin' AS source,
+         replace(text, ' ', '—') AS text, lang
+  FROM documents WHERE doc_id % 7 = 5
+),
+xent AS ({_bigram_xent_sql('pcorpus', _UNICODE_TOKS_SQL)}),
 j AS (
   SELECT d.lang, x.xent, x.doc_id
-  FROM xent x JOIN documents d USING (doc_id)
+  FROM xent x JOIN pcorpus d USING (doc_id)
 ),
 b AS (
   SELECT lang, xent,
