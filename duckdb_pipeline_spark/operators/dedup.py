@@ -1104,17 +1104,48 @@ def minhash_band_index_append(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     n_buckets: int = 8,
+    verify_docs: DataFrame | None = None,
+    threshold: float = 0.5,
 ) -> None:
     """Append an admitted batch to the persisted band index — the write
     half of the hourly trickle (probe gates admission, append indexes
-    what was admitted, so the NEXT batch's probe sees this one). Each
-    new doc's duplicate-cluster label resolves to the smallest existing
-    component among its band collisions (a probe against the current
-    index — partition-pruned, never a corpus rescan) or its own id if
-    it collides with nothing. Labels are incremental by construction:
-    duplicate pairs WITHIN one batch that match no indexed doc stay
-    separate singletons until a rebuild re-clusters — the same
-    incremental-vs-rebuild contract as `dedup_components_incremental`.
+    what was admitted, so the NEXT batch's probe sees this one).
+
+    Labeling (round 14 — closes both r13 gaps: ADVICE's unverified
+    inheritance and the within-batch-singleton caveat): the batch's
+    duplicate-cluster labels come from star-contraction components
+    over the DELTA graph — verified within-batch LSH pairs plus one
+    anchor edge per verified probe hit (new doc -> the indexed doc's
+    existing component label), the same label-contraction algebra as
+    `queries.dedup.dedup_components_incremental`. So duplicate pairs
+    arriving inside ONE batch now share a component even when nothing
+    indexed matches them, and with ``verify_docs`` (the indexed corpus
+    (id, text) — candidate-bounded: only colliding docs' text is
+    fetched, via a semi-join a bucketed corpus table prunes) a probe
+    hit must pass exact shingle-Jaccard >= ``threshold`` before its
+    component is inherited — the SAME verification the rebuild path
+    applies, so a false-positive band collision can no longer mislabel
+    a new doc. Without ``verify_docs`` anchor hits are UNVERIFIED
+    candidates (signature equality only; documented trade for callers
+    with no corpus handle — e.g. a gate appending only collision-free
+    admitted docs, whose anchor set is empty by construction).
+
+    Residual divergence from a full rebuild, both inherent to
+    append-only labeling (a rebuild clears them): (a) a batch doc
+    bridging two existing components labels itself min(anchors) but
+    cannot relabel the indexed rows of the other component; (b) a
+    batch doc with an id SMALLER than its component's existing min
+    cannot pull the indexed rows down to it. Ids that grow with ingest
+    time (the operational norm) never trigger (b). The oracle-checked
+    protocol row `band_index_append_equals_rebuild` pins everything
+    else bitwise.
+
+    Self-collisions (``dup_of == doc_id``) are dropped so a REPLAYED
+    batch (checkpoint recovery re-running a foreachBatch append)
+    re-derives identical labels against an index that already contains
+    its own rows; the replay's duplicate index rows are harmless to
+    probes (candidate set is DISTINCT) and fold away at the next
+    `sinks.compact_partitioned`.
 
     The append writes one file per touched (band, bucket) cell per
     batch; after many batches the per-cell file count is the classic
@@ -1124,11 +1155,43 @@ def minhash_band_index_append(
     hits = minhash_band_index_probe(
         spark, index_path, new_docs, id_col, text_col, n, num_hashes,
         rows_per_band, n_buckets,
+    ).where(F.col(id_col) != F.col("dup_of"))
+    if verify_docs is not None:
+        cand = hits.select(
+            F.col(id_col).alias("doc_a"), F.col("dup_of").alias("doc_b")
+        ).distinct()
+        cand_docs = verify_docs.select(F.col(id_col), F.col(text_col)).join(
+            cand.select(F.col("doc_b").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        sh = word_shingles(
+            new_docs.select(F.col(id_col), F.col(text_col)).unionByName(cand_docs),
+            id_col,
+            text_col,
+            n,
+        )
+        ok = (
+            jaccard_verify(sh, cand, id_col)
+            .where(F.col("jaccard") >= threshold)
+            .select(
+                F.col("doc_a").alias(id_col), F.col("doc_b").alias("dup_of")
+            )
+        )
+        hits = hits.join(ok, [id_col, "dup_of"], "left_semi")
+    wb = minhash_lsh_dedup_mapped(
+        new_docs, id_col, text_col, n, num_hashes, rows_per_band, threshold
+    ).select("doc_a", "doc_b")
+    anchors = hits.select(
+        F.col(id_col).alias("doc_a"), F.col("component").alias("doc_b")
     )
-    comp = hits.groupBy(id_col).agg(F.min("component").alias("component"))
-    sh = word_shingles(new_docs, id_col, text_col, n, distinct=False)
+    comp = connected_components_star(wb.unionByName(anchors)).select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
+        "component",
+    )
+    sh2 = word_shingles(new_docs, id_col, text_col, n, distinct=False)
     bands = lsh_bands(
-        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
+        minhash_signatures(sh2, id_col, num_hashes), id_col, num_hashes, rows_per_band
     )
     out = (
         bands.join(comp, id_col, "left")

@@ -351,6 +351,7 @@ def neardup_gate_stream(
     out_path: str,
     checkpoint: str,
     available_now: bool = False,
+    append_admitted: bool = True,
 ):
     """Streaming near-dup ADMISSION GATE: every micro-batch of incoming
     documents is probed against the persisted MinHash band index
@@ -372,6 +373,21 @@ def neardup_gate_stream(
     `neardup_gate_verdicts` — the same projection the declared batch
     twin runs).
 
+    CLOSED LOOP (round 14, VERDICT r13 #2): with ``append_admitted``
+    (the default — the operational gate semantics) every ADMITTED doc
+    is appended to the band index inside the same foreachBatch via
+    `minhash_band_index_append`, so a duplicate of an admitted doc
+    arriving in a LATER micro-batch is caught (pytest-pinned:
+    tests/test_round14_ops.py). Admitted docs have no collisions by
+    definition, so the append's anchor set is empty and no
+    verification corpus is needed; within-batch near-dup admitted
+    pairs still land sharing one component (the append's delta
+    clustering). Pass ``append_admitted=False`` for a READ-ONLY probe
+    gate — mandatory when the index is owned by someone else (e.g.
+    the stamp-governed `_ensure_band_index` scratch index the declared
+    batch queries share: its stamp asserts exact contents, so only its
+    owner may write it).
+
     LIFECYCLE CONTRACT: ``out_path`` belongs to ONE stream lifecycle
     (one checkpoint). Replay idempotence holds because a recovered
     epoch N rewrites ``batch=N`` with identical content; but a NEW
@@ -380,20 +396,45 @@ def neardup_gate_stream(
     different maxFilesPerTrigger — would leave the old run's higher
     ``batch=N`` subdirectories in place and corrupt reads of the gate
     table. Start each new lifecycle against a fresh (or emptied)
-    out_path, exactly as you would a fresh checkpoint dir."""
+    out_path, exactly as you would a fresh checkpoint dir. The INDEX
+    append under replay is at-least-once in STORAGE but exactly-once
+    in EFFECT: a recovered batch re-probes an index that already
+    holds its own rows (self-collisions are filtered by doc_id, so
+    verdicts — and therefore the admitted set — are identical) and
+    re-appends duplicate rows that probes never see twice (the
+    candidate set is DISTINCT); `sinks.compact_partitioned` folds
+    them away."""
     import os as _os
 
-    from ..operators.dedup import minhash_band_index_probe
+    from pyspark.sql import functions as _F
+
+    from ..operators.dedup import (
+        minhash_band_index_append,
+        minhash_band_index_probe,
+    )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        hits = minhash_band_index_probe(sp, index_path, batch_df)
-        verdicts = neardup_gate_verdicts(batch_df, hits)
-        verdicts.write.mode("overwrite").parquet(
-            _os.path.join(out_path, f"batch={batch_id}")
+        hits = minhash_band_index_probe(sp, index_path, batch_df).where(
+            _F.col("doc_id") != _F.col("dup_of")
         )
+        verdicts = neardup_gate_verdicts(batch_df, hits).persist()
+        try:
+            verdicts.write.mode("overwrite").parquet(
+                _os.path.join(out_path, f"batch={batch_id}")
+            )
+            if append_admitted:
+                admitted = batch_df.join(
+                    verdicts.where(_F.col("kept")).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                if not admitted.isEmpty():
+                    minhash_band_index_append(sp, index_path, admitted)
+        finally:
+            verdicts.unpersist()
 
     writer = (
         stream_docs.writeStream.foreachBatch(gate)

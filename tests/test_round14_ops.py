@@ -87,3 +87,161 @@ def test_append_doc_tf_rejects_null_ids_even_when_gated(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         append_doc_tf(spark, corpus_dir, batch, check_duplicates=False)
+
+
+def test_neardup_gate_stream_catches_cross_batch_duplicate(spark, tmp_path):
+    """VERDICT r13 #2 (the closed hourly loop): an admitted doc is
+    APPENDED to the band index inside the gate's foreachBatch, so a
+    duplicate of it arriving in a LATER micro-batch is rejected — and
+    on a private index the loop is safe to run with the default
+    append_admitted=True. Two stream lifecycles over one checkpoint
+    (deterministic batch order): batch 1 lands fresh docs, batch 2
+    lands an exact re-upload of a batch-1 doc under a new id."""
+    import time
+
+    from duckdb_pipeline_spark.operators.dedup import minhash_band_index_write
+    from duckdb_pipeline_spark.streaming import neardup_gate_stream
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+        for i in range(4)
+    ]
+    idx = str(tmp_path / "gateidx")
+    minhash_band_index_write(
+        spark.createDataFrame(base, "doc_id long, text string"), idx
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "ckpt")
+    novel = (100, "one two three four five six seven eight nine")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = neardup_gate_stream(stream, idx, out, ckpt, available_now=True)
+        q.awaitTermination()
+
+    # lifecycle 1: a novel doc — no collision, admitted, APPENDED
+    spark.createDataFrame([novel], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(landing)
+    drain()
+    v1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert v1[100].kept and v1[100].dup_of is None
+
+    # lifecycle 2 (same checkpoint resumes): an exact re-upload of the
+    # admitted doc — without the in-gate append it would sail through
+    time.sleep(1.1)  # distinct mtime so the resumed listing sees it
+    spark.createDataFrame(
+        [(200, novel[1])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    v2 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert not v2[200].kept
+    assert v2[200].dup_of == 100 and v2[200].component == 100
+    # and the original verdict rows are untouched
+    assert v2[100].kept
+
+
+def test_band_append_verified_anchor_rejects_false_positive(spark, tmp_path):
+    """ADVICE r13: a raw band-signature collision whose exact Jaccard
+    is BELOW threshold must not hand its component to the new doc when
+    `verify_docs` is passed (the rebuild path verifies; the append
+    path now can too). The colliding-but-not-near-dup pair is found by
+    a deterministic seeded search over template mutations using the
+    same Carter-Wegman lanes the operator hashes with."""
+    import random
+
+    from duckdb_pipeline_spark.operators.dedup import (
+        _batch_lane_minhashes,
+        _py_shingles,
+        minhash_band_index_append,
+        minhash_band_index_write,
+    )
+
+    rng = random.Random(7)
+    pool = [f"w{i}" for i in range(40)]
+    template = [f"t{i}" for i in range(12)]
+    docs = []
+    for _ in range(250):
+        d = list(template)
+        for k in rng.sample(range(12), 5):  # ~J 0.3-0.5 vs template kin
+            d[k] = rng.choice(pool)
+        docs.append(" ".join(d))
+    shs = [_py_shingles(t, 3) for t in docs]
+    sigs = _batch_lane_minhashes(shs, 16)
+    found = None
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(shs[i] & shs[j])
+            jac = inter / (len(shs[i]) + len(shs[j]) - inter)
+            if jac >= 0.5 or not (shs[i] and shs[j]):
+                continue
+            if any(
+                (sigs[i, 4 * b : 4 * b + 4] == sigs[j, 4 * b : 4 * b + 4]).all()
+                for b in range(4)
+            ):
+                found = (i, j, jac)
+                break
+        if found:
+            break
+    assert found, "seeded search produced no sub-threshold band collision"
+    i, j, jac = found
+    assert jac < 0.5
+
+    base = spark.createDataFrame([(1, docs[i])], "doc_id long, text string")
+    batch = spark.createDataFrame([(50, docs[j])], "doc_id long, text string")
+
+    # unverified append (no corpus handle): candidate label inherited
+    idx1 = str(tmp_path / "fp_unverified")
+    minhash_band_index_write(base, idx1)
+    minhash_band_index_append(spark, idx1, batch)
+    lab1 = (
+        spark.read.parquet(idx1).where(F.col("doc_id") == 50)
+        .select("component").distinct().collect()
+    )
+    assert [r.component for r in lab1] == [1]
+
+    # verified append: the false positive is rejected -> own id
+    idx2 = str(tmp_path / "fp_verified")
+    minhash_band_index_write(base, idx2)
+    minhash_band_index_append(spark, idx2, batch, verify_docs=base)
+    lab2 = (
+        spark.read.parquet(idx2).where(F.col("doc_id") == 50)
+        .select("component").distinct().collect()
+    )
+    assert [r.component for r in lab2] == [50]
+
+
+def test_band_append_clusters_within_batch_singletons(spark, tmp_path):
+    """Round-14 labeling upgrade: duplicate pairs arriving inside ONE
+    batch that match nothing indexed now share a component (min batch
+    id) instead of staying separate singletons until a rebuild."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        minhash_band_index_append,
+        minhash_band_index_write,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "wbidx")
+    minhash_band_index_write(base, idx)
+    twin_text = "one two three four five six seven"
+    batch = spark.createDataFrame(
+        [(20, twin_text), (21, twin_text), (22, "x1 x2 x3 x4 x5 x6 x7")],
+        "doc_id long, text string",
+    )
+    minhash_band_index_append(spark, idx, batch, verify_docs=base)
+    labs = {
+        r.doc_id: r.component
+        for r in spark.read.parquet(idx)
+        .select("doc_id", "component").distinct().collect()
+    }
+    assert labs[20] == 20 and labs[21] == 20  # shared within-batch label
+    assert labs[22] == 22 and labs[1] == 1

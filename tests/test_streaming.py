@@ -372,8 +372,14 @@ def test_neardup_gate_stream_matches_batch_probe(spark, sf_dir, tmp_path):
             .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
             .parquet(landing)
         )
+        # append_admitted=False: this test targets probe parity and
+        # replay idempotence against the SHARED stamp-governed
+        # _ensure_band_index scratch index, which only its owner may
+        # mutate (the closed-loop append path has its own test below
+        # on a private index copy)
         q = neardup_gate_stream(
-            stream, idx, out, str(tmp_path / ckpt), available_now=True
+            stream, idx, out, str(tmp_path / ckpt), available_now=True,
+            append_admitted=False,
         )
         q.awaitTermination()
 
