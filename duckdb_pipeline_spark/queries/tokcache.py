@@ -224,7 +224,12 @@ def append_doc_tf(
     append their (doc_id, token, tf, source) rows to the bucketed
     table; the corpus is never re-tokenized. Spark appends bucketed
     data bucket-aligned (same spec), so the Exchange-free per-doc
-    folds keep working over the union.
+    folds keep working over the union. Each append adds one file per
+    touched bucket (and only one-file-per-bucket tables get Spark's
+    SORTED BY trust) — run `sinks.compact_bucketed(spark, tname)`
+    periodically to fold the batches back to one sorted file per
+    bucket; spec, stamp, and later appends survive it (round 14,
+    pytest-pinned in tests/test_round14_ops.py).
 
     Contract: ``new_docs`` (doc_id, text, source) must be NEW doc_ids —
     tf rows are per-document, so appending an existing doc would

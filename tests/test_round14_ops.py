@@ -245,3 +245,83 @@ def test_band_append_clusters_within_batch_singletons(spark, tmp_path):
     }
     assert labs[20] == 20 and labs[21] == 20  # shared within-batch label
     assert labs[22] == 22 and labs[1] == 1
+
+
+def test_compact_bucketed_tf_projection(spark, tmp_path):
+    """VERDICT r13 #6: hourly tf appends accumulate one file per
+    bucket per batch; `sinks.compact_bucketed` rewrites the table back
+    to one sorted file per bucket while preserving the bucket spec
+    (served plans stay Exchange-free), the `_SRC.json` stamp (the
+    table still serves without a rebuild and later appends still
+    compose), and the rows bitwise."""
+    import glob
+    import json
+
+    from duckdb_pipeline_spark.queries.tokcache import (
+        _ensure_doc_tf,
+        append_doc_tf,
+        cache_location,
+    )
+    from duckdb_pipeline_spark.sinks import compact_bucketed
+
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}", f"src{i % 2}") for i in range(8)],
+        "doc_id long, text string, source string",
+    ).write.mode("overwrite").parquet(os.path.join(corpus_dir, "documents.parquet"))
+
+    tname = _ensure_doc_tf(spark, corpus_dir)
+    path, marker = cache_location(corpus_dir)[1:]
+    for start in (100, 200):  # two hourly batches
+        batch = spark.createDataFrame(
+            [(start + i, f"tok{start + i} tok{i}", "srcb") for i in range(4)],
+            "doc_id long, text string, source string",
+        )
+        append_doc_tf(spark, corpus_dir, batch)
+
+    rows_before = sorted(map(tuple, spark.table(tname).collect()))
+    files_before = len(glob.glob(os.path.join(path, "part-*.parquet")))
+    # non-empty buckets only get files (hash(doc_id) pmod 32 IS the
+    # bucket id — both Murmur3); build + appends leave >1 file in the
+    # buckets the batches touched
+    n_buckets_used = (
+        spark.table(tname)
+        .select(F.expr("pmod(hash(doc_id), 32)"))
+        .distinct()
+        .count()
+    )
+    assert files_before > n_buckets_used
+    stamp_before = json.load(open(marker))
+    assert stamp_before["appends"] == 2
+
+    n_after = compact_bucketed(spark, tname)
+
+    assert n_after == n_buckets_used  # one file per non-empty bucket
+    assert sorted(map(tuple, spark.table(tname).collect())) == rows_before
+    assert json.load(open(marker)) == stamp_before  # stamp survived
+    # the bucket spec survived: a doc_id-keyed aggregation over the
+    # served table plans with NO shuffle Exchange
+    plan = (
+        spark.table(tname)
+        .groupBy("doc_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert not shuffles, plan
+    # and a third append still composes on the compacted table
+    batch3 = spark.createDataFrame(
+        [(300, "tok300 tok1", "srcb")], "doc_id long, text string, source string"
+    )
+    append_doc_tf(spark, corpus_dir, batch3)
+    assert json.load(open(marker))["appends"] == 3
+    assert spark.table(tname).where(F.col("doc_id") == 300).count() == 2
