@@ -657,8 +657,10 @@ def normalize_text(col: Column) -> Column:
     space-trim identically. Residual caveat (documented, not fixed):
     JVM lower() and DuckDB lower() can diverge on exotic Unicode
     casefold edge cases (e.g. U+0130 İ) — the corpus contract here is
-    ASCII-cased text; a locale-robust tier would key on
-    unicode-NFKC+casefold via an Arrow kernel."""
+    ASCII-cased text; the locale-robust tier EXISTS as
+    `normalize_key_unicode`/`normalized_exact_dedup_unicode` (round
+    14: NFKC + full casefold via an Arrow kernel; declared consumer
+    `dedup_exact_unicode`)."""
     return F.trim(F.regexp_replace(F.lower(col), NORM_WS_CLASS, " "))
 
 
@@ -684,6 +686,81 @@ def normalized_exact_dedup(
             F.count(F.lit(1)).alias("n_copies"),
             F.countDistinct("raw_hash").alias("n_raw_variants"),
         )
+    )
+
+
+def normalize_key_unicode(text: str) -> str:
+    """The unicode-tier normalization key for one string (round 14,
+    VERDICT r13 #7 — the locale-robust close-out of `normalize_text`'s
+    documented U+0130 caveat): NFKC -> full Unicode casefold -> NFKC
+    again (composes combining sequences the casefold can introduce),
+    then the SAME explicit whitespace collapse + trim as the ASCII
+    tier. NFKC first maps compatibility forms to canonical ones
+    (fullwidth letters -> ASCII, ligatures ﬁ -> fi, NBSP -> space,
+    superscripts -> digits); `str.casefold` applies the full Unicode
+    case folding (ß -> ss, Σ/ς -> σ) with no locale dependence.
+
+    Approximate compatibility-caseless matching, not the full UAX #21
+    ladder: a handful of exotic points still do not round-trip to
+    their ASCII look-alikes — U+0130 İ casefolds to 'i' + combining
+    dot (U+0307), which is CORRECT Unicode behavior (the dot is real
+    outside Turkish locale rules) and pinned in the differential
+    test. For pure-ASCII input the key equals the ASCII tier's
+    (property-pinned)."""
+    import re
+    import unicodedata
+
+    folded = unicodedata.normalize(
+        "NFKC", unicodedata.normalize("NFKC", text).casefold()
+    )
+    return re.sub(r"[ \t\r\n\f\x0B]+", " ", folded).strip()
+
+
+def normalized_exact_dedup_unicode(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup keyed on the UNICODE normalization tier
+    (`normalize_key_unicode`), same single-shuffle shape as
+    `normalized_exact_dedup`: the key is computed map-side (one Arrow
+    batch pass — the JVM has no NFKC/casefold built-in, so this is a
+    legitimate Python stage, amortized like every other Arrow kernel
+    here), then one groupBy on the 32-byte key hash. Output drops the
+    key bytes themselves — (keeper_id, n_copies, n_raw_variants) — so
+    consumers (and the cross-engine oracle) assert the GROUPING the
+    tier induces, not engine-specific key encodings."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "norm_hash": [
+                        _hl.md5(
+                            normalize_key_unicode(t).encode("utf-8")
+                        ).hexdigest()
+                        for t in pdf[text_col]
+                    ],
+                    "raw_hash": [
+                        _hl.md5(t.encode("utf-8")).hexdigest()
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    keyed = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kern, "id long, norm_hash string, raw_hash string"
+    )
+    return (
+        keyed.groupBy("norm_hash")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+        .select("keeper_id", "n_copies", "n_raw_variants")
     )
 
 

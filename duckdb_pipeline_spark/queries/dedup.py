@@ -149,6 +149,76 @@ FROM ncorpus
 GROUP BY 1
 """
 
+_FW_UPPER = "".join(chr(0xFF21 + i) for i in range(26))  # ＡＢ…Ｚ
+
+
+def dedup_exact_unicode(spark, sf_dir):
+    """Normalization-keyed exact dedup on the UNICODE tier (round 14,
+    VERDICT r13 #7 — the locale-robust tier above `dedup_exact_
+    normalized`'s ASCII casefold): keys are NFKC -> full casefold ->
+    NFKC + whitespace-collapse (`operators.dedup.normalize_key_
+    unicode`, Arrow kernel — the JVM has no NFKC/casefold built-in).
+    The corpus plants twin classes the ASCII tier CANNOT collapse:
+    a FULLWIDTH-UPPERCASE slice (doc_id % 10 == 3, ASCII letters
+    translated to Ａ-Ｚ — JVM lower() leaves fullwidth capitals as
+    fullwidth smalls, so the ASCII key differs; NFKC maps them back)
+    and an uppercased LIGATURE slice (% 10 == 6, 'FI' runs re-encoded
+    as ﬁ U+FB01 — invisible to lower(), decomposed by NFKC). Output
+    is the induced GROUPING — (keeper_id, n_copies, n_raw_variants),
+    no key bytes — because the two engines legitimately differ in
+    normalization primitives: DuckDB has nfc_normalize (canonical,
+    not compatibility) and lower (not casefold), so the ORACLE
+    derives each group from the planted twins' KNOWN base text (the
+    decoration is constructed in SQL, so its undecorated form rides
+    along as the canonical grouping key, ASCII-tier-normalized). A
+    kernel that failed to collapse either twin class — or spuriously
+    merged distinct docs — changes the grouping and hash-mismatches.
+    The U+0130 caveat this tier closes out is pinned separately in
+    tests/test_round14_ops.py (İ casefolds to i+U+0307 by design —
+    correct Unicode, not an ASCII round-trip).
+
+    Scale shape: identical to `dedup_exact` — one Arrow map pass
+    computing the key, one groupBy on a 32-byte hash; nothing wider
+    than (id, two hashes) ever shuffles."""
+    from ..operators.dedup import normalized_exact_dedup_unicode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shift(spark, sf_dir)
+    ascii_lower = "abcdefghijklmnopqrstuvwxyz"
+    fw_twin = docs.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 3 * sh).alias("doc_id"),
+        F.translate(F.col("text"), ascii_lower, _FW_UPPER).alias("text"),
+    )
+    lig_twin = docs.where(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + 4 * sh).alias("doc_id"),
+        F.replace(F.upper("text"), F.lit("FI"), F.lit("ﬁ")).alias("text"),
+    )
+    return normalized_exact_dedup_unicode(
+        docs.unionByName(fw_twin).unionByName(lig_twin)
+    )
+
+
+DEDUP_EXACT_UNICODE_SQL = f"""
+WITH ucorpus AS (
+  SELECT doc_id, text, text AS canon FROM documents
+  UNION ALL
+  SELECT doc_id + {3 * ID_SHIFT} AS doc_id,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_FW_UPPER}') AS text,
+         text AS canon
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + {4 * ID_SHIFT} AS doc_id,
+         replace(upper(text), 'FI', 'ﬁ') AS text,
+         text AS canon
+  FROM documents WHERE doc_id % 10 = 6
+)
+SELECT min(doc_id) AS keeper_id,
+       count(*) AS n_copies,
+       count(DISTINCT md5(text)) AS n_raw_variants
+FROM ucorpus
+GROUP BY md5(trim(regexp_replace(lower(canon), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')))
+"""
+
 
 def dedup_minhash(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
@@ -2016,6 +2086,11 @@ QUERIES = {
         band_index_append_equals_rebuild,
         BAND_APPEND_SQL,
         "hourly band-index append x2 == from-scratch rebuild (protocol row)",
+    ),
+    "dedup_exact_unicode": QuerySpec(
+        dedup_exact_unicode,
+        DEDUP_EXACT_UNICODE_SQL,
+        "NFKC+casefold normalization-keyed exact dedup (unicode tier)",
     ),
     "dedup_components": QuerySpec(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup connected components"

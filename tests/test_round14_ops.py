@@ -325,3 +325,48 @@ def test_compact_bucketed_tf_projection(spark, tmp_path):
     append_doc_tf(spark, corpus_dir, batch3)
     assert json.load(open(marker))["appends"] == 3
     assert spark.table(tname).where(F.col("doc_id") == 300).count() == 2
+
+
+def test_normalize_key_unicode_pinned_edges():
+    """Differential pin of the NFKC+casefold tier (VERDICT r13 #7 —
+    the NORM_WS_CLASS precedent: divergences are documented by test,
+    not discovered by a driver mismatch). Groups that MUST collapse,
+    and the one documented non-round-trip (U+0130)."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        normalize_key_unicode as k,
+        normalize_text,
+    )
+
+    # fullwidth capitals -> ascii lower (the planted twin class)
+    assert k("ＫＥＹ agg") == k("key agg") == "key agg"
+    # ligature fi (U+FB01), uppercased context
+    assert k("ﬁlter FAST") == "filter fast"
+    # full casefold: sharp s -> ss, final sigma == sigma
+    assert k("STRASSE") == k("straße") == "strasse"
+    assert k("Σς") == k("σσ")
+    # NFKC maps NBSP to space; explicit class collapses runs
+    assert k("a b") == k("a  b") == "a b"
+    # the documented caveat, CLOSED as correct-Unicode: İ casefolds to
+    # i + combining dot (real outside Turkish locale), NOT plain 'i'
+    assert k("İstanbul") == "i̇stanbul"
+    assert k("İstanbul") != k("istanbul")
+
+
+def test_normalize_key_unicode_equals_ascii_tier_on_ascii(spark):
+    """For pure-ASCII text the unicode tier's key equals the ASCII
+    tier's normalized string — checked over the real corpus sample, so
+    the tiers can never silently disagree on the data they share."""
+    from duckdb_pipeline_spark.operators.dedup import (
+        normalize_key_unicode,
+        normalize_text,
+    )
+    from duckdb_pipeline_spark.queries.common import load
+
+    rows = (
+        load(spark, SF, "documents")
+        .select("text", normalize_text(F.col("text")).alias("ascii_key"))
+        .limit(200)
+        .collect()
+    )
+    for r in rows:
+        assert normalize_key_unicode(r.text) == r.ascii_key
