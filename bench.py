@@ -17,6 +17,17 @@ corpus, VERDICT r12 #3) — it moved from ~0.34 s to ~1.5-1.7 s Spark /
 construction. Decomposition + the sf10 inversion (0.29x) are in
 BASELINE round-13.
 
+Round 14 recomposition (VERDICT r13 wrong #2 — this time the
+attribution is IN the artifact, not just prose):
+`quality_perplexity_buckets` switched to the unicode tokenizer tier
+over a 1.28x planted-twin corpus (heavier by construction, BOTH
+engines), so the artifact now carries `r14_recomposed` +
+`ratio_ex_r14_recomposed` — the official ratio with the recomposed
+query excluded from both bases — keeping the anchor series
+comparable. (`pipeline_corpus_prep` also moved this round, but
+FASTER with bitwise-identical output — a plan win, which is exactly
+what the anchor series should reflect, so it stays in.)
+
 Methodology (round 5):
 
 - Per query, the DataFrame (logical plan) is built ONCE, outside the
@@ -533,6 +544,20 @@ def main() -> None:
     )
     base_ratio = round(base_total / base_duck, 3) if base_duck else None
 
+    # round-14 recomposition attribution (VERDICT r13 wrong #2): the
+    # official ratio with this round's recomposed basis queries
+    # excluded from BOTH totals — the number comparable to r13's 1.64
+    R14_RECOMPOSED = ["quality_perplexity_buckets"]
+    ex_t = round(
+        sum(v for k, v in timings.items() if k not in R14_RECOMPOSED), 3
+    )
+    ex_d = (
+        round(sum(v for k, v in duck.items() if k not in R14_RECOMPOSED), 3)
+        if duck
+        else None
+    )
+    ex_ratio = round(ex_t / ex_d, 3) if ex_d else None
+
     # Full per-engine detail goes to stderr + a sidecar file; the final
     # stdout line must stay small (driver tail-captures ~2 KB — round 5's
     # line grew past it and the official record got parsed:null).
@@ -550,6 +575,8 @@ def main() -> None:
         "r5_basis_value": base_total,
         "r5_basis_duckdb_value": base_duck,
         "r5_basis_ratio": base_ratio,
+        "r14_recomposed": R14_RECOMPOSED,
+        "ratio_ex_r14_recomposed": ex_ratio,
         "extras": extras,
         "dropped": dropped,
         # host-load attribution (VERDICT r12 #5): out-of-band draws
@@ -592,6 +619,8 @@ def main() -> None:
                 "r5_basis_value": base_total,
                 "r5_basis_duckdb_value": base_duck,
                 "r5_basis_ratio": base_ratio,
+                "r14_recomposed": R14_RECOMPOSED,
+                "ratio_ex_r14_recomposed": ex_ratio,
                 "extras": extras,
                 "dropped": dropped,
             },
