@@ -462,6 +462,7 @@ def minhash_lsh_dedup_mapped(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH with the shuffle- and job-minimal plan:
 
@@ -509,11 +510,16 @@ def minhash_lsh_dedup_mapped(
     # identical pairs). The classic reuse-a-partitioning-across-stages
     # pattern; at corpus scale it also co-locates the skewed hot
     # signatures once instead of twice.
-    bands = (
-        minhash_bands_mapped(df, id_col, text_col, n, num_hashes, rows_per_band)
-        .repartition(F.col("band"), F.col("sig"))
-        .persist()
-    )
+    # ``bands``: a caller-supplied precomputed (id, band, sig) relation
+    # for the SAME (n, num_hashes, rows_per_band) — the band-index
+    # write/append paths sign their corpus once and feed every
+    # consumer (round 14); the caller owns its partitioning/persist.
+    if bands is None:
+        bands = (
+            minhash_bands_mapped(df, id_col, text_col, n, num_hashes, rows_per_band)
+            .repartition(F.col("band"), F.col("sig"))
+            .persist()
+        )
     pairs = lsh_candidate_pairs(bands, id_col, broadcast_self_join=False)
 
     # attach both member texts to each pair (a hub doc in m pairs is
@@ -1153,12 +1159,17 @@ def minhash_band_index_write(
     scan reads a bounded fraction of the index regardless of corpus
     size (same layout idea as similarity.ivf_write_index).
     """
-    sh = word_shingles(docs, id_col, text_col, n, distinct=False)
-    bands = lsh_bands(
-        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
+    # ONE signature pass (round 14): the banded signatures feed both
+    # the index rows and the pair generation (previously the corpus
+    # was signed twice — once relational for the rows, once in the
+    # mapped dedup; outputs are bitwise-identical, pytest-pinned)
+    bands = (
+        minhash_bands_mapped(docs, id_col, text_col, n, num_hashes, rows_per_band)
+        .repartition(F.col("band"), F.col("sig"))
+        .persist()
     )
     pairs = minhash_lsh_dedup_mapped(
-        docs, id_col, text_col, n, num_hashes, rows_per_band
+        docs, id_col, text_col, n, num_hashes, rows_per_band, bands=bands
     )
     labels = connected_components_star(pairs).withColumnsRenamed(
         {"doc_id": id_col} if id_col != "doc_id" else {}
@@ -1229,9 +1240,14 @@ def minhash_band_index_append(
     small-files problem — run `sinks.compact_partitioned(spark, path,
     ["band", "bucket"])` periodically (round 13; equality and preserved
     pruning pinned in tests/test_round13_ops.py)."""
+    batch_bands = (
+        minhash_bands_mapped(new_docs, id_col, text_col, n, num_hashes, rows_per_band)
+        .repartition(F.col("band"), F.col("sig"))
+        .persist()
+    )
     hits = minhash_band_index_probe(
         spark, index_path, new_docs, id_col, text_col, n, num_hashes,
-        rows_per_band, n_buckets,
+        rows_per_band, n_buckets, probe_bands=batch_bands,
     ).where(F.col(id_col) != F.col("dup_of"))
     if verify_docs is not None:
         cand = hits.select(
@@ -1257,7 +1273,8 @@ def minhash_band_index_append(
         )
         hits = hits.join(ok, [id_col, "dup_of"], "left_semi")
     wb = minhash_lsh_dedup_mapped(
-        new_docs, id_col, text_col, n, num_hashes, rows_per_band, threshold
+        new_docs, id_col, text_col, n, num_hashes, rows_per_band, threshold,
+        bands=batch_bands,
     ).select("doc_a", "doc_b")
     anchors = hits.select(
         F.col(id_col).alias("doc_a"), F.col("component").alias("doc_b")
@@ -1266,12 +1283,8 @@ def minhash_band_index_append(
         F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
         "component",
     )
-    sh2 = word_shingles(new_docs, id_col, text_col, n, distinct=False)
-    bands = lsh_bands(
-        minhash_signatures(sh2, id_col, num_hashes), id_col, num_hashes, rows_per_band
-    )
     out = (
-        bands.join(comp, id_col, "left")
+        batch_bands.join(comp, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
         .withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
     )
@@ -1288,6 +1301,7 @@ def minhash_band_index_probe(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     n_buckets: int = 8,
+    probe_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted band index with a new batch: returns one row
     per cross-batch candidate duplicate, ``(doc_id, dup_of,
@@ -1304,10 +1318,15 @@ def minhash_band_index_probe(
     exact-Jaccard confirmation over the candidate pairs are separate,
     candidate-bounded stages).
     """
-    sh = word_shingles(new_docs, id_col, text_col, n, distinct=False)
-    probe = lsh_bands(
-        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, rows_per_band
-    ).withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
+    if probe_bands is None:
+        sh = word_shingles(new_docs, id_col, text_col, n, distinct=False)
+        probe_bands = lsh_bands(
+            minhash_signatures(sh, id_col, num_hashes),
+            id_col, num_hashes, rows_per_band,
+        )
+    probe = probe_bands.withColumn(
+        "bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets))
+    )
     cells = probe.select("band", "bucket").distinct().collect()
     by_band: dict[int, list[int]] = {}
     for r in cells:
