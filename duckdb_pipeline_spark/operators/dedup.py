@@ -1240,6 +1240,10 @@ def minhash_band_index_append(
     small-files problem — run `sinks.compact_partitioned(spark, path,
     ["band", "bucket"])` periodically (round 13; equality and preserved
     pruning pinned in tests/test_round13_ops.py)."""
+    # persisted for its three consumers (probe join, within-batch
+    # self-join, output rows) and RELEASED after the write: a gate
+    # stream calls this once per micro-batch, and un-released batch
+    # caches would accumulate for the stream's whole lifetime
     batch_bands = (
         minhash_bands_mapped(new_docs, id_col, text_col, n, num_hashes, rows_per_band)
         .repartition(F.col("band"), F.col("sig"))
@@ -1288,7 +1292,10 @@ def minhash_band_index_append(
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
         .withColumn("bucket", F.pmod(F.hash(F.col("sig")), F.lit(n_buckets)))
     )
-    out.write.mode("append").partitionBy("band", "bucket").parquet(index_path)
+    try:
+        out.write.mode("append").partitionBy("band", "bucket").parquet(index_path)
+    finally:
+        batch_bands.unpersist()
 
 
 def minhash_band_index_probe(
