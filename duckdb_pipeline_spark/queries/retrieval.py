@@ -40,7 +40,7 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
 #   k1 = 1.2, b = 0.75, k1 + 1 = 2.2, 1 - b = 0.25
 
 
-def _bm25_doc_scores(spark, sf_dir):
+def _bm25_doc_scores(spark, sf_dir, toktf=None):
     """Per-document BM25 scores for the 3-term disjunctive query —
     the shared scoring core of `search_docs_bm25` (top-20 ranking) and
     `search_hybrid_rrf` (lexical branch). Returns (doc_id, bm25)
@@ -58,7 +58,8 @@ def _bm25_doc_scores(spark, sf_dir):
     time."""
     from .tokcache import doc_tf
 
-    toktf = doc_tf(spark, sf_dir)
+    if toktf is None:
+        toktf = doc_tf(spark, sf_dir)
     dl = toktf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -111,7 +112,14 @@ def search_docs_bm25(spark, sf_dir):
 # shared CTE chain for the BM25 doc-score table (bm = doc_id, bm25) —
 # reused verbatim by BM25_SQL and the hybrid-RRF oracle so the two
 # cannot drift apart.
-_BM25_CTES = f"""base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _bm25_ctes(
+    src: str = "documents",
+    toks: str = "string_split(text, ' ')",
+) -> str:
+    """The BM25 CTE chain over corpus ``src`` with token expression
+    ``toks`` — shared by the space-tier queries (default, byte-frozen
+    below) and the unicode-tier consumer (round 14)."""
+    return f"""base AS (SELECT doc_id, {toks} AS t FROM {src}),
 dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -138,8 +146,77 @@ bm AS (
   FROM scored GROUP BY doc_id
 )"""
 
+
+_BM25_CTES = _bm25_ctes()
+
 BM25_SQL = f"""
 WITH {_BM25_CTES}
+SELECT doc_id, bm25 FROM bm
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+_U_BM25_SHIFT = 40_000_000  # planted-twin id floor (common.twin_shift)
+
+
+def search_docs_bm25_unicode(spark, sf_dir):
+    """BM25 top-20 SERVED FROM THE UNICODE TOKENIZER TIER (round 14,
+    VERDICT r13 #3's second half — the retrieval stack was the tier's
+    weak link: on real text, space tokenization binds punctuation into
+    terms and poisons df/dl/tf, so 'spark,' never matches the query
+    term 'spark'). The corpus plants an UPPERCASED comma-joined twin
+    slice (doc_id % 5 == 1): under the unicode tier each twin carries
+    exactly its original's terms and participates in scoring; under a
+    space tier every twin's tokens end in ',' and its tf for all three
+    query terms is ZERO — so the driver hash pins the tier through the
+    whole serving stack, not just the tokenizer regex.
+
+    Serving shape is `search_docs_bm25`'s, unchanged: the planted
+    corpus lands as its own corpus dir, is tokenized ONCE into the
+    bucketed unicode tf projection (`_ensure_doc_tf(tokenizer=
+    "unicode")` — build, stamp, bucketed serve all exercised), and
+    the query probes it — term-filtered read + Exchange-free
+    merge-pinned dl fold; corpus text never scanned at query time.
+    Stats differ from the plain query because the corpus does (1.2x
+    docs, twins shift df/avgdl) — the oracle replays the identical
+    corpus + regexp tokenization."""
+    import hashlib
+    import os
+
+    from .common import twin_shift
+    from .tokcache import _repo_root, doc_tf
+
+    docs = load(spark, sf_dir, "documents")
+    ush = twin_shift(spark, sf_dir, floor=_U_BM25_SHIFT)
+    twins = docs.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + ush).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(", "))).alias("text"),
+        "source",
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(twins)
+    label = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    qdir = os.path.join(_repo_root(), ".scratch", "bm25_u_q", label)
+    corpus.write.mode("overwrite").parquet(os.path.join(qdir, "documents.parquet"))
+    toktf = doc_tf(spark, qdir, tokenizer="unicode")
+    return (
+        _bm25_doc_scores(spark, qdir, toktf=toktf)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+_U_TOKS_SQL = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
+
+BM25_UNICODE_SQL = f"""
+WITH ucorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_U_BM25_SHIFT} AS doc_id,
+         upper(replace(text, ' ', ', ')) AS text
+  FROM documents WHERE doc_id % 5 = 1
+),
+{_bm25_ctes("ucorpus", _U_TOKS_SQL)}
 SELECT doc_id, bm25 FROM bm
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
@@ -670,6 +747,11 @@ QUERIES = {
     ),
     "search_docs_bm25": QuerySpec(
         search_docs_bm25, BM25_SQL, "BM25 ranked retrieval (k1=1.2, b=0.75)"
+    ),
+    "search_docs_bm25_unicode": QuerySpec(
+        search_docs_bm25_unicode,
+        BM25_UNICODE_SQL,
+        "BM25 served from the unicode tokenizer tier (planted punctuation twins)",
     ),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms, TFIDF_SQL, "top-3 tf-idf salient terms per document"

@@ -370,3 +370,21 @@ def test_normalize_key_unicode_equals_ascii_tier_on_ascii(spark):
     )
     for r in rows:
         assert normalize_key_unicode(r.text) == r.ascii_key
+
+
+def test_bm25_unicode_twins_match_terms_space_tier_does_not(spark, tmp_path):
+    """The tier claim behind search_docs_bm25_unicode's oracle row: a
+    comma-decorated uppercased twin matches the query terms under the
+    unicode tokenizer and matches NOTHING under the space tokenizer
+    (every token ends in ','), so serving BM25 from the wrong tier is
+    a loud hash mismatch, not a silent relevance bug."""
+    from duckdb_pipeline_spark.queries.retrieval import _TERMS
+    from duckdb_pipeline_spark.queries.tokcache import _tokens_expr
+
+    twin_text = "SPARK, HASH, MERGE, TABLE, ROW"
+    df = spark.createDataFrame([(1, twin_text)], "doc_id long, text string")
+    uni = df.select(F.explode(_tokens_expr("unicode")).alias("token"))
+    sp = df.select(F.explode(_tokens_expr("space")).alias("token"))
+    uni_hits = uni.where(F.col("token").isin(*_TERMS)).count()
+    sp_hits = sp.where(F.col("token").isin(*_TERMS)).count()
+    assert uni_hits == 3 and sp_hits == 0
