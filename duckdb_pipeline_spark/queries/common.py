@@ -365,6 +365,42 @@ def input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def maybe_persist(df: DataFrame, level=None, floor_bytes: int | None = None) -> DataFrame:
+    """Scale-adaptive persist for DETERMINISTIC multi-consumer
+    intermediates (optimization r14, guide §5: caching is only worth it
+    when recomputing costs more than the pressure it creates).
+
+    Spark runs independent plan branches as CONCURRENT stages inside
+    one job, so below a scan-size floor a re-derived branch overlaps
+    other work and costs near nothing, while a persist SERIALIZES the
+    DAG at a materialization barrier (+0.1-0.3 s per site measured at
+    sf0.1; the r14 bgc experiment measured +0.9 s for one persist).
+    Above the floor the avoided re-scan dominates and the persist wins
+    (sf10 A/B history: dsir DISK_ONLY 29.4 s vs eviction-churned 81.7 s).
+
+    The floor is the input size where one avoided re-scan roughly pays
+    the barrier (~128 MiB at local disk throughput); override with
+    $SPARK_GRAFT_PERSIST_FLOOR_BYTES. Unknown input size (non-local FS)
+    = real scale = persist — same conservative contract as
+    :func:`spread`/:func:`input_bytes`.
+
+    ONLY for deterministic plans: a nondeterministic intermediate
+    (sampling, rand) must persist unconditionally or its consumers
+    diverge."""
+    from pyspark import StorageLevel
+
+    if level is None:
+        level = StorageLevel.DISK_ONLY
+    if floor_bytes is None:
+        floor_bytes = int(
+            os.environ.get("SPARK_GRAFT_PERSIST_FLOOR_BYTES", str(128 * 1024 * 1024))
+        )
+    total = input_bytes(df)
+    if total is not None and total < floor_bytes:
+        return df
+    return df.persist(level)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table, normalizing timestamp physics so every
     downstream query sees plain ``timestamp`` columns:

@@ -104,7 +104,7 @@ SELECT doc_id, n AS n_tokens, round(-(s) / n, 6) AS xent FROM agg
 """
 
 
-def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
+def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
     """Per-document cross-entropy under a BIGRAM LM with Stupid
     Backoff (Brants et al. 2007), trained on the reference slice
     (source = 'src0' — the CCNet pattern: score the whole crawl
@@ -142,9 +142,21 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
     fuzz-pinned in tests). ``docs`` overrides the corpus (doc_id,
     source, text) — planted-twin consumers pass their augmented
     corpus. The DECLARED query stays the space tier on raw documents;
-    `quality_perplexity_buckets` consumes the unicode tier."""
+    `quality_perplexity_buckets` consumes the unicode tier.
+
+    ``carry`` (optimization r14): per-doc columns (functionally
+    dependent on doc_id, e.g. lang) threaded through the instance
+    stream and the per-doc fold, so consumers that need them avoid a
+    corpus-cardinality join back against the source (guide §2.4 —
+    the join re-derived the 3-branch planted corpus and added an
+    Exchange + broadcast). Widens the map-side partial-agg key by the
+    carried columns only; default () keeps the declared query's plan
+    and output identical."""
+    from pyspark import StorageLevel
+
     from .tokcache import UNICODE_TOKEN_RE
 
+    carry = list(carry)
     if docs is None:
         docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     if tokenizer == "space":
@@ -153,7 +165,7 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
         t_expr = F.regexp_extract_all(F.lower("text"), F.lit(UNICODE_TOKEN_RE), 0)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    toks = docs.select("doc_id", "source", t_expr.alias("t"))
+    toks = docs.select("doc_id", "source", *carry, t_expr.alias("t"))
     # bigrams via arrays_zip of two shifted slices — all codegen'd
     # built-ins; the transform-lambda struct formulation evaluates
     # interpreted per element (the ADC HOF lesson) and measured 2x
@@ -163,17 +175,29 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
         .select(
             "doc_id",
             "source",
+            *carry,
             F.expr("slice(t, 1, size(t) - 1)").alias("w1s"),
             F.expr("slice(t, 2, size(t) - 1)").alias("w2s"),
         )
-        .select("doc_id", "source", F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+        .select(
+            "doc_id", "source", *carry,
+            F.explode(F.arrays_zip("w1s", "w2s")).alias("b"),
+        )
         .select(
             "doc_id",
             "source",
+            *carry,
             F.col("b.w1s").alias("w1"),
             F.col("b.w2s").alias("w2"),
         )
     )
+    # bgc feeds FOUR plan branches (lm2's probe side, c1, marg, tot) and
+    # Spark does not CSE across branches: unpersisted, the reference
+    # explode + groupBy(w1, w2) re-ran four times (8 Exchanges / 4 src0
+    # scans in the r14 before-plan). The table is vocab-bounded
+    # (distinct reference bigrams), so persisting it is safe at any
+    # corpus size; DISK_ONLY per the dsir sizing note (guide §2.4 /
+    # §5 — one pass over the reference slice instead of four).
     bgc = (
         bg.where(F.col("source") == "src0")
         .groupBy("w1", "w2")
@@ -214,14 +238,15 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None):
         bg.join(lm2, ["w1", "w2"], "left")
         .join(lmu, "w2", "left")
         .crossJoin(F.broadcast(zero))
-        .select("doc_id", F.coalesce("lp2", "lpu", "lp0").alias("lpm"))
+        .select("doc_id", *carry, F.coalesce("lp2", "lpu", "lp0").alias("lpm"))
     )
-    agg = scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id", *carry).agg(
         F.sum("lpm").alias("sm"),
         F.count(F.lit(1)).alias("n"),
     )
     return agg.select(
         "doc_id",
+        *carry,
         F.col("n").alias("n_bigrams"),
         F.round(-(F.col("sm").cast("double") / 1e6) / F.col("n"), 6).alias("xent"),
     )
@@ -493,15 +518,21 @@ def quality_perplexity_buckets(spark, sf_dir):
         "lang",
     )
     corpus = base.unionByName(punct_twin).unionByName(dash_twin)
+    # lang rides THROUGH the xent fold (carry — functionally dependent
+    # on doc_id), replacing the former xent ⋈ corpus(doc_id, lang)
+    # re-join: that join re-derived the 3-branch planted corpus a
+    # second time (3 scans + union + BroadcastExchange in the r14
+    # before-plan) only to recover lang. Same rows: the join was inner
+    # on doc_id and every xent doc_id exists in corpus exactly once.
     xent = text_bigram_xent(
         spark,
         sf_dir,
         tokenizer="unicode",
-        docs=corpus.select("doc_id", "source", "text"),
+        docs=corpus.select("doc_id", "source", "text", "lang"),
+        carry=("lang",),
     )
-    j = xent.join(corpus.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy("xent", "doc_id")
-    b = j.select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
+    b = xent.select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
     return (
         b.groupBy("lang", "bucket")
         .agg(

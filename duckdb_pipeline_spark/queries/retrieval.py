@@ -321,7 +321,17 @@ def search_mrr_audit(spark, sf_dir):
     sf0.1 profile; this query was the most expensive v2-basis entry at
     1.32 s). Both intermediates are probe-vocabulary-bounded (rows only
     for docs containing a probe token), so caching them is safe at any
-    corpus size; DISK_ONLY per the dsir sizing note (curation.py)."""
+    corpus size; DISK_ONLY per the dsir sizing note (curation.py).
+
+    Optimization r14: both persists are now SCALE-ADAPTIVE
+    (`common.maybe_persist`). The r10 measurement predates the tokcache
+    — re-deriving tf then meant re-tokenizing the corpus; today it is
+    one extra scan of the bucketed tf projection, which below the size
+    floor runs as a concurrent stage for free while the persist
+    serializes the DAG (isolated A/B this round, results identical:
+    min 1.02 s with both persists vs 0.82 s with neither at sf0.1; at
+    sf10 the inputs are far over the floor and both persists stay)."""
+    from .common import maybe_persist
     from .tokcache import doc_tf
 
     docs = load(spark, sf_dir, "documents")
@@ -349,10 +359,9 @@ def search_mrr_audit(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
     ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
-    tf = (
+    tf = maybe_persist(
         toktf.join(F.broadcast(qterms.select("token").distinct()), "token")
         .select("doc_id", "token", "tf")
-        .persist(StorageLevel.DISK_ONLY)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
@@ -375,8 +384,8 @@ def search_mrr_audit(spark, sf_dir):
         )
         .groupBy("q_id", "doc_id")
         .agg(F.round(dsum("s"), 4).alias("score"))
-        .persist(StorageLevel.DISK_ONLY)
     )
+    pair = maybe_persist(pair)
     self_s = (
         pair.where(F.col("q_id") == F.col("doc_id"))
         .select("q_id", F.col("score").alias("self_score"))
