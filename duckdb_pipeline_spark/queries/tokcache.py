@@ -165,8 +165,23 @@ def _ensure_doc_tf(spark, sf_dir: str, tokenizer: str = "space") -> str:
         from .common import invalidate_source
 
         invalidate_source(spark, sf_dir, "documents")
+        # ONE shuffle, of the RAW docs (optimization r14, guide §2.3/2.4):
+        # repartition by doc_id BEFORE the explode. HashPartitioning
+        # (doc_id, N) satisfies the groupBy(doc_id, source, token)
+        # clustering (subset rule) AND is exactly the bucket-id hash
+        # (Murmur3 pmod N), so the aggregation runs Exchange-free and
+        # each task writes its one bucket file with no second shuffle.
+        # The previous shape shuffled token-scale data twice (partial-
+        # aggregated tf rows into the groupBy, then the FULL tf table
+        # into the bucket repartition); raw (doc_id, source, text) rows
+        # are the smaller payload at every scale — the tf projection on
+        # disk is ~3x the corpus text (measured at sf0.1) because each
+        # token row re-carries doc_id/source. Same rows, same layout
+        # (32 one-per-bucket files), content-hash-identical (A/B'd).
         tf = (
             load(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .repartition(_N_BUCKETS, F.col("doc_id"))
             .select(
                 "doc_id",
                 "source",
@@ -181,8 +196,7 @@ def _ensure_doc_tf(spark, sf_dir: str, tokenizer: str = "space") -> str:
         )
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
         (
-            tf.repartition(_N_BUCKETS, F.col("doc_id"))
-            .write.bucketBy(_N_BUCKETS, "doc_id")
+            tf.write.bucketBy(_N_BUCKETS, "doc_id")
             .sortBy("doc_id")
             .option("path", path)
             .mode("overwrite")
@@ -303,8 +317,12 @@ def append_doc_tf(
                 "admission (stream_neardup_gate) and pass "
                 "check_duplicates=False"
             )
+    # same one-shuffle shape as the full build: partition the raw batch
+    # by doc_id first, explode + fold Exchange-free, write bucket-aligned
     batch_tf = (
-        new_docs.select(
+        new_docs.select("doc_id", "source", "text")
+        .repartition(_N_BUCKETS, F.col("doc_id"))
+        .select(
             "doc_id",
             "source",
             F.explode(_tokens_expr(tokenizer)).alias("token"),
@@ -313,11 +331,7 @@ def append_doc_tf(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .select("doc_id", "token", "tf", "source")
     )
-    (
-        batch_tf.repartition(_N_BUCKETS, F.col("doc_id"))
-        .write.mode("append")
-        .insertInto(tname)
-    )
+    batch_tf.write.mode("append").insertInto(tname)
     # re-stamp: the table now equals derivation(source) ∪ appended
     # batches. The source signature stays (unchanged source keeps
     # serving the union; consecutive appends compose); the counter
