@@ -651,11 +651,20 @@ def pipeline_corpus_prep(spark, sf_dir):
         F.md5("text").alias("raw_hash"),
         F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
     )
-    # tier 1: min-id keeper per raw content hash (skinny shuffle)
-    k1 = (
-        hashed.groupBy("raw_hash").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # tier 1: min-id keeper per raw content hash, as ONE skinny
+    # aggregation — min_by carries the keeper's norm_hash alongside its
+    # id (doc_id is unique per group, so min_by is deterministic), so
+    # tier 2 consumes tier 1's output directly instead of semi-joining
+    # keeper ids back against `hashed`. The previous k1-semi-join ladder
+    # re-derived `hashed` once per tier consumer — the r14 before-plan
+    # ran the md5 + normalize pass over the 1.33x corpus THREE times
+    # (168 scan nodes / 80 Exchanges); this shape runs it exactly once
+    # (guide §1.1 first-principles: two content keys need ONE pass).
+    # Keeper sets are identical tier by tier, output bitwise-equal.
+    survivors = hashed.groupBy("raw_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("norm_hash", "doc_id").alias("norm_hash"),
     )
-    survivors = hashed.join(k1, "doc_id", "left_semi")
     # tier 2: min-id keeper per normalized hash among tier-1 survivors
     k2 = (
         survivors.groupBy("norm_hash")
