@@ -193,12 +193,18 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
     )
     # bgc feeds FOUR plan branches (lm2's probe side, c1, marg, tot) and
     # Spark does not CSE across branches: unpersisted, the reference
-    # explode + groupBy(w1, w2) re-ran four times (8 Exchanges / 4 src0
-    # scans in the r14 before-plan). The table is vocab-bounded
-    # (distinct reference bigrams), so persisting it is safe at any
-    # corpus size; DISK_ONLY per the dsir sizing note (guide §2.4 /
-    # §5 — one pass over the reference slice instead of four).
-    bgc = (
+    # explode + groupBy(w1, w2) runs four times (8 Exchanges / 4 src0
+    # scans in the r14 before-plan). Persistence is SCALE-ADAPTIVE
+    # (common.maybe_persist): below the floor the four derivations run
+    # as concurrent stages and an unconditional persist measured +0.9 s
+    # at sf0.1 (it serializes the DAG at the materialization barrier);
+    # above it, one pass over the reference slice instead of four is
+    # the win that matters (guide §2.4/§5). bgc is vocab-bounded
+    # (distinct reference bigrams), so caching is safe at any corpus
+    # size; DISK_ONLY per the dsir sizing note.
+    from .common import maybe_persist
+
+    bgc = maybe_persist(
         bg.where(F.col("source") == "src0")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt2"))
