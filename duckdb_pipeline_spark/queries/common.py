@@ -375,14 +375,18 @@ def maybe_persist(df: DataFrame, level=None, floor_bytes: int | None = None) -> 
     other work and costs near nothing, while a persist SERIALIZES the
     DAG at a materialization barrier (+0.1-0.3 s per site measured at
     sf0.1; the r14 bgc experiment measured +0.9 s for one persist).
-    Above the floor the avoided re-scan dominates and the persist wins
-    (sf10 A/B history: dsir DISK_ONLY 29.4 s vs eviction-churned 81.7 s).
+    Once the input is large enough that the avoided re-derivation is a
+    real pass over a big table, the persist wins.
 
     The floor is the input size where one avoided re-scan roughly pays
     the barrier (~128 MiB at local disk throughput); override with
     $SPARK_GRAFT_PERSIST_FLOOR_BYTES. Unknown input size (non-local FS)
     = real scale = persist — same conservative contract as
-    :func:`spread`/:func:`input_bytes`.
+    :func:`spread`/:func:`input_bytes`. Note the local sf replicas'
+    parquet compresses text ~2.6:1, so even the sf10 sweep inputs stay
+    below the floor: local runs at every shipped scale take the
+    re-derive path (measured faster), and the persist engages on
+    deployments where the inputs are genuinely large.
 
     ONLY for deterministic plans: a nondeterministic intermediate
     (sampling, rand) must persist unconditionally or its consumers
