@@ -469,7 +469,7 @@ _PPLX_SHIFT = 40_000_000  # planted-twin id offset (floor for twin_shift)
 
 
 def quality_perplexity_buckets(spark, sf_dir):
-    """CCNet-style perplexity tiering (Wenzek et al. 2020): per
+    r"""CCNet-style perplexity tiering (Wenzek et al. 2020): per
     language, rank every document by its bigram-LM cross-entropy
     (`text_bigram_xent` — already bitwise cross-engine) and cut the
     ranking into head/middle/tail thirds; report each (lang, bucket)

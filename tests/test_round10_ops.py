@@ -323,15 +323,27 @@ def test_read_version_diff_randomized_roundtrip(spark, tmp_path):
         assert got == want, (trial, got.keys() ^ want.keys())
 
 
-def test_mrr_audit_branches_cached(spark, sf_dir):
-    """search_mrr_audit persists its two multiply-consumed
-    intermediates (probe-vocab tf; (q_id, doc_id, score) pair) so the
-    corpus token-explode runs once, not once per consumer (A/B:
-    scripts/exp_mrr_r10.py). Pin: the executed plan reads through
-    cached relations, and dropping the caches still yields
-    oracle-equal output (the oracle suite covers values)."""
+def test_mrr_audit_branches_cached(spark, sf_dir, monkeypatch):
+    """search_mrr_audit's two multiply-consumed intermediates
+    (probe-vocab tf; (q_id, doc_id, score) pair) persist
+    SCALE-ADAPTIVELY since optimization r14 (common.maybe_persist):
+    below the input-size floor the branches re-derive as concurrent
+    stages (the r10 persist predates the tokcache — re-deriving tf
+    then re-tokenized the corpus; now it is one extra bucketed-scan,
+    and the unconditional persist measured +0.2 s of barrier at
+    sf0.1); at/above the floor the caches return. Pin BOTH sides of
+    the switch on the same data by moving the floor, and that the
+    uncached plan still yields rows (the oracle suite covers values)."""
     from duckdb_pipeline_spark.queries import collect_all
 
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_FLOOR_BYTES", str(1 << 60))
+    df = collect_all()["search_mrr_audit"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, plan
+    assert df.count() > 0
+    spark.catalog.clearCache()
+
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_FLOOR_BYTES", "0")
     df = collect_all()["search_mrr_audit"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
