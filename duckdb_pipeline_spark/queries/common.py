@@ -396,9 +396,17 @@ def maybe_persist(df: DataFrame, level=None, floor_bytes: int | None = None) -> 
     if level is None:
         level = StorageLevel.DISK_ONLY
     if floor_bytes is None:
-        floor_bytes = int(
-            os.environ.get("SPARK_GRAFT_PERSIST_FLOOR_BYTES", str(128 * 1024 * 1024))
-        )
+        # malformed env values fall back to the default instead of
+        # raising from deep inside query construction (ADVICE r14 —
+        # the spread()/maxPartitionBytes pattern)
+        try:
+            floor_bytes = int(
+                os.environ.get(
+                    "SPARK_GRAFT_PERSIST_FLOOR_BYTES", str(128 * 1024 * 1024)
+                )
+            )
+        except (TypeError, ValueError):
+            floor_bytes = 128 * 1024 * 1024
     total = input_bytes(df)
     if total is not None and total < floor_bytes:
         return df

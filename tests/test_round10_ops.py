@@ -324,29 +324,31 @@ def test_read_version_diff_randomized_roundtrip(spark, tmp_path):
 
 
 def test_mrr_audit_branches_cached(spark, sf_dir, monkeypatch):
-    """search_mrr_audit's two multiply-consumed intermediates
-    (probe-vocab tf; (q_id, doc_id, score) pair) persist
-    SCALE-ADAPTIVELY since optimization r14 (common.maybe_persist):
-    below the input-size floor the branches re-derive as concurrent
-    stages (the r10 persist predates the tokcache — re-deriving tf
-    then re-tokenized the corpus; now it is one extra bucketed-scan,
-    and the unconditional persist measured +0.2 s of barrier at
-    sf0.1); at/above the floor the caches return. Pin BOTH sides of
-    the switch on the same data by moving the floor, and that the
-    uncached plan still yields rows (the oracle suite covers values)."""
+    """search_mrr_audit's persist contract, PER SITE since
+    optimization r15 (VERDICT r14 #1): the (q_id, doc_id, score)
+    ``pair`` intermediate persists UNCONDITIONALLY (its inlined
+    re-derivation repays the corpus-cardinality dl merge join and the
+    full-corpus stats fold per consumer), while the probe-vocab ``tf``
+    stays scale-adaptive (common.maybe_persist — its re-derivation is
+    one predicate-pushed bucketed scan, nearly free below the floor).
+    Pin BOTH sides of tf's switch on the same data by moving the
+    floor — pair's cache must be present either way, and tf's cache
+    must ADD InMemoryTableScans only below the floor — and that both
+    plans still yield rows (the oracle suite covers values)."""
     from duckdb_pipeline_spark.queries import collect_all
 
     monkeypatch.setenv("SPARK_GRAFT_PERSIST_FLOOR_BYTES", str(1 << 60))
     df = collect_all()["search_mrr_audit"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" not in plan, plan
+    n_gated_off = plan.count("InMemoryTableScan")
+    assert n_gated_off > 0, plan  # pair is cached even above the floor
     assert df.count() > 0
     spark.catalog.clearCache()
 
     monkeypatch.setenv("SPARK_GRAFT_PERSIST_FLOOR_BYTES", "0")
     df = collect_all()["search_mrr_audit"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("InMemoryTableScan") > n_gated_off, plan
     assert df.count() > 0
     spark.catalog.clearCache()
 
