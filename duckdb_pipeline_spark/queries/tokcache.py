@@ -178,6 +178,16 @@ def _ensure_doc_tf(spark, sf_dir: str, tokenizer: str = "space") -> str:
         # disk is ~3x the corpus text (measured at sf0.1) because each
         # token row re-carries doc_id/source. Same rows, same layout
         # (32 one-per-bucket files), content-hash-identical (A/B'd).
+        # TRADEOFF (ADVICE r14): the pre-explode repartition caps the
+        # tokenize/explode/fold stage at _N_BUCKETS tasks; the two-
+        # shuffle shape runs that stage at scan/shuffle parallelism.
+        # Re-measured r15 (same-session alternated A/B, full bucketed
+        # write, scripts/ab_toktf_r15.py): one-shuffle wins 0.41 vs
+        # 0.58 s at sf0.1 and 2.19 vs 8.25 s at sf10 on 32 cores — the
+        # token-scale double shuffle costs far more than the capped
+        # parallelism saves. On clusters with cores >> _N_BUCKETS,
+        # raise _N_BUCKETS (a corpus-version layout choice) rather
+        # than reverting to the two-shuffle shape.
         tf = (
             load(spark, sf_dir, "documents")
             .select("doc_id", "source", "text")
