@@ -104,7 +104,9 @@ SELECT doc_id, n AS n_tokens, round(-(s) / n, 6) AS xent FROM agg
 """
 
 
-def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
+def text_bigram_xent(
+    spark, sf_dir, tokenizer="space", docs=None, carry=(), ref_docs=None
+):
     """Per-document cross-entropy under a BIGRAM LM with Stupid
     Backoff (Brants et al. 2007), trained on the reference slice
     (source = 'src0' — the CCNet pattern: score the whole crawl
@@ -151,7 +153,20 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
     the join re-derived the 3-branch planted corpus and added an
     Exchange + broadcast). Widens the map-side partial-agg key by the
     carried columns only; default () keeps the declared query's plan
-    and output identical."""
+    and output identical.
+
+    ``ref_docs`` (optimization r15): the reference slice the LM trains
+    on, as its own (doc_id, source, text) relation. Default None keeps
+    the declared shape — bgc = the scoring stream filtered to
+    source = 'src0' (Catalyst pushes that filter to the scan). Planted-
+    twin consumers whose ``docs`` is a generator over the base corpus
+    pass the pre-filtered base slice here instead: a filter cannot
+    prune THROUGH a generator, so without this every below-floor bgc
+    re-derivation would pay the full twin explode + discard
+    (guide §2.4/§6 — with it the LM branches read a plain predicate-
+    pushed scan). Rows are identical either way: source is
+    per-document, so filtering before or after bigram construction
+    commutes."""
     from .tokcache import UNICODE_TOKEN_RE
 
     carry = list(carry)
@@ -163,31 +178,32 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
         t_expr = F.regexp_extract_all(F.lower("text"), F.lit(UNICODE_TOKEN_RE), 0)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    toks = docs.select("doc_id", "source", *carry, t_expr.alias("t"))
     # bigrams via arrays_zip of two shifted slices — all codegen'd
     # built-ins; the transform-lambda struct formulation evaluates
     # interpreted per element (the ADC HOF lesson) and measured 2x
     # slower at sf1 (2.03 vs 1.07 s for the bare explode)
-    bg = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            *carry,
-            F.expr("slice(t, 1, size(t) - 1)").alias("w1s"),
-            F.expr("slice(t, 2, size(t) - 1)").alias("w2s"),
+    def _bigrams(src, cols):
+        t = src.select(*cols, t_expr.alias("t"))
+        return (
+            t.where(F.size("t") >= 2)
+            .select(
+                *cols,
+                F.expr("slice(t, 1, size(t) - 1)").alias("w1s"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2s"),
+            )
+            .select(*cols, F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+            .select(
+                *cols,
+                F.col("b.w1s").alias("w1"),
+                F.col("b.w2s").alias("w2"),
+            )
         )
-        .select(
-            "doc_id", "source", *carry,
-            F.explode(F.arrays_zip("w1s", "w2s")).alias("b"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            *carry,
-            F.col("b.w1s").alias("w1"),
-            F.col("b.w2s").alias("w2"),
-        )
+
+    bg = _bigrams(docs, ["doc_id", "source", *carry])
+    ref_bg = (
+        bg.where(F.col("source") == "src0")
+        if ref_docs is None
+        else _bigrams(ref_docs, [])
     )
     # bgc feeds THREE plan branches (lm2, marg, tot) and
     # Spark does not CSE across branches: unpersisted, the reference
@@ -203,9 +219,7 @@ def text_bigram_xent(spark, sf_dir, tokenizer="space", docs=None, carry=()):
     from .common import maybe_persist
 
     bgc = maybe_persist(
-        bg.where(F.col("source") == "src0")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt2"))
+        ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
     )
     marg = bgc.groupBy("w2").agg(F.sum("cnt2").alias("cntu"))
     tot = bgc.agg(F.sum("cnt2").cast("double").alias("t_ref"))
@@ -519,31 +533,59 @@ def quality_perplexity_buckets(spark, sf_dir):
         "doc_id", "source", "text", "lang"
     )
     sh = twin_shift(spark, sf_dir, floor=_PPLX_SHIFT)
-    punct_twin = base.where(F.col("doc_id") % 7 == 2).select(
+    # ONE corpus scan derives base + both planted twins (optimization
+    # r15, VERDICT r14 #5): the former 3-branch union re-read
+    # documents.parquet once per branch — 3 corpus passes at any scale
+    # (guide §6 scan-once). Each row explodes into a 3-variant struct
+    # array and a `keep` flag filters the twins to their mod-7 slices;
+    # rows and every per-row expression are IDENTICAL to the union
+    # form, so xent values are bitwise unchanged.
+    s_base = F.struct(
+        F.lit(True).alias("keep"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("source").alias("source"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+    s_punct = F.struct(
+        (F.col("doc_id") % 7 == 2).alias("keep"),
         (F.col("doc_id") + sh).alias("doc_id"),
         F.lit("twin").alias("source"),
         F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(", "))).alias("text"),
-        "lang",
+        F.col("lang").alias("lang"),
     )
-    dash_twin = base.where(F.col("doc_id") % 7 == 5).select(
+    s_dash = F.struct(
+        (F.col("doc_id") % 7 == 5).alias("keep"),
         (F.col("doc_id") + 2 * sh).alias("doc_id"),
         F.lit("twin").alias("source"),
         F.replace(F.col("text"), F.lit(" "), F.lit("—")).alias("text"),
-        "lang",
+        F.col("lang").alias("lang"),
     )
-    corpus = base.unionByName(punct_twin).unionByName(dash_twin)
+    corpus = (
+        base.select(F.explode(F.array(s_base, s_punct, s_dash)).alias("v"))
+        .where(F.col("v.keep"))
+        .select("v.doc_id", "v.source", "v.text", "v.lang")
+    )
     # lang rides THROUGH the xent fold (carry — functionally dependent
     # on doc_id), replacing the former xent ⋈ corpus(doc_id, lang)
     # re-join: that join re-derived the 3-branch planted corpus a
     # second time (3 scans + union + BroadcastExchange in the r14
     # before-plan) only to recover lang. Same rows: the join was inner
     # on doc_id and every xent doc_id exists in corpus exactly once.
+    # The reference LM trains on the pre-filtered src0 slice
+    # (ref_docs): a source filter cannot prune through the twin
+    # generator, so passing the base slice keeps every below-floor bgc
+    # derivation a plain predicate-pushed scan instead of a full twin
+    # explode + discard (rows identical — twins are source='twin').
     xent = text_bigram_xent(
         spark,
         sf_dir,
         tokenizer="unicode",
-        docs=corpus.select("doc_id", "source", "text", "lang"),
+        docs=corpus,
         carry=("lang",),
+        ref_docs=base.where(F.col("source") == "src0").select(
+            "doc_id", "source", "text"
+        ),
     )
     w = Window.partitionBy("lang").orderBy("xent", "doc_id")
     b = xent.select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
