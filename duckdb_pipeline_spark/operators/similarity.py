@@ -1171,6 +1171,7 @@ def knn_join_within_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk: int = 128,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN, IVF production path: assign every vector
     to its IVF cell (same deterministic centroids + exact integer-IP
@@ -1187,29 +1188,50 @@ def knn_join_within_cells(
     `ann_recall_audit`-style queries; tie-breaks and fixed-point
     arithmetic are identical to the exact kernel, so within-cell
     results are bitwise-equal to the exact join restricted to the
-    cell."""
+    cell.
+
+    ``assigned`` (optimization r15, VERDICT r14 #7): a pre-assigned
+    (id, vec, cell) relation — the at-rest IVF index
+    (`ivf_write_index` partitions the corpus by the IDENTICAL argmax:
+    same centroids, same fixed-point scores, np.argmax ties -> lowest
+    cell). Passing it removes the assignment mapInPandas, leaving ONE
+    Python boundary (the per-cell kernel) and no centroid collect at
+    plan build — the serving posture every IVF deployment uses (the
+    index is built once per corpus version at ingest). Default None
+    keeps the self-contained two-pass shape."""
     import numpy as np
     import pandas as pd
 
-    C, _ = _ivf_centroids_and_query(embeddings, None, n_cells, id_col, vec_col)
+    if assigned is None:
+        C, _ = _ivf_centroids_and_query(
+            embeddings, None, n_cells, id_col, vec_col
+        )
 
-    def assign(batches):
-        for pdf in batches:
-            pdf = pdf.dropna(subset=[vec_col])
-            if not len(pdf):
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            # exact-integer argmax is unchanged under the float64 sum
-            # (every score is an exact integer < 2^53; _fp_dots_f64 doc)
-            scores = _fp_dots_f64(V[:, None, :], C[None, :, :])
-            out = pdf.copy()
-            out["cell"] = scores.argmax(axis=1).astype("int32")
-            yield out
+        def assign(batches):
+            for pdf in batches:
+                pdf = pdf.dropna(subset=[vec_col])
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                # exact-integer argmax is unchanged under the float64
+                # sum (every score is an exact integer < 2^53;
+                # _fp_dots_f64 doc)
+                scores = _fp_dots_f64(V[:, None, :], C[None, :, :])
+                out = pdf.copy()
+                out["cell"] = scores.argmax(axis=1).astype("int32")
+                yield out
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        assign,
-        f"{id_col} long, {vec_col} array<float>, cell int",
-    )
+        assigned = embeddings.select(id_col, vec_col).mapInPandas(
+            assign,
+            f"{id_col} long, {vec_col} array<float>, cell int",
+        )
+    else:
+        # the index build dropped null vectors before assigning; the
+        # cast pins the partition-discovered cell column to int32 (the
+        # kernel's declared schema)
+        assigned = assigned.select(
+            id_col, vec_col, F.col("cell").cast("int").alias("cell")
+        ).where(F.col(vec_col).isNotNull())
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

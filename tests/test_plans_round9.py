@@ -27,11 +27,15 @@ def test_knn_join_topk_plan_two_exchanges_no_join(spark, sf_dir):
 
 
 def test_knn_join_ivf_plan_single_group_exchange_no_join(spark, sf_dir):
-    """IVF kNN join: the assignment is a map (no Exchange); the only
-    shuffle is the cell group; ranks are final in-kernel so there is
-    no merge window. One Exchange, no joins."""
+    """IVF kNN join: assignments come from the at-rest IVF index
+    (optimization r15), so the plan is index scan -> one cell-group
+    Exchange -> the per-cell kernel: ONE Python boundary (no
+    assignment MapInPandas), one Exchange, no joins; ranks are final
+    in-kernel so there is no merge window."""
     plan = _plan(spark, sf_dir, "knn_join_topk_ivf")
     assert _shuffle_exchanges(plan) == 1, plan
+    assert "MapInPandas" not in plan, plan  # assignment pass is gone
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, f"{op} leaked into the IVF kNN plan:\n{plan}"
