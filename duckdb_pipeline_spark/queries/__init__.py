@@ -31,78 +31,78 @@ class QuerySpec:
 # relational family; queries rotated out (driver-green in BOTH rounds
 # 1 and 2, unchanged since) follow in module order.
 PRIORITY: tuple[str, ...] = (
-    # ---- round 14 window (VERDICT r13 #1): the ledger after r13 is
-    # 48 rows at r9 (the oldest cohort) + 47 at r10; everything else is
-    # r11+. The 50-window drains ALL of r9 plus 2 r10 rows. The verdict
-    # named `q1_pricing_summary`/`dedup_span_scrub` as the r10 fillers,
-    # but the raw CORRECTNESS_r01-r13 aggregation shows both are at r12
-    # (they were in the r12 window); the actual r10 cohort is 47 rows,
-    # from which the two most load-bearing are taken instead:
-    #   - dedup_jaccard_prefix: the r13 sf10 sweep mover (101 s,
-    #     adjudicated as spread — a driver hash row re-proves the plan);
-    #   - quality_perplexity_buckets: switched to the unicode tokenizer
-    #     tier THIS round (VERDICT r13 #3 — the tier's first heavy
-    #     serving consumer), so its plan changed and must be in-window.
-    # Newcomers declared in r14 (band_index_append_equals_rebuild)
-    # freeze OUT of the window per standing policy and lead r15.
-    # After this window lands green: no query's latest driver row is
-    # older than r10 (the verdict's Done criterion).
+    # ---- round 15 window (VERDICT r14 #2): every plan the r14/r15
+    # OPTIMIZATION rounds changed leads the window — the r14 window was
+    # pinned before the r14 optimizer commits landed, so those plans
+    # have no driver oracle row yet (the verdict's top gap) — followed
+    # by the three r14-build newcomers (never driver-checked), then the
+    # r10-stale cohort (the oldest remaining, 45 rows minus
+    # knn_join_topk_ivf which is in the changed set; alphabetical). The
+    # driver caps at 50 rows, so the cohort's alphabetical tail
+    # (timeseries_cusum_drift, topk_orders_global, window_lag_delta,
+    # window_moving_avg + whatever the cap cuts) leads the r16
+    # rotation.
     #
-    # (a) the 48 r9-stale rows (alphabetical):
-    "agg_percentiles_exact",
-    "asof_purchase_click",
-    "case_bucketing",
-    "corpus_pack_sequences",
-    "dedup_bloom_probe",
-    "dedup_containment",
-    "join_left_zero_counts",
-    "kmeans_train_audit",
-    "multimodal_png_features",
-    "ntile_quartiles",
-    "pca_variance_audit",
-    "pivot_status_by_priority",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "retention_cohorts",
-    "scalar_array_funcs",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_regexp_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_filter",
-    "scd2_asof_enrich",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "stream_scd2_intervals",
-    "timeseries_gap_fill",
-    "unpivot_part_measures",
-    "window_first_last",
-    "window_percentiles",
-    "window_rank_orders",
-    "window_running_total",
-    "window_topk_per_group",
-    # (b) the 2 r10 fillers:
-    "dedup_jaccard_prefix",
-    "quality_perplexity_buckets",
-    # ---- round-15 window candidates (lead the next rotation): the
-    # remaining 45 r10 rows + any r14 newcomers/plan-changed queries.
-    # Rotated out round 14 (driver-green r13, unchanged): the full r13
+    # (a) plans changed by optimization r14/r15 (12):
+    "pipeline_corpus_prep",          # r14: min_by tier-1 fold
+    "search_mrr_audit",              # r14 floor-gates + r15 pair persist
+    "search_docs_bm25",              # r14: tokcache build shape under it
+    "text_bigram_xent",              # r14 carry param (default plan pinned identical)
+    "vocab_top_tokens_unicode",      # r14: unicode tokcache consumer
+    "toktf_append_equals_rebuild",   # r14: one-shuffle build + append shape
+    "quality_perplexity_buckets",    # r15: one-scan twins + ref_docs LM
+    "text_unigram_xent",             # r15: LM total folded over tf rows
+    "knn_join_topk_ivf",             # r15: served from the at-rest IVF index
+    # (b) r14-build newcomers, never driver-checked:
+    "band_index_append_equals_rebuild",
+    "dedup_exact_unicode",
+    "search_docs_bm25_unicode",
+    # (c) the r10-stale cohort (alphabetical):
+    "agg_listagg_sorted",
+    "agg_salted_hot_keys",
+    "corpus_shard_shuffle",
+    "dedup_components_incremental",
+    "embedding_sim_calibration",
+    "events_markov_transitions",
+    "graph_link_prediction",
+    "join_null_safe",
+    "kmeans_seed_farthest",
+    "knn_graph_components",
+    "knn_incremental_probe",
+    "knn_join_topk",
+    "knn_label_purity",
+    "knn_recall_ivf_audit",
+    "layout_pruning_audit",
+    "market_basket_lift",
+    "multimodal_flac_features",
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "multimodal_mixed_features",
+    "multimodal_phash_neardup",
+    "multimodal_resize_audit",
+    "multimodal_video_framesample",
+    "pq_train_codebooks",
+    "profile_key_skew",
+    "profile_table_summary",
+    "quality_auc_audit",
+    "quality_dup_calibration",
+    "quality_ks_test",
+    "quality_logreg_train",
+    "sample_hash_deterministic",
+    "scalar_bitwise_funcs",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_topk_indexed",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall_audit",
+    "split_leakage_audit",
+    "stats_chi2_independence",
+    "stats_regression_by_group",
+    "stats_welch_ttest",
+    "timeseries_cusum_drift",
+    "topk_orders_global",
+    "window_lag_delta",
+    "window_moving_avg",
+    # Rotated out round 15 (driver-green r14, unchanged): the full r14
     # window; earlier rotation history is in git.
 )
 
