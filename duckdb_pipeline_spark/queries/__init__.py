@@ -96,12 +96,10 @@ PRIORITY: tuple[str, ...] = (
     "similarity_pq_recall_audit",
     "split_leakage_audit",
     "stats_chi2_independence",
-    "stats_regression_by_group",
-    "stats_welch_ttest",
-    "timeseries_cusum_drift",
-    "topk_orders_global",
-    "window_lag_delta",
-    "window_moving_avg",
+    # ---- r16 window candidates (the cohort's alphabetical tail past
+    # the 50-cap, left out this round): stats_regression_by_group,
+    # stats_welch_ttest, timeseries_cusum_drift, topk_orders_global,
+    # window_lag_delta, window_moving_avg.
     # Rotated out round 15 (driver-green r14, unchanged): the full r14
     # window; earlier rotation history is in git.
 )
